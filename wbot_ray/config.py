@@ -1,0 +1,133 @@
+"""Crawl configuration.
+
+Mirrors the reference's functional-options surface
+(``/root/reference/option.go:14-63`` + defaults ``config.go:10-66``) as a
+plain dataclass. ``Param`` rotation (user-agents / referrers / proxies,
+``crawler.go:173-194``) is reproduced deterministically: seed ``i`` gets
+``user_agents[i % len(user_agents)]`` — exactly what the reference's
+round-robin spinner yields over the seed sequence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEFAULT_USER_AGENT = "WBotRay/0.1 (+ray-data rebuild)"
+DEFAULT_REFERRER = "https://www.google.com/search"
+DEFAULT_MAX_BODY_SIZE = 5 * 1024 * 1024  # config.go:14
+DEFAULT_TIMEOUT_MS = 10_000  # config.go:13
+DEFAULT_RATE_LIMIT = "10/1s"  # limiter.go:13
+
+
+@dataclass
+class FilterRule:
+    """Per-root allow/deny regex rule (``pkg/api/wbot.go:98-102``).
+    ``hostname == "*"`` is the wildcard fallback (``filter.go:35-41``)."""
+
+    hostname: str
+    allow: list[str] = field(default_factory=list)
+    disallow: list[str] = field(default_factory=list)
+
+
+@dataclass
+class RateLimit:
+    """Per-root rate "N/<int><s|m|h>" (``pkg/api/wbot.go:104-107``)."""
+
+    hostname: str
+    rate: str
+
+
+def parse_rate_limit(s: str) -> tuple[int, float]:
+    """Parse "N/<int><s|m|h>" → (requests, interval_seconds); any malformed
+    input falls back to the default 10/1s (``limiter.go:61-90``)."""
+    default = (10, 1.0)
+    parts = s.split("/")
+    if len(parts) != 2:
+        return default
+    try:
+        rate = int(parts[0])
+    except ValueError:
+        return default
+    tail = parts[1]
+    if not tail:
+        return default
+    try:
+        value = int(tail[:-1])
+    except ValueError:
+        return default
+    unit = tail[-1]
+    if unit in "sS":
+        return rate, float(value)
+    if unit in "mM":
+        return rate, value * 60.0
+    if unit in "hH":
+        return rate, value * 3600.0
+    return default
+
+
+@dataclass
+class CrawlConfig:
+    """All knobs of the crawl pipeline. Defaults match the reference
+    (``config.go:29-66``): ``max_depth=10``, 5 MiB body cap, 10 s timeout.
+
+    ``mode``:
+      * ``"fidelity"`` — replicate the reference's observable quirks:
+        substring scope check (``crawler.go:252``), always-allow robots
+        (``robot.go:32-41`` with its never-fed cache), seeds not pre-marked
+        visited (``crawler.go:173-194``).
+      * ``"strict"`` — the same pipeline with proper suffix-match scoping
+        and real per-host robots.txt gating.
+
+    ``politeness``:
+      * ``"virtual"`` — per-root budget accounting on a virtual clock
+        (deterministic; no sleeping; reported in metrics).
+      * ``"real"``    — fetch actors actually pace requests per root.
+      * ``"off"``     — no politeness accounting.
+    """
+
+    max_depth: int = 10
+    max_body_size: int = DEFAULT_MAX_BODY_SIZE
+    timeout_ms: int = DEFAULT_TIMEOUT_MS
+    user_agents: list[str] = field(default_factory=lambda: [DEFAULT_USER_AGENT])
+    referrers: list[str] = field(default_factory=lambda: [DEFAULT_REFERRER])
+    proxies: list[str] = field(default_factory=list)
+    rate_limits: list[RateLimit] = field(default_factory=list)
+    filter_rules: list[FilterRule] = field(default_factory=list)
+    mode: str = "fidelity"  # "fidelity" | "strict"
+    politeness: str = "virtual"  # "virtual" | "real" | "off"
+
+    # Ray-execution knobs (no reference equivalent; scale levers)
+    fetch_concurrency: int | None = None  # actors in the fetch pool
+    num_buckets: int = 32  # web-index buckets = fetch-join partitions
+    seen_shards: int = 8  # URL-seen set actor shards
+    batch_size: int = 1024  # rows per fetch/extract batch
+    hot_host_threshold: int = 100_000  # frontier rows per root before salting
+
+    def __post_init__(self) -> None:
+        if self.max_depth <= 0:  # config.go:30-32
+            self.max_depth = 10
+        if not self.user_agents:
+            self.user_agents = [DEFAULT_USER_AGENT]
+
+    def user_agent_for_seed(self, seed_ord: int) -> str:
+        return self.user_agents[seed_ord % len(self.user_agents)]
+
+    def proxy_for_seed(self, seed_ord: int) -> str:
+        if not self.proxies:
+            return ""
+        return self.proxies[seed_ord % len(self.proxies)]
+
+    def referrer_for_seed(self, seed_ord: int) -> str:
+        if not self.referrers:
+            return ""
+        return self.referrers[seed_ord % len(self.referrers)]
+
+    def rate_for_root(self, root: str) -> tuple[int, float]:
+        """Token-bucket (rate, interval_s) for a root; wildcard fallback,
+        default 10/1s (``limiter.go:22-59``)."""
+        table = {rl.hostname: rl.rate for rl in self.rate_limits}
+        if root in table:
+            return parse_rate_limit(table[root])
+        if "*" in table:
+            return parse_rate_limit(table["*"])
+        return parse_rate_limit(DEFAULT_RATE_LIMIT)

@@ -1,0 +1,119 @@
+"""HTML link extraction and canonical text extraction.
+
+``find_links`` replicates the reference's goquery extraction
+(``/root/reference/pkg/api/wbot.go:165-197``): five selector groups, each
+collected in document order, concatenated in the fixed group order
+``a[href]``, ``link[href]``, ``img[src]``, ``script[src]``, ``iframe[src]``.
+This grouped order feeds ``link_idx`` → ``ord_path`` → crawl order, so it is
+part of the engine's determinism contract.
+
+``extract_text`` is the engine's single canonical HTML→text function (the
+reference never extracts text — its ``Response.Body`` is raw bytes — but the
+target data model requires byte-identical extracted text per URL; fixtures
+and engine share exactly this implementation, making the invariant testable).
+
+Both are pure functions over ``bytes`` — called from vectorized
+``map_batches`` UDFs; the parser is Python's incremental ``HTMLParser``
+(no tree build, single pass, tolerant of truncated input — important because
+the body is sliced to ``max_body_size`` *before* extraction, matching
+``io.CopyN`` truncation at ``http_client.go:117``).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+__all__ = ["find_links", "extract_text"]
+
+# tag -> attribute, in the reference's selector-group order (wbot.go:171-195)
+_GROUPS: tuple[tuple[str, str], ...] = (
+    ("a", "href"),
+    ("link", "href"),
+    ("img", "src"),
+    ("script", "src"),
+    ("iframe", "src"),
+)
+_GROUP_IDX = {tag: i for i, (tag, _attr) in enumerate(_GROUPS)}
+
+
+class _LinkCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.groups: list[list[str]] = [[] for _ in _GROUPS]
+
+    def _collect(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        gi = _GROUP_IDX.get(tag)
+        if gi is None:
+            return
+        want = _GROUPS[gi][1]
+        # first occurrence wins, like net/html's duplicate-attribute handling
+        for name, value in attrs:
+            if name == want:
+                if value is not None:
+                    self.groups[gi].append(value)
+                return
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self._collect(tag, attrs)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self._collect(tag, attrs)
+
+
+def find_links(body: bytes) -> list[str]:
+    """All candidate hrefs/srcs in the body, grouped by selector in the
+    reference's order, document order within each group. Parse errors yield
+    whatever was collected so far (goquery never errors on truncated HTML
+    either — it builds a best-effort tree)."""
+    p = _LinkCollector()
+    try:
+        p.feed(body.decode("utf-8", "replace"))
+        p.close()
+    except Exception:
+        pass
+    out: list[str] = []
+    for g in p.groups:
+        out.extend(g)
+    return out
+
+
+_SKIP_TEXT_TAGS = frozenset({"script", "style", "template", "noscript"})
+# void elements never pushed on the skip stack
+_VOID = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input",
+     "link", "meta", "param", "source", "track", "wbr"}
+)
+
+
+class _TextCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in _SKIP_TEXT_TAGS and tag not in _VOID:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TEXT_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        for piece in data.split():
+            self.chunks.append(piece)
+
+
+def extract_text(body: bytes) -> str:
+    """Canonical deterministic HTML→text: text nodes outside
+    script/style/template/noscript, whitespace-normalized (every run of
+    whitespace collapses to a single space), joined with single spaces."""
+    p = _TextCollector()
+    try:
+        p.feed(body.decode("utf-8", "replace"))
+        p.close()
+    except Exception:
+        pass
+    return " ".join(p.chunks)

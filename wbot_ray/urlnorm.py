@@ -1,0 +1,326 @@
+"""URL parsing, canonicalization and hashing.
+
+Replicates the observable semantics of the reference's URL layer
+(``/root/reference/pkg/api/wbot.go``):
+
+- ``parse_url``      ~ Go ``url.Parse`` + scheme/TLD validation (`wbot.go:132-164`)
+- ``hash_link``      ~ ``hashLink`` canonical sha256 (`wbot.go:219-238`)
+- ``registrable_domain`` ~ ``publicsuffix.Domain`` + TLD allowlist
+  (`wbot.go:198-217`)
+- ``resolve_url``    ~ ``Request.ResolveURL`` (`wbot.go:110-123`)
+- ``go_url_string``  ~ Go ``url.URL.String()`` serialization (used by the
+  filter, which matches regexes against the serialized URL, `filter.go:45,51`).
+
+Fidelity notes (all load-bearing for URL-seen identity):
+
+* Go's ``url.Parse`` stores a decoded ``Path`` plus ``RawPath`` (the original
+  escaped spelling, kept only when it differs from ``escape(Path)``).
+  ``URL.String()`` re-emits ``RawPath`` when it is still a valid encoding of
+  ``Path``. Consequence: ``hashLink`` collapses *double*-encoded paths
+  (``%2541`` → ``A``) but leaves *single*-encoded spellings (``%41``) as
+  their own identity — we model RawPath to reproduce exactly that.
+* ``hashLink`` (`wbot.go:219-238`): drop scheme, strip leading ``www.`` from
+  host, ``PathUnescape`` the already-decoded path (the double-decode),
+  serialize, trim trailing ``/``, trim leading ``//``, sha256-hex.
+
+Everything in this module is a pure function — safe to call from vectorized
+``map_batches`` UDFs on any worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from functools import lru_cache
+from importlib import resources
+from urllib.parse import urljoin, urlsplit
+
+__all__ = [
+    "ParsedURL",
+    "URLError",
+    "parse_url",
+    "hash_link",
+    "registrable_domain",
+    "resolve_url",
+    "go_url_string",
+    "tld_allowlist",
+]
+
+
+class URLError(ValueError):
+    """Raised when a URL fails parsing/validation (maps to the reference's
+    error returns from ``NewURL`` / ``Hostname``)."""
+
+
+@lru_cache(maxsize=1)
+def tld_allowlist() -> frozenset[str]:
+    """The 451-entry TLD allowlist the reference embeds (same data as
+    ``pkg/api/tlds.json``, stored here as one TLD per line)."""
+    data = resources.files("wbot_ray.data").joinpath("tlds.txt").read_text()
+    return frozenset(line.strip() for line in data.splitlines() if line.strip())
+
+
+# Multi-label public suffixes for eTLD+1 extraction. The reference uses the
+# full Mozilla PSL via publicsuffix-go; this engine embeds the common
+# two-level suffixes. Hosts not matching a multi-label suffix fall back to
+# the PSL's own default rule: the last label is the public suffix.
+_MULTI_SUFFIXES = frozenset(
+    {
+        "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk",
+        "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+        "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz", "gen.nz", "maori.nz",
+        "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+        "com.br", "net.br", "org.br", "gov.br", "edu.br",
+        "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+        "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+        "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr",
+        "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+        "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+        "com.my", "net.my", "org.my", "gov.my", "edu.my",
+        "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+        "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+        "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+        "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+        "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+        "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+        "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+        "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+        "co.th", "in.th", "or.th", "ac.th", "go.th", "net.th",
+        "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
+        "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+        "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk",
+        "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg",
+        "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa",
+        "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
+        "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
+        "com.co", "net.co", "org.co", "gov.co", "edu.co",
+        "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe",
+        "com.ve", "net.ve", "org.ve", "gob.ve",
+        "co.id", "net.id", "or.id", "web.id", "ac.id", "go.id", "sch.id",
+        "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd",
+    }
+)
+
+
+# --- Go-compatible percent-escaping -------------------------------------
+# Mirrors net/url shouldEscape for encodePath / encodeFragment so that
+# go_url_string serializes the same bytes Go's URL.String() would.
+
+_UNRESERVED = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_.~")
+_PATH_SAFE = _UNRESERVED | set("$&+,/:;=@")  # '?' and '#' escape in path mode
+_FRAGMENT_SAFE = _UNRESERVED | set("$&+,/:;=?@!()*")
+
+
+def _escape(s: str, safe: set[str]) -> str:
+    out = []
+    for b in s.encode("utf-8"):
+        c = chr(b)
+        out.append(c if c in safe else "%%%02X" % b)
+    return "".join(out)
+
+
+def _unescape(s: str) -> str:
+    """Go ``unescape(s, encodePath)`` / ``PathUnescape``: decode every %XX;
+    raise URLError on malformed sequences; ``+`` is left alone."""
+    if "%" not in s:
+        return s
+    raw = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%":
+            if i + 3 > n:
+                raise URLError(f"invalid URL escape {s[i:]!r}")
+            hx = s[i + 1 : i + 3]
+            try:
+                raw.append(int(hx, 16))
+            except ValueError:
+                raise URLError(f"invalid URL escape {s[i:i+3]!r}") from None
+            i += 3
+        else:
+            raw.extend(c.encode("utf-8"))
+            i += 1
+    return raw.decode("utf-8", "surrogateescape")
+
+
+def _escaped_path(path: str, raw_path: str) -> str:
+    """Go ``URL.EscapedPath()``: prefer ``raw_path`` when it is a valid
+    encoding of ``path``; otherwise re-escape ``path``."""
+    if raw_path:
+        try:
+            if _unescape(raw_path) == path:
+                return raw_path
+        except URLError:
+            pass
+    return _escape(path, _PATH_SAFE)
+
+
+def _strip_port(host: str) -> str:
+    if host.startswith("["):  # [v6]:port
+        end = host.find("]")
+        return host[1:end] if end >= 0 else host
+    i = host.rfind(":")
+    if i >= 0 and host[i + 1 :].isdigit():
+        return host[:i]
+    return host
+
+
+@dataclass
+class ParsedURL:
+    """Engine equivalent of the reference's ``ParsedURL``
+    (``pkg/api/wbot.go:84-89``): canonical ``hash`` (sha256 hex), ``root``
+    (registrable domain), plus the parsed components (with ``raw_path``
+    modeling Go's ``URL.RawPath``) needed for faithful re-serialization."""
+
+    hash: str
+    root: str
+    scheme: str
+    host: str  # netloc, original case, may include port
+    path: str  # decoded path
+    raw_path: str  # original escaped spelling ("" when escape(path) == raw)
+    query: str  # raw query, serialized verbatim
+    fragment: str = ""
+    url: str = ""  # Go-style serialized absolute URL
+
+    @property
+    def hostname(self) -> str:
+        return _strip_port(self.host)
+
+
+def registrable_domain(host: str) -> str:
+    """eTLD+1 of ``host`` (reference ``Hostname``, ``wbot.go:198-217``):
+    public-suffix extraction, then the final label must be in the embedded
+    TLD allowlist. Raises ``URLError`` otherwise."""
+    hostname = _strip_port(host).strip(".").lower()
+    if not hostname or "." not in hostname:
+        raise URLError(f"failed to extract domain: {host!r}")
+    labels = hostname.split(".")
+    if any(not lb for lb in labels):
+        raise URLError(f"failed to extract domain: {host!r}")
+    if len(labels) >= 2 and ".".join(labels[-2:]) in _MULTI_SUFFIXES:
+        if len(labels) < 3:
+            raise URLError(f"failed to extract domain: {host!r}")
+        domain = ".".join(labels[-3:])
+    else:
+        domain = ".".join(labels[-2:])
+    tld = domain.rsplit(".", 1)[-1]
+    if tld not in tld_allowlist():
+        raise URLError(f"invalid TLD: {tld}")
+    return domain
+
+
+def go_url_string(
+    scheme: str,
+    host: str,
+    path: str,
+    query: str,
+    fragment: str = "",
+    raw_path: str = "",
+) -> str:
+    """Serialize components the way Go ``url.URL.String()`` does (no user
+    info / opaque part, which the engine never produces)."""
+    buf = []
+    if scheme:
+        buf.append(scheme + ":")
+    if scheme or host:
+        buf.append("//")
+    if host:
+        buf.append(host)
+    p = _escaped_path(path, raw_path)
+    if p and not p.startswith("/") and host:
+        buf.append("/")
+    buf.append(p)
+    if query:
+        buf.append("?" + query)
+    if fragment:
+        buf.append("#" + _escape(fragment, _FRAGMENT_SAFE))
+    return "".join(buf)
+
+
+def hash_link(
+    scheme: str,
+    host: str,
+    path: str,
+    query: str,
+    fragment: str = "",
+    raw_path: str = "",
+) -> str:
+    """Canonical URL hash — the URL-seen identity key (``wbot.go:219-238``).
+
+    Takes the *parsed* components (decoded ``path`` + original ``raw_path``),
+    applies: scheme drop, leading-``www.`` strip, ``PathUnescape`` on the
+    decoded path (double-decode; only changes double-encoded paths — and when
+    it does, ``raw_path`` stops being a valid encoding so the serialization
+    falls back to the re-escaped decoded path), serialize, trim trailing
+    ``/`` then leading ``//``, sha256 hex.
+    """
+    host = host[4:] if host.startswith("www.") else host
+    path = _unescape(path)  # may raise URLError, like PathUnescape
+    cleaned = go_url_string("", host, path, query, fragment, raw_path=raw_path)
+    cleaned = cleaned.rstrip("/")
+    if cleaned.startswith("//"):
+        cleaned = cleaned[2:]
+    return hashlib.sha256(cleaned.encode("utf-8")).hexdigest()
+
+
+def parse_url(raw: str) -> ParsedURL:
+    """Parse + validate an absolute URL (reference ``NewURL``,
+    ``wbot.go:132-164``): scheme must be http/https, registrable domain must
+    resolve with an allowed TLD, then the canonical hash. Raises
+    ``URLError`` on any failure."""
+    try:
+        parts = urlsplit(raw)
+    except ValueError as e:
+        raise URLError(str(e)) from None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        raise URLError(f"invalid scheme: {scheme}")
+    host = parts.netloc
+    root = registrable_domain(host)
+    # Go url.Parse: Path = unescape(raw path) (error on bad escapes);
+    # RawPath kept only when escape(Path) round-trip differs.
+    path = _unescape(parts.path)
+    raw_path = "" if _escape(path, _PATH_SAFE) == parts.path else parts.path
+    h = hash_link(scheme, host, path, parts.query, parts.fragment, raw_path=raw_path)
+    return ParsedURL(
+        hash=h,
+        root=root,
+        scheme=scheme,
+        host=host,
+        path=path,
+        raw_path=raw_path,
+        query=parts.query,
+        fragment=parts.fragment,
+        url=go_url_string(scheme, host, path, parts.query, parts.fragment, raw_path=raw_path),
+    )
+
+
+def hostname_of(link: str) -> str:
+    """Registrable domain of a URL string (reference ``Hostname``,
+    ``wbot.go:198-217``). Unlike ``parse_url`` this performs **no scheme
+    check** — ``ftp://example.site`` resolves fine (and "site" *is* in the
+    embedded allowlist, so the reference's own commented expectation in
+    ``test_wbot.go:19`` is wrong against its own data; we match the actual
+    behavior)."""
+    try:
+        parts = urlsplit(link)
+    except ValueError as e:
+        raise URLError(str(e)) from None
+    return registrable_domain(parts.netloc)
+
+
+def resolve_url(base_url: str, href: str) -> str:
+    """Resolve a (possibly relative) href against the parent URL
+    (reference ``ResolveURL``, ``wbot.go:110-123``): pure-fragment hrefs are
+    rejected; the result's fragment is stripped. Raises ``URLError``."""
+    if href.startswith("#"):
+        raise URLError("url is a fragment")
+    try:
+        abs_url = urljoin(base_url, href)
+    except ValueError as e:
+        raise URLError(str(e)) from None
+    i = abs_url.find("#")
+    if i >= 0:
+        abs_url = abs_url[:i]
+    return abs_url
