@@ -56,7 +56,7 @@ def run_oracle(
         corpus[row["url"]] = row
 
     rule_filter = RuleFilter(cfg.filter_rules)
-    robots = RobotsGate(cfg.mode)
+    robots = RobotsGate(cfg.mode, cfg.robots_bodies)
 
     m = {
         "total_requests": 0,

@@ -1,0 +1,121 @@
+"""End-to-end conformance: the Ray engine vs the sequential oracle.
+
+The contract (BASELINE north rule): under the same seed list and config the
+engine must produce the identical visited-URL set, identical crawl order,
+byte-identical extracted text per url, and identical metrics counters as the
+reference semantics (here: the ``tests/oracle.py`` replica of the Go
+``parallel=1`` worker loop).
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle import run_oracle
+from wbot_ray.config import CrawlConfig, FilterRule
+from wbot_ray.driver import Crawler
+from wbot_ray.sources.fixtures import gen_pages, seeds_for_scale, write_pages
+
+
+def _run_both(tmp_root, name, scale, seeds, cfg):
+    pages = gen_pages(scale)
+    pages_path = str(tmp_root / f"{name}_pages.parquet")
+    pq.write_table(pages, pages_path)
+    oracle = run_oracle(pages, seeds, cfg)
+    run = Crawler(cfg, workdir=str(tmp_root / f"{name}_run")).crawl(
+        seeds=seeds, pages_path=pages_path
+    )
+    return oracle, run
+
+
+def _assert_conformance(oracle, run):
+    # 1. identical crawl order: every popped request, in pop order
+    visited = run.visited_table().to_pylist()
+    expect = oracle.visited
+    assert len(visited) == len(expect)
+    for got, want in zip(visited, expect):
+        assert got["crawl_ord"] == want["crawl_ord"]
+        assert got["url"] == want["url"], (got["crawl_ord"], got["url"], want["url"])
+        assert got["depth"] == want["depth"]
+        assert got["url_hash"] == want["url_hash"]
+
+    # 2. identical successful-fetch stream incl. byte-identical text
+    got_rows = run.results_table().to_pylist()
+    want_rows = oracle.results
+    assert len(got_rows) == len(want_rows)
+    for g, w in zip(got_rows, want_rows):
+        assert g["url"] == w["url"]
+        assert g["text"] == w["text"], g["url"]
+        assert g["depth"] == w["depth"]
+        assert g["lang"] == w["lang"]
+        assert g["n_links"] == w["n_links"]
+        assert g["crawl_ord"] == w["crawl_ord"]
+
+    # 3. identical metrics counters
+    got_m = run.metrics_total()
+    for k, v in oracle.metrics.items():
+        assert got_m[k] == v, (k, got_m[k], v)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEngineConformance:
+    def test_tiny_default(self, tmp_root):
+        cfg = CrawlConfig(max_depth=4, num_buckets=4, seen_shards=2)
+        oracle, run = _run_both(
+            tmp_root, "tiny", "tiny", seeds_for_scale("tiny", 2), cfg
+        )
+        assert oracle.metrics["successful_requests"] > 5
+        _assert_conformance(oracle, run)
+
+    def test_small_with_truncation_and_rules(self, tmp_root):
+        cfg = CrawlConfig(
+            max_depth=3,
+            max_body_size=32 * 1024,  # bites on the oversized page's tail links
+            num_buckets=8,
+            seen_shards=4,
+            filter_rules=[FilterRule(hostname="site2.com", disallow=[r"/p/1\d$"])],
+            user_agents=["ua-a", "ua-b"],
+        )
+        oracle, run = _run_both(
+            tmp_root, "small", "small", seeds_for_scale("small", 3), cfg
+        )
+        assert oracle.metrics["duplicated_link"] > 0
+        assert oracle.metrics["failed_requests"] > 0
+        _assert_conformance(oracle, run)
+
+    def test_strict_mode_scope(self, tmp_root):
+        cfg = CrawlConfig(max_depth=3, mode="strict", num_buckets=4, seen_shards=2)
+        oracle, run = _run_both(
+            tmp_root, "strict", "tiny", seeds_for_scale("tiny", 1), cfg
+        )
+        # strict scoping must keep notsite0.com out
+        assert all("notsite0" not in r["url"] for r in run.visited_table().to_pylist())
+        _assert_conformance(oracle, run)
+
+    def test_resume_matches_full_run(self, tmp_root):
+        cfg = CrawlConfig(max_depth=3, num_buckets=4, seen_shards=2)
+        pages = gen_pages("tiny")
+        pages_path = str(tmp_root / "resume_pages.parquet")
+        pq.write_table(pages, pages_path)
+        seeds = seeds_for_scale("tiny", 2)
+
+        full = Crawler(cfg, workdir=str(tmp_root / "full_run")).crawl(
+            seeds=seeds, pages_path=pages_path
+        )
+        partial_dir = str(tmp_root / "partial_run")
+        Crawler(cfg, workdir=partial_dir).crawl(
+            seeds=seeds, pages_path=pages_path, stop_after_round=1
+        )
+        resumed = Crawler(cfg, workdir=partial_dir).crawl(resume=True)
+
+        assert resumed.visited_table().equals(full.visited_table())
+        assert resumed.metrics_total() == full.metrics_total()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_pages_roundtrip(tmp_root):
+    p = write_pages(str(tmp_root / "rt.parquet"), "tiny")
+    t = pq.read_table(p)
+    assert t.num_rows > 50
+    assert t.schema.names == ["url", "warc_ts", "html", "text", "lang"]

@@ -95,6 +95,7 @@ class CrawlConfig:
     filter_rules: list[FilterRule] = field(default_factory=list)
     mode: str = "fidelity"  # "fidelity" | "strict"
     politeness: str = "virtual"  # "virtual" | "real" | "off"
+    robots_bodies: dict = field(default_factory=dict)  # host -> robots.txt (strict mode)
 
     # Ray-execution knobs (no reference equivalent; scale levers)
     fetch_concurrency: int | None = None  # actors in the fetch pool

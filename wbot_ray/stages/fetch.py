@@ -1,0 +1,243 @@
+"""Fetch + extract — the engine's hot stage.
+
+One round's fetch is ``frontier.groupby("fetch_part").map_groups(fetch_fn)``:
+a partitioned index-lookup join against the bucketed web index
+(``wbot_ray.web_index``) that replicates the reference fetcher
+(``/root/reference/pkg/services/fetcher/http_client.go:55-145``) plus the
+candidate-link gates of the worker loop (``crawler.go:242-265``):
+
+- fetch = exact url lookup in the task's corpus bucket (missing ⇒ status 0,
+  a failed request, url dropped — ``crawler.go:230-234``),
+- body truncated to ``max_body_size`` BEFORE extraction (``io.CopyN``,
+  ``http_client.go:117``),
+- links extracted in the reference's selector-group order and resolved +
+  re-validated inline (``http_client.go:123-136``; invalid urls silently
+  dropped, they never reach the metrics),
+- per child (only when ``depth+1 <= max_depth``, ``crawler.go:244-246``):
+  scope (``crawler.go:252``) → robots on the PARENT url (``crawler.go:257``
+  quirk) → extension/rule filter (``filter.go:30-57``); rejects are counted
+  as skipped, survivors become ``next`` candidates for the dedup stage.
+
+Partitioning: ``fetch_part = bucket(root) + B * salt``. Every task owns
+disjoint registrable domains (politeness locality, SURVEY §2.4 T1); roots
+flagged hot by the driver (frontier rows > ``hot_host_threshold``) are
+salt-split into sub-parts that read the same corpus bucket — skew splits
+never change the on-disk index. Per-root politeness is "virtual" by
+default: the pacing *budget* is reported in metrics instead of sleeping,
+keeping rounds deterministic; ``politeness="real"`` makes each task pace
+its per-root fetches with a token bucket (rate semantics of
+``limiter.go:52-59``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import zlib
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from wbot_ray.config import CrawlConfig
+from wbot_ray.filters import RuleFilter, in_scope
+from wbot_ray.html import extract_text, find_links
+from wbot_ray.robots import RobotsGate
+from wbot_ray.urlnorm import URLError, parse_url, resolve_url
+from wbot_ray.web_index import bucket_of_root
+
+__all__ = ["make_assign_fetch_part", "make_fetch_group_fn", "NEXT_TYPE", "RESULT_SCHEMA"]
+
+NEXT_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("url", pa.string()),
+            ("hash", pa.string()),
+            ("host", pa.string()),
+            ("root", pa.string()),
+            ("link_idx", pa.int32()),
+        ]
+    )
+)
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_hash", pa.string()),
+        ("root", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("crawl_ord", pa.int64()),
+        ("status", pa.int32()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("n_links", pa.int32()),
+        ("n_links_total", pa.int32()),
+        ("n_skipped", pa.int32()),
+        ("elapsed_ms", pa.int64()),
+        ("user_agent", pa.string()),
+        ("proxy", pa.string()),
+        ("referer", pa.string()),
+        ("next", NEXT_TYPE),
+    ]
+)
+
+
+def make_assign_fetch_part(cfg: CrawlConfig, hot_roots: dict[str, int]):
+    """Batch UDF adding the ``fetch_part`` column. ``hot_roots`` maps a
+    registrable domain to its salt count (1 = no split); computed by the
+    driver from per-root frontier counts each round."""
+    B = cfg.num_buckets
+
+    def assign(batch: pa.Table) -> pa.Table:
+        roots = batch.column("root").to_pylist()
+        hashes = batch.column("url_hash").to_pylist()
+        parts = []
+        for root, h in zip(roots, hashes):
+            b = bucket_of_root(root, B)
+            k = hot_roots.get(root, 1)
+            salt = zlib.crc32(h.encode()) % k if k > 1 else 0
+            parts.append(b + B * salt)
+        return batch.append_column("fetch_part", pa.array(parts, pa.int64()))
+
+    return assign
+
+
+class _TokenBucket:
+    """Real-politeness pacing (reference ``limiter.go:52-59`` semantics:
+    blocking take at ``rate`` per ``interval``)."""
+
+    def __init__(self, rate: int, interval_s: float) -> None:
+        self.per_req = interval_s / max(1, rate)
+        self.next_free = 0.0
+
+    def take(self) -> None:
+        now = time.monotonic()
+        if self.next_free > now:
+            time.sleep(self.next_free - now)
+            now = self.next_free
+        self.next_free = now + self.per_req
+
+
+def make_fetch_group_fn(index_dir: str, cfg: CrawlConfig):
+    """Build the per-group fetch function. Stateless across tasks; all
+    broadcastable state (config, rules, robots) rides the closure once per
+    task submission — never per row."""
+    B = cfg.num_buckets
+    max_body = cfg.max_body_size
+    max_depth = cfg.max_depth
+    mode = cfg.mode
+
+    def fetch_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return RESULT_SCHEMA.empty_table()
+        rule_filter = RuleFilter(cfg.filter_rules)
+        robots = RobotsGate(mode, cfg.robots_bodies)
+        bucket = int(group.column("fetch_part")[0].as_py()) % B
+
+        urls = group.column("url").to_pylist()
+        bucket_dir = os.path.join(index_dir, f"bucket={bucket}")
+        pages: dict[str, tuple[bytes, str, int]] = {}
+        if os.path.isdir(bucket_dir):
+            tbl = pads.dataset(bucket_dir, format="parquet").to_table(
+                columns=["url", "html", "lang", "warc_ts"],
+                filter=pads.field("url").isin(urls),
+            )
+            u_col = tbl.column("url").to_pylist()
+            h_col = tbl.column("html").to_pylist()
+            l_col = tbl.column("lang").to_pylist()
+            t_col = tbl.column("warc_ts").to_pylist()
+            pages = {u: (h, l, t) for u, h, l, t in zip(u_col, h_col, l_col, t_col)}
+
+        hashes = group.column("url_hash").to_pylist()
+        roots = group.column("root").to_pylist()
+        hosts = group.column("host").to_pylist()
+        depths = group.column("depth").to_pylist()
+        ords = group.column("crawl_ord").to_pylist()
+        uas = group.column("user_agent").to_pylist()
+        proxies = group.column("proxy").to_pylist()
+        referers = group.column("referer").to_pylist()
+
+        limiters: dict[str, _TokenBucket] = {}
+        real_politeness = cfg.politeness == "real"
+
+        out = {name: [] for name in RESULT_SCHEMA.names}
+        for i, url in enumerate(urls):
+            root = roots[i]
+            depth = depths[i]
+            if real_politeness:
+                tb = limiters.get(root)
+                if tb is None:
+                    rate, interval = cfg.rate_for_root(root)
+                    tb = limiters[root] = _TokenBucket(rate, interval)
+                tb.take()
+            t0 = time.perf_counter()
+            page = pages.get(url)
+            out["url"].append(url)
+            out["url_hash"].append(hashes[i])
+            out["root"].append(root)
+            out["host"].append(hosts[i])
+            out["depth"].append(depth)
+            out["crawl_ord"].append(ords[i])
+            out["user_agent"].append(uas[i])
+            out["proxy"].append(proxies[i])
+            out["referer"].append(referers[i])
+            if page is None:
+                # failed request: counted, url dropped (crawler.go:230-234)
+                out["status"].append(0)
+                out["text"].append(None)
+                out["lang"].append(None)
+                out["warc_ts"].append(None)
+                out["n_links"].append(0)
+                out["n_links_total"].append(0)
+                out["n_skipped"].append(0)
+                out["next"].append([])
+                out["elapsed_ms"].append(int((time.perf_counter() - t0) * 1000))
+                continue
+            html, lang, warc_ts = page
+            body = html[:max_body]  # truncate BEFORE extraction (M7)
+            text = extract_text(body)
+            # resolve + re-validate inline; errors silently dropped
+            children = []
+            for href in find_links(body):
+                try:
+                    children.append(parse_url(resolve_url(url, href)))
+                except URLError:
+                    continue
+            out["status"].append(200)
+            out["text"].append(text)
+            out["lang"].append(lang)
+            out["warc_ts"].append(warc_ts)
+            out["n_links"].append(len(children))
+
+            nxt = []
+            n_total = n_skipped = 0
+            if depth + 1 <= max_depth:  # F6 expansion gate
+                for li, child in enumerate(children):
+                    n_total += 1
+                    if not in_scope(root, child.host, mode):  # F3
+                        n_skipped += 1
+                        continue
+                    if not robots.allowed(uas[i], url):  # F4: parent url quirk
+                        n_skipped += 1
+                        continue
+                    if not rule_filter.allow(child.root, child.path, child.url):  # F1/F2
+                        n_skipped += 1
+                        continue
+                    nxt.append(
+                        {
+                            "url": child.url,
+                            "hash": child.hash,
+                            "host": child.host,
+                            "root": child.root,
+                            "link_idx": li,
+                        }
+                    )
+            out["n_links_total"].append(n_total)
+            out["n_skipped"].append(n_skipped)
+            out["next"].append(nxt)
+            out["elapsed_ms"].append(int((time.perf_counter() - t0) * 1000))
+
+        return pa.table(out, schema=RESULT_SCHEMA)
+
+    return fetch_group

@@ -1,0 +1,136 @@
+"""Sharded URL-seen set — the engine's cross-round dedup state.
+
+Replaces the reference's global mutex map
+(``/root/reference/pkg/services/store/in_memory.go:10-33``) with a pool of
+shard actors: shard = ``int(url_hash[:8], 16) % num_shards`` (sha256-hex
+prefix — deterministic, independent of PYTHONHASHSEED). Each candidate
+url_hash is owned by exactly one shard, so check-and-set needs no
+cross-actor coordination, and each dedup task (one per shard per round,
+see ``wbot_ray.stages.dedup``) makes exactly ONE ordered call per round —
+which is what makes first-wins semantics deterministic regardless of Ray
+scheduling.
+
+Per shard: a cuckoo filter over the 64-bit hash prefix as negative fast
+path (~2 bytes/entry — the 10^10-scale structure the north rule asks for)
+backed by an exact set of 16-byte digests (no false drops, ever). New
+hashes accumulate in a per-round delta, flushed to Parquet by the actor
+itself (``seen/round=<d>/shard=<s>.parquet``) for checkpoint/resume —
+restore replays the deltas of completed rounds back into the shards.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from wbot_ray.state.cuckoo import CuckooFilter
+
+__all__ = ["SeenSet", "shard_of", "SHARD_PREFIX_LEN"]
+
+SHARD_PREFIX_LEN = 8
+
+
+def shard_of(url_hash: str, num_shards: int) -> int:
+    """Deterministic shard id of a sha256-hex url hash."""
+    return int(url_hash[:SHARD_PREFIX_LEN], 16) % num_shards
+
+
+@ray.remote
+class _SeenShard:
+    """One shard of the URL-seen set. All methods are called either by the
+    driver (flush/load/stats) or by exactly one dedup task per round
+    (check_and_set) — the actor's mailbox serializes them."""
+
+    def __init__(self, shard_id: int, capacity_hint: int = 1 << 16) -> None:
+        self.shard_id = shard_id
+        self._exact: set[bytes] = set()
+        self._cuckoo = CuckooFilter(capacity_hint)
+        self._delta: list[str] = []
+
+    def check_and_set(self, hashes: list[str]) -> np.ndarray:
+        """First-wins check-and-set over an *ordered* hash list (the order
+        defines which duplicate within the call wins). Returns a bool mask:
+        True = newly inserted (crawl it), False = already seen."""
+        n = len(hashes)
+        mask = np.empty(n, dtype=bool)
+        digests = [bytes.fromhex(h) for h in hashes]
+        prefixes = np.frombuffer(b"".join(d[:8] for d in digests), dtype=">u8").astype(np.uint64)
+        maybe = self._cuckoo.contains_many(prefixes) if n else np.empty(0, bool)
+        exact = self._exact
+        for i in range(n):
+            d = digests[i]
+            if maybe[i] and d in exact:
+                mask[i] = False
+                continue
+            exact.add(d)
+            self._cuckoo.add(int(prefixes[i]))
+            self._delta.append(hashes[i])
+            mask[i] = True
+        return mask
+
+    def flush_delta(self, path: str) -> int:
+        """Write this round's newly-seen hashes to Parquet and reset the
+        delta. The actor writes its own file — deltas never transit the
+        driver."""
+        n = len(self._delta)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(pa.table({"url_hash": pa.array(self._delta, pa.string())}), path)
+        self._delta.clear()
+        return n
+
+    def load_hashes(self, paths: list[str]) -> int:
+        """Replay checkpoint deltas (resume path) — no delta recording."""
+        for p in paths:
+            for h in pq.read_table(p, columns=["url_hash"]).column("url_hash").to_pylist():
+                d = bytes.fromhex(h)
+                if d not in self._exact:
+                    self._exact.add(d)
+                    self._cuckoo.add(int.from_bytes(d[:8], "big"))
+        return len(self._exact)
+
+    def size(self) -> int:
+        return len(self._exact)
+
+
+class SeenSet:
+    """Driver-side handle over the shard actor pool."""
+
+    def __init__(self, num_shards: int, capacity_hint: int = 1 << 16) -> None:
+        self.num_shards = num_shards
+        self.shards = [
+            _SeenShard.remote(s, capacity_hint) for s in range(num_shards)
+        ]
+
+    def flush_deltas(self, round_dir: str) -> int:
+        """Checkpoint every shard's delta under ``round_dir`` (parallel)."""
+        counts = ray.get(
+            [
+                sh.flush_delta.remote(os.path.join(round_dir, f"shard={s}.parquet"))
+                for s, sh in enumerate(self.shards)
+            ]
+        )
+        return int(sum(counts))
+
+    def restore(self, round_dirs: list[str]) -> int:
+        """Replay deltas from completed rounds into the shards (parallel)."""
+        futs = []
+        for s, sh in enumerate(self.shards):
+            paths = [
+                os.path.join(d, f"shard={s}.parquet")
+                for d in round_dirs
+                if os.path.exists(os.path.join(d, f"shard={s}.parquet"))
+            ]
+            futs.append(sh.load_hashes.remote(paths))
+        return int(sum(ray.get(futs)))
+
+    def total_size(self) -> int:
+        return int(sum(ray.get([sh.size.remote() for sh in self.shards])))
+
+    def shutdown(self) -> None:
+        for sh in self.shards:
+            ray.kill(sh)
+        self.shards = []
