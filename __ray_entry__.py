@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline at sf0.001; ``queries()``
+exposes every implemented pipeline (crawl core + training-data ops +
+relational analytics) and ``oracle_sql()`` the DuckDB-checkable subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in ``wbot_ray``) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float-determinism contract with the SQL oracles: only integer counts,
+integer cents/centi-cent sums, md5 hex digests, and *single* IEEE-754
+divisions appear in oracle-checked columns — never multi-term float
+accumulations, whose value depends on summation order (see
+``wbot_ray/pipelines/common.py``).
 """
 
 from __future__ import annotations
@@ -18,27 +19,168 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+STOP_SQL = "('the','a','and','of','to','in','is','on')"
+TOKEN_PATTERN_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: BFS crawl of the deterministic synthetic web at
+    tiny scale — fetch-join, extract, filter, dedup, order — returning
+    the crawl-ordered visited table."""
+    from wbot_ray.pipelines.crawlq import crawl_visited
+
+    return crawl_visited("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from wbot_ray.pipelines import crawlq, dedup, multimodal, relational, similarity, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- crawl core (oracle = sequential reference simulator in tests/)
+        "crawl_visited": crawlq.crawl_visited,
+        "crawl_results": crawlq.crawl_results,
+        # -- text analysis
+        "text_stats": lambda sf: textops.text_stats(sf),
+        "lang_dist": textops.lang_dist,
+        "token_counts": textops.token_counts,
+        "doc_fingerprint": lambda sf: textops.doc_fingerprint(sf).select_columns(
+            ["doc_id", "fp_md5"]
+        ),
+        "langid": textops.langid,
+        # -- deduplication
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram": dedup.dedup_ngram,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embed": dedup.dedup_embed,
+        # -- similarity search
+        "knn_brute": similarity.knn_brute,
+        "knn_ivf": similarity.knn_ivf,
+        # -- multimodal plumbing
+        "payload_features": multimodal.payload_features,
+        # -- relational / windowed analytics
+        "q1_pricing": relational.q1_pricing,
+        "cust_order_stats": relational.cust_order_stats,
+        "events_hourly": relational.events_hourly,
+        "topk_users": relational.topk_users,
+        "region_acctbal": relational.region_acctbal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cents = lambda col: f"CAST(round({col}*100) AS BIGINT)"  # noqa: E731
+    return {
+        "text_stats": f"""
+            SELECT doc_id, n_chars, n_tokens, n_uniq, n_bpe, stop_cnt,
+                   CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
+            FROM (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+                     CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN_SQL}')) AS BIGINT) AS n_bpe,
+                     CAST(len(list_filter(string_split(text, ' '), w -> w IN {STOP_SQL})) AS BIGINT) AS stop_cnt
+              FROM documents)
+        """,
+        "lang_dist": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+                   CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+                   CAST(SUM(length(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "token_counts": f"""
+            SELECT lang,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN_SQL}'))) AS BIGINT) AS bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "dedup_exact": """
+            SELECT md5(text) AS fp_md5,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram": """
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     list_distinct(string_split(text, ' ')) AS toks
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS i,
+                     CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS u
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, (i * 1048576) // u AS sim_pm
+            FROM pairs WHERE (i * 1048576) // u >= 838860
+        """,
+        "knn_brute": """
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+            ), s AS (
+              SELECT q.q_id, e.vec_id AS n_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.q_id
+            ), r AS (
+              SELECT q_id, n_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS knn_rank
+              FROM s
+            )
+            SELECT q_id, n_id, knn_rank FROM r WHERE knn_rank <= 10
+        """,
+        "payload_features": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
+        "q1_pricing": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS sum_price_cents,
+                   CAST(SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS BIGINT) AS sum_disc_centi
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "cust_order_stats": f"""
+            SELECT c_mktsegment,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS sum_price_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "events_hourly": f"""
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_key,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM({cents('value')}) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "topk_users": f"""
+            WITH agg AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM({cents('value')}) AS BIGINT) AS sum_value_cents
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, n_events, sum_value_cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS rank
+            FROM agg ORDER BY n_events DESC, user_id LIMIT 10
+        """,
+        "region_acctbal": f"""
+            SELECT r_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM({cents('c_acctbal')}) AS BIGINT) AS sum_acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+    }

@@ -1,0 +1,195 @@
+"""Benchmark harness — the engine's feedback loop.
+
+Headline: pages/sec fetch-parse-extract throughput of the BFS crawl over
+the deterministic synthetic web ("bench" scale, ~93k pages), plus
+wall-times of the flagship data pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1).
+
+Prints ONE JSON line::
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "crawl": {"pages": N, "sec": N, "pages_per_sec": N}}
+
+``--scaling`` runs the crawl headline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the two-cluster-size criterion,
+evidenced at two parallelism levels as this sandbox has no real
+cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_ROOT = "/tmp/wbot_ray_bench"
+BENCH_SCALE = "bench"
+N_SEEDS = 50
+MAX_DEPTH = 4
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _bench_pages() -> str:
+    """Generate (once, cached) the bench-scale synthetic web."""
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    path = os.path.join(BENCH_ROOT, "pages.parquet")
+    if not os.path.exists(path):
+        from wbot_ray.sources.fixtures import write_pages
+
+        write_pages(path, BENCH_SCALE)
+    return path
+
+
+def run_crawl_bench(num_cpus: int) -> dict:
+    """Time the full fetch-parse-extract crawl; pages/sec over all
+    fetched (attempted) requests."""
+    from wbot_ray.config import CrawlConfig
+    from wbot_ray.driver import Crawler
+    from wbot_ray.sources.fixtures import seeds_for_scale
+
+    pages = _bench_pages()
+    workdir = os.path.join(BENCH_ROOT, f"run_cpus{num_cpus}")
+    shutil.rmtree(workdir, ignore_errors=True)
+    cfg = CrawlConfig(
+        max_depth=MAX_DEPTH,
+        max_body_size=64 * 1024,
+        num_buckets=max(16, num_cpus * 2),
+        seen_shards=max(4, num_cpus // 2),
+    )
+    seeds = seeds_for_scale(BENCH_SCALE, N_SEEDS)
+    t0 = time.perf_counter()
+    run = Crawler(cfg, workdir=workdir).crawl(seeds=seeds, pages_path=pages)
+    sec = time.perf_counter() - t0
+    m = run.metrics_total()
+    pages_n = m["total_requests"]
+    return {
+        "pages": int(pages_n),
+        "sec": round(sec, 3),
+        "pages_per_sec": round(pages_n / sec, 1),
+        "rounds": len(run.manifest["rounds"]),
+        "successful": int(m["successful_requests"]),
+        "links_seen": int(m["total_link"]),
+    }
+
+
+def run_query_bench(sf_dir: str) -> dict[str, float]:
+    """Wall-time the flagship data pipelines at sf0.1."""
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "text_stats",
+        "lang_dist",
+        "dedup_exact",
+        "dedup_ngram",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_embed",
+        "knn_brute",
+        "knn_ivf",
+        "payload_features",
+        "q1_pricing",
+        "cust_order_stats",
+        "events_hourly",
+        "topk_users",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # consume fully (streaming execution is lazy)
+        if hasattr(res, "iter_batches"):
+            n = 0
+            for b in res.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def one(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
+    _init_ray(num_cpus)
+    crawl = run_crawl_bench(num_cpus)
+    queries = {} if crawl_only else run_query_bench(sf_dir)
+    total = crawl["sec"] + sum(queries.values())
+    return {
+        "metric": "total_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "crawl": crawl,
+    }
+
+
+def scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same crawl job at two parallelism levels in fresh processes."""
+    _bench_pages()  # generate once so neither timed run pays for it
+    results = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", "--cpus", str(n), "--crawl-only"],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
+            check=False,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    thr_lo = results[lo]["crawl"]["pages_per_sec"]
+    thr_hi = results[hi]["crawl"]["pages_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "lo_cpus": lo,
+        "hi_cpus": hi,
+        "lo_pages_per_sec": thr_lo,
+        "hi_pages_per_sec": thr_hi,
+        "sf": sf_dir,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--one", action="store_true")
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        print(json.dumps(scaling(sf_dir)))
+    else:
+        print(json.dumps(one(num_cpus, sf_dir, args.crawl_only)))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

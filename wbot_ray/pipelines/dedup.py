@@ -1,0 +1,347 @@
+"""Deduplication family over the ``documents`` table.
+
+Five operators, each the Ray-Data-native shape of a standard web-scale
+dedup technique:
+
+* ``dedup_exact``    — md5(text) hash-partition + per-group first
+                       (``groupby(fp).aggregate(min,count)``) — one shuffle
+                       keyed by content hash.
+* ``dedup_ngram``    — blocked exact n-gram Jaccard: candidate pairs only
+                       within a (lang, source) block, pairwise set overlap
+                       inside ``map_groups``. Oracle-checked.
+* ``dedup_minhash``  — shingle → 64-perm MinHash → banded LSH: signatures
+                       computed per batch, band rows exploded, one
+                       ``groupby(band, band_hash)`` shuffle buckets the
+                       candidates, exact-Jaccard verification happens
+                       in-bucket on carried token-hash arrays (no second
+                       join back to the corpus — the arrays ride the
+                       shuffle; ~0.5 KB/doc, the price of avoiding two
+                       more all-to-all exchanges at 100 TB).
+* ``dedup_simhash``  — 64-bit SimHash, 4×16-bit band blocking, in-bucket
+                       Hamming ≤ k verification.
+* ``dedup_embed``    — embedding cosine near-dup via random-hyperplane
+                       LSH buckets + in-bucket exact cosine verify.
+
+All emit pairs ``(id_a, id_b)`` with ``id_a < id_b``, deduplicated by a
+final ``groupby`` (a pair can surface from several bands).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Min
+
+from wbot_ray.pipelines.common import hash64, read_table, shingle_hashes, token_hashes
+
+__all__ = [
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embed",
+]
+
+PAIR_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("sim_pm", pa.int64())]
+)
+
+# -- exact ---------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: one row per distinct text with the surviving doc_id
+    (min) and the duplicate count. Shuffle key = content hash, so at
+    scale each reducer owns disjoint fingerprints."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"fp_md5": pa.array(md5s, pa.string()), "doc_id": batch.column("doc_id")})
+
+    return (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby("fp_md5")
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_copies"))
+    )
+
+
+# -- shared pair helpers -------------------------------------------------
+
+
+def _pairs_table(rows: list[tuple[int, int, int]]) -> pa.Table:
+    if not rows:
+        return PAIR_SCHEMA.empty_table()
+    a, b, s = zip(*rows)
+    return pa.table(
+        {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64()),
+         "sim_pm": pa.array(s, pa.int64())},
+        schema=PAIR_SCHEMA,
+    )
+
+
+def _dedup_pairs(ds):
+    """Collapse multi-band duplicates of the same pair (tiny groupby on
+    the pair key)."""
+    return ds.groupby(["id_a", "id_b"]).aggregate(Min("sim_pm", alias_name="sim_pm"))
+
+
+def _jaccard_pm(sa: np.ndarray, sb: np.ndarray) -> int:
+    """Jaccard similarity in exact per-mille-of-2^20 integer form —
+    (|∩| << 20) // |∪| — so thresholds compare exactly everywhere."""
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return (inter << 20) // union if union else 1 << 20
+
+
+# -- n-gram jaccard (blocked exact) -------------------------------------
+
+
+def dedup_ngram(sf_dir: str, threshold: float = 0.8):
+    """Exact token-set Jaccard ≥ threshold, candidate pairs blocked by
+    (lang, source). The block key bounds pair fan-out; in a real corpus
+    the block would be a cheap cluster key (host, shard, length bucket)."""
+    thr_pm = int(threshold * (1 << 20))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        toks = [token_hashes(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "source": batch.column("source"),
+                "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.uint64())),
+            }
+        )
+
+    def block_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        toks = [np.asarray(t, dtype=np.uint64) for t in group.column("tokens").to_pylist()]
+        order = np.argsort(ids)
+        rows = []
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                a, b = order[i], order[j]
+                pm = _jaccard_pm(toks[a], toks[b])
+                if pm >= thr_pm:
+                    rows.append((ids[a], ids[b], pm))
+        return _pairs_table(rows)
+
+    return (
+        read_table(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .map_groups(block_pairs, batch_format="pyarrow")
+    )
+
+
+# -- minhash + LSH -------------------------------------------------------
+
+N_PERM = 64
+N_BANDS = 8  # 8 rows per band
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(0xC0FFEE)
+_PERM_A = (_rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)).astype(np.uint64)
+_PERM_B = (_rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)).astype(np.uint64)
+
+
+def _minhash_sig(tok: np.ndarray) -> np.ndarray:
+    """64-perm MinHash over the token-hash set (universal hashing mod a
+    Mersenne prime; fixed seeds → cluster-stable signatures)."""
+    if tok.size == 0:
+        return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = tok.astype(np.object_)  # python ints: exact 128-bit mod-prime math
+    out = np.empty(N_PERM, dtype=np.uint64)
+    for p in range(N_PERM):
+        out[p] = min((int(_PERM_A[p]) * int(v) + int(_PERM_B[p])) % _MERSENNE for v in x)
+    return out
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.7):
+    """MinHash-LSH near-dup pairs: shingle → sign → band → bucket-groupby
+    → in-bucket exact-Jaccard verify ≥ threshold."""
+    thr_pm = int(threshold * (1 << 20))
+    rows_per_band = N_PERM // N_BANDS
+
+    def sig_and_bands(batch: pa.Table) -> pa.Table:
+        """One output row per (doc, band): the LSH explode."""
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_band, out_bhash, out_tok = [], [], [], []
+        for d, t in zip(ids, texts):
+            tok = shingle_hashes(t)
+            sig = _minhash_sig(tok)
+            tl = tok.tolist()
+            for b in range(N_BANDS):
+                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                out_id.append(d)
+                out_band.append(b)
+                out_bhash.append(hash64(",".join(map(str, band.tolist()))))
+                out_tok.append(tl)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_bhash, pa.uint64()),
+                "tokens": pa.array(out_tok, pa.list_(pa.uint64())),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return PAIR_SCHEMA.empty_table()
+        ids = group.column("doc_id").to_pylist()
+        toks = [np.asarray(t, dtype=np.uint64) for t in group.column("tokens").to_pylist()]
+        order = np.argsort(ids)
+        rows, seen = [], set()
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                a, b = order[i], order[j]
+                key = (ids[a], ids[b])
+                if ids[a] == ids[b] or key in seen:
+                    continue
+                seen.add(key)
+                pm = _jaccard_pm(toks[a], toks[b])
+                if pm >= thr_pm:
+                    rows.append((ids[a], ids[b], pm))
+        return _pairs_table(rows)
+
+    pairs = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(sig_and_bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return _dedup_pairs(pairs)
+
+
+# -- simhash -------------------------------------------------------------
+
+
+def _simhash64(tok: np.ndarray) -> int:
+    """Classic 64-bit SimHash over token hashes (unweighted)."""
+    if tok.size == 0:
+        return 0
+    bits = ((tok[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup: 4×16-bit band blocking guarantees recall for
+    Hamming ≤ 3 (pigeonhole), in-bucket exact Hamming verify."""
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for d, t in zip(ids, batch.column("text").to_pylist()):
+            sig = _simhash64(shingle_hashes(t))
+            for b in range(4):
+                out_id.append(d)
+                out_band.append(b)
+                out_key.append((sig >> (16 * b)) & 0xFFFF)
+                out_sig.append(sig)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.int32()),
+                "sig": pa.array(out_sig, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return PAIR_SCHEMA.empty_table()
+        ids = group.column("doc_id").to_pylist()
+        sigs = group.column("sig").to_pylist()
+        order = np.argsort(ids)
+        rows, seen = [], set()
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                a, b = order[i], order[j]
+                key = (ids[a], ids[b])
+                if ids[a] == ids[b] or key in seen:
+                    continue
+                seen.add(key)
+                ham = bin(sigs[a] ^ sigs[b]).count("1")
+                if ham <= max_hamming:
+                    rows.append((ids[a], ids[b], ham))
+        return _pairs_table(rows)
+
+    pairs = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(sig_rows, batch_format="pyarrow")
+        .groupby(["band", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return _dedup_pairs(pairs)
+
+
+# -- embedding cosine near-dup ------------------------------------------
+
+_HP_RNG = np.random.RandomState(0xBEEF)
+_N_PLANES = 12  # 2^12 buckets per table
+_N_TABLES = 4
+
+
+def dedup_embed(sf_dir: str, threshold: float = 0.92, dim: int = 64):
+    """Embedding-cosine near-dup via random-hyperplane LSH: ``_N_TABLES``
+    independent sign-bucket tables, exact cosine verify in-bucket on the
+    carried (normalized) vectors."""
+    planes = _HP_RNG.standard_normal((_N_TABLES, _N_PLANES, dim))
+    thr_pm = int(threshold * (1 << 20))
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        out_id, out_tab, out_key, out_vec = [], [], [], []
+        for t in range(_N_TABLES):
+            signs = (unit @ planes[t].T) > 0  # (n, planes)
+            keys = (signs.astype(np.uint32) << np.arange(_N_PLANES, dtype=np.uint32)).sum(axis=1)
+            out_id.extend(ids.tolist())
+            out_tab.extend([t] * len(ids))
+            out_key.extend(keys.tolist())
+            out_vec.extend(unit.tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array(out_id, pa.int64()),
+                "tab": pa.array(out_tab, pa.int32()),
+                "bkey": pa.array(out_key, pa.int64()),
+                "unit": pa.array(out_vec, pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return PAIR_SCHEMA.empty_table()
+        ids = group.column("vec_id").to_pylist()
+        unit = np.asarray(group.column("unit").to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)
+        sims = unit @ unit.T
+        rows, seen = [], set()
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                a, b = order[i], order[j]
+                key = (ids[a], ids[b])
+                if ids[a] == ids[b] or key in seen:
+                    continue
+                seen.add(key)
+                pm = int(sims[a, b] * (1 << 20))
+                if pm >= thr_pm:
+                    rows.append((ids[a], ids[b], pm))
+        return _pairs_table(rows)
+
+    pairs = (
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby(["tab", "bkey"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return _dedup_pairs(pairs)

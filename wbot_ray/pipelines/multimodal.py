@@ -1,0 +1,125 @@
+"""Multimodal payload plumbing — opaque ``binary`` columns with typed
+metadata, processed by actor-pool ``map_batches`` stages.
+
+The container has no image/audio codecs, so the *decode kernels* are
+stubs: ``ImageDecoder.decode`` raises ``NotImplementedError`` and the
+pipelines run on ``fake_decode`` — a deterministic pure-Python stand-in
+with the same signature/shape contract. Everything Ray-side is real and
+tested: the binary schema, actor ``__init__``-once setup, batch sizing
+for large payloads, and the feature-output layout.
+
+At 100 TB the rule encoded here: payload bytes never transit a shuffle —
+features are extracted in the first ``map_batches`` after the read and
+the binary column is dropped immediately (``select`` projection), so all
+wide stages downstream move only small feature rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from wbot_ray.pipelines.common import read_table
+
+__all__ = ["PAYLOAD_SCHEMA", "ImageDecoder", "FeatureExtractor", "payload_features", "payload_table"]
+
+# canonical multimodal row: opaque bytes + typed metadata
+PAYLOAD_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),  # "image/fake" | "audio/fake" | ...
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+
+class ImageDecoder:
+    """Decode seam. A real deployment plugs PIL/ffmpeg here; the stub
+    keeps the exact contract (bytes → HxWxC uint8 array)."""
+
+    def decode(self, payload: bytes) -> "np.ndarray":
+        raise NotImplementedError(
+            "image/audio codecs are not available in this environment; "
+            "use fake_decode (deterministic stand-in) or inject a real codec"
+        )
+
+    @staticmethod
+    def fake_decode(payload: bytes, h: int = 4, w: int = 4, c: int = 3) -> np.ndarray:
+        """Deterministic fake: payload bytes → tiled uint8 image."""
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        need = h * w * c
+        if raw.size == 0:
+            raw = np.zeros(1, dtype=np.uint8)
+        rep = np.resize(raw, need)
+        return rep.reshape(h, w, c)
+
+
+class FeatureExtractor:
+    """Actor-pool stage: model/codec setup once per actor in __init__
+    (here: the decoder + a fixed projection 'model'), vectorized work per
+    batch in __call__."""
+
+    def __init__(self, embed_dim: int = 8) -> None:
+        self.decoder = ImageDecoder()
+        rng = np.random.RandomState(1234)
+        self.proj = rng.standard_normal((48, embed_dim))  # the 'model'
+        self.embed_dim = embed_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        md5s, crcs, embeds = [], [], []
+        for p in payloads:
+            md5s.append(hashlib.md5(p).hexdigest())
+            crcs.append(zlib.crc32(p))
+            img = ImageDecoder.fake_decode(p)
+            embeds.append((img.reshape(-1).astype(np.float64) @ self.proj).tolist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_type": batch.column("media_type"),
+                "n_bytes": batch.column("n_bytes"),
+                "payload_md5": pa.array(md5s, pa.string()),
+                "payload_crc32": pa.array(crcs, pa.uint32()),
+                "embed": pa.array(embeds, pa.list_(pa.float64())),
+            }
+        )
+
+
+def payload_table(sf_dir: str):
+    """Documents re-materialized as multimodal rows: the text bytes stand
+    in for the opaque media payload (deterministic, schema-faithful)."""
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        payloads = [t.encode() for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(["image/fake"] * len(payloads), pa.string()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            },
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+
+
+def payload_features(sf_dir: str):
+    """Full multimodal feature pipeline: binary payload → actor-pool
+    extract → md5/crc/embedding features (payload column dropped at the
+    stage boundary). Small batches: payload bytes × batch_size must fit
+    the actor heap."""
+    feats = payload_table(sf_dir).map_batches(
+        FeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    return feats.select_columns(["doc_id", "n_bytes", "payload_md5"])

@@ -1,0 +1,174 @@
+"""Relational analytics over the TPC-H-ish tables — the groupby /
+broadcast-join / window / top-k patterns the engine reuses everywhere.
+
+Joins here are **broadcast hash joins**: the small side (customer /
+nation / region dimension tables) is ``ray.put`` once and read inside
+every ``map_batches`` task — no all-to-all shuffle of the fact table.
+Distinct counts are two-level groupbys (pre-aggregate on the compound
+key, then count), never driver-side sets.
+
+Money sums are exact int64 cents (see ``pipelines.common``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Sum
+
+from wbot_ray.pipelines.common import cents, read_table
+
+__all__ = ["q1_pricing", "cust_order_stats", "events_hourly", "topk_users", "region_acctbal"]
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary: per (returnflag, linestatus)
+    row counts, integral quantity sum, price/discounted-price cents."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = np.asarray(batch.column("l_quantity").to_numpy(zero_copy_only=False))
+        price_c = cents(batch.column("l_extendedprice"))
+        disc_pct = np.asarray(cents(batch.column("l_discount")))  # 0.05 → 5
+        # discounted price in integer centi-cents: cents × (100 - pct) —
+        # pure int64 math, exact and order-independent under summation
+        disc_cc = np.asarray(price_c, dtype=np.int64) * (100 - disc_pct)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(np.floor(qty + 0.5).astype(np.int64), pa.int64()),
+                "price_cents": price_c,
+                "disc_centi": pa.array(disc_cc, pa.int64()),
+            }
+        )
+
+    return (
+        read_table(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_centi", alias_name="sum_disc_centi"),
+        )
+    )
+
+
+def cust_order_stats(sf_dir: str):
+    """orders ⋈ customer (broadcast) → per market segment: order count,
+    distinct customer count, total price cents."""
+    import pyarrow.parquet as pq
+    import os
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
+    seg_ref = ray.put(seg_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(seg_ref)
+        segs = [m.get(k, "UNKNOWN") for k in batch.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "o_custkey": batch.column("o_custkey"),
+                "price_cents": cents(batch.column("o_totalprice")),
+            }
+        )
+
+    per_cust = (
+        read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "o_custkey"])
+        .aggregate(Count(alias_name="n"), Sum("price_cents", alias_name="pc"))
+    )
+    return per_cust.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("n", alias_name="n_orders"),
+        Sum("pc", alias_name="sum_price_cents"),
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type: event count + exact value
+    cents (the streaming windowed-aggregate shape: window key derived per
+    batch, then a small keyed groupby)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hours = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="hour"), format="%Y-%m-%d %H:00:00")
+        return pa.table(
+            {
+                "hour_key": hours,
+                "event_type": batch.column("event_type"),
+                "value_cents": cents(batch.column("value")),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["hour_key", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+def topk_users(sf_dir: str, k: int = 10):
+    """Top-k users by event count (ties → smaller user_id), with dense
+    rank. Groupby-agg shuffle, then a k-row driver-side finish."""
+    agg = (
+        read_table(sf_dir, "events", ["user_id", "value"])
+        .map_batches(
+            lambda b: pa.table(
+                {"user_id": b.column("user_id"), "value_cents": cents(b.column("value"))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        .sort(["n_events", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    t = t.select(["user_id", "n_events", "sum_value_cents"])
+    return t.append_column("rank", pa.array(range(1, t.num_rows + 1), pa.int64()))
+
+
+def region_acctbal(sf_dir: str):
+    """customer ⋈ nation ⋈ region (both dims broadcast) → per region:
+    customer count + account-balance cents."""
+    import pyarrow.parquet as pq
+    import os
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rname = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+    nat2reg = {
+        n: rname[r]
+        for n, r in zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist())
+    }
+    ref = ray.put(nat2reg)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        names = [m.get(k, "UNKNOWN") for k in batch.column("c_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "r_name": pa.array(names, pa.string()),
+                "acctbal_cents": cents(batch.column("c_acctbal")),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="sum_acctbal_cents"))
+    )

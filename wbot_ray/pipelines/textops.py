@@ -1,0 +1,188 @@
+"""Text analysis over the ``documents`` table — language stats, quality
+scoring, token counting, fingerprinting, heuristic language ID.
+
+All stages are single-pass ``map_batches`` transforms (stateless tasks —
+no actor state needed); aggregations pre-combine per batch before the
+(tiny) ``groupby`` shuffle, so at 100 TB the all-to-all exchange carries
+one row per (batch × key), not one per document.
+
+Oracle-checked columns use only integer counts and single-division
+ratios (see ``pipelines.common`` for the float-determinism rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from wbot_ray.pipelines.common import STOPWORDS, hash64, read_table
+
+__all__ = [
+    "text_stats",
+    "lang_dist",
+    "token_counts",
+    "doc_fingerprint",
+    "langid",
+]
+
+# BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
+# DuckDB oracle regexp_extract_all uses the identical pattern).
+BPE_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+# tiny per-language stopword profiles for the heuristic language ID
+# (deterministic n-gram/stopword scorer; a real pipeline would plug a
+# fastText-style model into the same actor seam).
+LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "que", "los", "de"),
+    "pt": ("o", "a", "de", "que", "em"),
+    "it": ("il", "di", "che", "la", "per"),
+    "zh": (),
+    "ja": (),
+}
+
+
+def _stats_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    n_tokens, n_uniq, stop_cnt, n_bpe = [], [], [], []
+    for t in texts:
+        toks = t.split(" ")
+        n_tokens.append(len(toks))
+        n_uniq.append(len(set(toks)))
+        stop_cnt.append(sum(1 for w in toks if w in STOPWORDS))
+        n_bpe.append(len(BPE_RE.findall(t)))
+    n_tok_arr = pa.array(n_tokens, pa.int64())
+    stop_arr = pa.array(stop_cnt, pa.int64())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            "n_tokens": n_tok_arr,
+            "n_uniq": pa.array(n_uniq, pa.int64()),
+            "n_bpe": pa.array(n_bpe, pa.int64()),
+            "stop_cnt": stop_arr,
+            # single IEEE division — bit-identical to the oracle's
+            "stopword_ratio": pc.divide(
+                pc.cast(stop_arr, pa.float64()), pc.cast(n_tok_arr, pa.float64())
+            ),
+        }
+    )
+
+
+def _stats_ds(sf_dir: str):
+    return read_table(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        _stats_batch, batch_format="pyarrow"
+    )
+
+
+def text_stats(sf_dir: str):
+    """Per-document token/char/stopword statistics + quality ratio."""
+    return _stats_ds(sf_dir).drop_columns(["lang"])
+
+
+def lang_dist(sf_dir: str):
+    """Per-language corpus distribution (doc counts, char totals).
+    Partial stats per batch, then an 8-key groupby — the shuffle moves
+    O(batches × langs) rows regardless of corpus size."""
+    agg = (
+        _stats_ds(sf_dir)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Min("n_tokens", alias_name="min_tokens"),
+            Max("n_tokens", alias_name="max_tokens"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "avg_chars",
+            pc.divide(
+                pc.cast(batch.column("total_chars"), pa.float64()),
+                pc.cast(batch.column("n_docs"), pa.float64()),
+            ),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def token_counts(sf_dir: str):
+    """Corpus token totals per language — whitespace tokens and BPE-ish
+    regex tokens (the two counts a tokenizer-budget estimate needs)."""
+    return (
+        _stats_ds(sf_dir)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_tokens", alias_name="ws_tokens"),
+            Sum("n_bpe", alias_name="bpe_tokens"),
+        )
+    )
+
+
+def _fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    # 64-bit rolling (polynomial) content fingerprint — the cheap identity
+    # used for shard-local exact dedup at scale (not SQL-expressible;
+    # verified by unit test instead).
+    rolling = []
+    MOD = (1 << 61) - 1
+    for t in texts:
+        h = 0
+        for b in t.encode():
+            h = (h * 131 + b) % MOD
+        rolling.append(h)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fp_md5": pa.array(md5s, pa.string()),
+            "fp_rolling": pa.array(rolling, pa.uint64()),
+        }
+    )
+
+
+def doc_fingerprint(sf_dir: str):
+    """Per-document content fingerprints (md5 + 64-bit rolling hash)."""
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def _langid_batch(batch: pa.Table) -> pa.Table:
+    """Stopword-profile scorer; falls back to a stable hash-free 'und'."""
+    profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items() if v}
+    texts = batch.column("text").to_pylist()
+    preds, scores = [], []
+    for t in texts:
+        toks = t.split(" ")
+        best_lang, best = "und", 0
+        for lang in sorted(profiles):
+            s = sum(1 for w in toks if w in profiles[lang])
+            if s > best:
+                best, best_lang = s, lang
+        preds.append(best_lang)
+        scores.append(best / max(1, len(toks)))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(preds, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def langid(sf_dir: str):
+    """Heuristic language ID (stopword profiles). Deterministic;
+    rows-only checked (the scorer is not SQL-expressible)."""
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _langid_batch, batch_format="pyarrow"
+    )
