@@ -1,0 +1,273 @@
+"""Tests for the training-data pipelines (wbot_ray.pipelines.*).
+
+Strategy: build a tiny synthetic sf_dir with PLANTED duplicates /
+near-duplicates / clusters, then assert each operator finds exactly
+what was planted (and nothing else where the operator is exact). The
+DuckDB-oracle queries are additionally cross-checked value-for-value at
+sf0.001 — the same comparison the graft driver runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as entrymod
+from wbot_ray.pipelines import dedup, multimodal, similarity, textops
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# -- planted corpus ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory, ray_session):
+    """sf_dir with documents/embeddings engineered for dedup tests:
+
+    docs 0..19  : unique random word soup (vocab large via suffixes)
+    docs 100,101: EXACT copies of doc 0
+    docs 102    : near-dup of doc 1 (one word changed)
+    docs 103    : near-dup of doc 2 (one word appended)
+    vectors     : 30 random; vec 200 ≈ vec 0 (tiny perturbation),
+                  vec 201 == vec 1 exactly
+    """
+    rng = np.random.RandomState(7)
+    d = tmp_path_factory.mktemp("planted")
+
+    def soup(i: int, n: int = 40) -> str:
+        return " ".join(f"w{rng.randint(0, 5000)}x{i % 7}" for _ in range(n))
+
+    texts = {i: soup(i) for i in range(20)}
+    texts[100] = texts[0]
+    texts[101] = texts[0]
+    t1 = texts[1].split(" ")
+    t1[5] = "CHANGED"
+    texts[102] = " ".join(t1)
+    texts[103] = texts[2] + " extraword"
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids], pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["s0"] * len(ids), pa.string()),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    vecs = rng.standard_normal((30, 64)).astype(np.float32)
+    v_ids = list(range(30)) + [200, 201]
+    v200 = vecs[0] + rng.standard_normal(64).astype(np.float32) * 0.01
+    all_vecs = np.vstack([vecs, v200[None, :], vecs[1][None, :]])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(v_ids, pa.int64()),
+                "embedding": pa.array([v.tolist() for v in all_vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * len(v_ids), pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def _pairs(ds) -> set[tuple[int, int]]:
+    return {(r["id_a"], r["id_b"]) for r in ds.take_all()}
+
+
+class TestDedup:
+    def test_exact(self, planted_dir):
+        rows = dedup.dedup_exact(planted_dir).take_all()
+        by_fp = {r["fp_md5"]: r for r in rows}
+        # 24 docs, 2 exact copies of doc 0 → 22 distinct fingerprints
+        assert len(rows) == 22
+        triple = [r for r in rows if r["n_copies"] == 3]
+        assert len(triple) == 1 and triple[0]["keep_id"] == 0
+        assert all(r["n_copies"] == 1 for r in rows if r["keep_id"] != 0)
+        assert by_fp  # fingerprints are md5 hex
+        assert all(len(fp) == 32 for fp in by_fp)
+
+    def test_minhash_finds_planted(self, planted_dir):
+        got = _pairs(dedup.dedup_minhash(planted_dir, threshold=0.5))
+        assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+        assert (1, 102) in got  # one-word change: shingle jaccard ~0.85
+        assert (2, 103) in got
+        # no false positives among unrelated docs
+        assert all(a in (0, 1, 2, 100, 101, 102, 103) and b in (100, 101, 102, 103) for a, b in got)
+
+    def test_ngram_jaccard(self, planted_dir):
+        got = _pairs(dedup.dedup_ngram(planted_dir, threshold=0.8))
+        # unigram-token jaccard: exact copies = 1.0; 102 differs by 1 word
+        assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+        assert (1, 102) in got and (2, 103) in got
+
+    def test_simhash_finds_planted(self, planted_dir):
+        got = _pairs(dedup.dedup_simhash(planted_dir, max_hamming=10))
+        assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+
+    def test_embed_finds_planted(self, planted_dir):
+        got = _pairs(dedup.dedup_embed(planted_dir, threshold=0.95))
+        assert (1, 201) in got  # exact vector copy
+        assert (0, 200) in got  # tiny perturbation
+
+    def test_minhash_deterministic(self, planted_dir):
+        a = sorted(_pairs(dedup.dedup_minhash(planted_dir, threshold=0.5)))
+        b = sorted(_pairs(dedup.dedup_minhash(planted_dir, threshold=0.5)))
+        assert a == b
+
+
+class TestSimilarity:
+    def test_brute_matches_numpy(self, planted_dir):
+        t = pq.read_table(os.path.join(planted_dir, "embeddings.parquet"))
+        ids = np.asarray(t.column("vec_id").to_pylist())
+        vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = unit @ unit.T
+        got = {}
+        for r in similarity.knn_brute(planted_dir, n_queries=4, k=5).take_all():
+            got.setdefault(r["q_id"], []).append((r["knn_rank"], r["n_id"]))
+        for qi in range(4):
+            q_idx = int(np.nonzero(ids == qi)[0][0])
+            order = sorted(
+                (j for j in range(len(ids)) if ids[j] != qi),
+                key=lambda j: (-sims[q_idx, j], ids[j]),
+            )[:5]
+            want = [int(ids[j]) for j in order]
+            assert [n for _, n in sorted(got[qi])] == want, qi
+
+    def test_ivf_recall(self, planted_dir):
+        brute = {}
+        for r in similarity.knn_brute(planted_dir, n_queries=4, k=5).take_all():
+            brute.setdefault(r["q_id"], set()).add(r["n_id"])
+        ivf = {}
+        for r in similarity.knn_ivf(planted_dir, n_queries=4, k=5, n_centroids=4, nprobe=2).take_all():
+            ivf.setdefault(r["q_id"], set()).add(r["n_id"])
+        recalls = [len(brute[q] & ivf.get(q, set())) / len(brute[q]) for q in brute]
+        assert sum(recalls) / len(recalls) >= 0.5  # nprobe=2 of 4 buckets
+
+
+class TestTextops:
+    def test_fingerprint_rolling(self, ray_session):
+        rows = textops.doc_fingerprint(SF0001).take_all()
+        t = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["doc_id", "text"])
+        texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+        MOD = (1 << 61) - 1
+        for r in rows[:20]:
+            txt = texts[r["doc_id"]]
+            assert r["fp_md5"] == hashlib.md5(txt.encode()).hexdigest()
+            h = 0
+            for b in txt.encode():
+                h = (h * 131 + b) % MOD
+            assert r["fp_rolling"] == h
+
+    def test_langid_on_profile_text(self, planted_dir, tmp_path):
+        d = tmp_path / "langid"
+        d.mkdir()
+        docs = {
+            0: ("the cat and the dog of the town went to sleep in peace", "en"),
+            1: ("der hund und die katze das haus ist hier und der wald", "de"),
+            2: ("le chat et la maison les arbres des villes et le pont", "fr"),
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array([docs[i][0] for i in docs], pa.string()),
+                    "lang": pa.array([docs[i][1] for i in docs], pa.string()),
+                    "source": pa.array(["s"] * 3, pa.string()),
+                    "n_chars": pa.array([1] * 3, pa.int64()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        got = {r["doc_id"]: r["pred_lang"] for r in textops.langid(str(d)).take_all()}
+        assert got == {0: "en", 1: "de", 2: "fr"}
+
+
+class TestMultimodal:
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.ImageDecoder().decode(b"bytes")
+
+    def test_fake_decode_deterministic(self):
+        a = multimodal.ImageDecoder.fake_decode(b"hello world")
+        b = multimodal.ImageDecoder.fake_decode(b"hello world")
+        assert a.shape == (4, 4, 3) and a.dtype == np.uint8
+        assert np.array_equal(a, b)
+
+    def test_payload_pipeline(self, ray_session):
+        rows = multimodal.payload_features(SF0001).take_all()
+        assert len(rows) == 500
+        t = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["doc_id", "text"])
+        texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+        for r in rows[:10]:
+            txt = texts[r["doc_id"]]
+            assert r["n_bytes"] == len(txt.encode())
+            assert r["payload_md5"] == hashlib.md5(txt.encode()).hexdigest()
+
+    def test_feature_extractor_actor_shape(self, ray_session):
+        feats = multimodal.payload_table(SF0001).map_batches(
+            multimodal.FeatureExtractor, batch_format="pyarrow", batch_size=128, concurrency=2
+        )
+        first = feats.take(5)
+        assert all(len(r["embed"]) == 8 for r in first)
+
+
+class TestOracleParity:
+    """The driver's gate, in-process: Ray result == DuckDB result."""
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "text_stats",
+            "lang_dist",
+            "token_counts",
+            "dedup_exact",
+            "dedup_ngram",
+            "knn_brute",
+            "q1_pricing",
+            "cust_order_stats",
+            "events_hourly",
+            "topk_users",
+            "region_acctbal",
+            "payload_features",
+            "doc_fingerprint",
+        ],
+    )
+    def test_query_matches_oracle(self, name, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        con = duckdb.connect()
+        for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF0001}/{t}.parquet')"
+            )
+        res = entrymod.queries()[name](SF0001)
+        if isinstance(res, ray.data.Dataset):
+            got = res.to_pandas()
+        elif isinstance(res, pa.Table):
+            got = res.to_pandas()
+        else:
+            got = res
+        want = con.execute(entrymod.oracle_sql()[name]).df()
+
+        def canon(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[sorted(df.columns)]
+            return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+        got, want = canon(got), canon(want)
+        assert list(got.columns) == list(want.columns)
+        assert len(got) == len(want)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
