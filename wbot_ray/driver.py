@@ -45,8 +45,7 @@ import ray.data
 
 from wbot_ray.config import CrawlConfig
 from wbot_ray.stages.dedup import make_dedup_fn
-from wbot_ray.stages.explode import CANDIDATE_COLUMNS, make_explode_fn
-from wbot_ray.stages.fetch import make_assign_fetch_part, make_fetch_group_fn
+from wbot_ray.stages.fetch import make_assign_fetch_part, make_fused_fetch_fn
 from wbot_ray.stages.normalize import FRONTIER_SCHEMA, seeds_to_frontier
 from wbot_ray.stages.order import assign_crawl_ord
 from wbot_ray.state.seen import SeenSet
@@ -126,9 +125,20 @@ class CrawlRun:
 
 
 class Crawler:
-    def __init__(self, cfg: CrawlConfig | None = None, workdir: str = "/tmp/wbot_ray_run") -> None:
+    def __init__(
+        self,
+        cfg: CrawlConfig | None = None,
+        workdir: str = "/tmp/wbot_ray_run",
+        shared_index_dir: str | None = None,
+    ) -> None:
+        """``shared_index_dir``: reuse a pre-built bucketed web index
+        (it is a pure function of (pages corpus, num_buckets) — the
+        storage layout of the simulated web, not crawl state), e.g. so
+        benchmark runs at different parallelism levels don't each
+        re-shuffle the corpus."""
         self.cfg = cfg or CrawlConfig()
         self.workdir = workdir
+        self.shared_index_dir = shared_index_dir
 
     # -- manifest ---------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -141,75 +151,104 @@ class Crawler:
         os.replace(tmp, self._manifest_path())
 
     # -- per-round helpers ------------------------------------------------
-    def _root_stats(self, frontier_dir: str) -> tuple[dict[str, int], float]:
-        """(hot_roots → salt count, virtual politeness seconds for the
-        round). One pruned pass + a tiny per-root counts dataset."""
+    def _hot_roots(self, frontier_dir: str, n_frontier: int) -> dict[str, int]:
+        """Hot-root (skew) detection: roots whose frontier rows exceed
+        ``hot_host_threshold`` get salt-split into sub-partitions.
+
+        Gated on frontier size — if the whole round has fewer rows than
+        the threshold no root can be hot, so the per-root counting pass
+        (an extra read + groupby shuffle) only runs on rounds where skew
+        is actually possible. Virtual-politeness budgets are computed
+        inside the fetch groups themselves (each group owns all rows of
+        its roots), never here."""
         cfg = self.cfg
+        threshold = cfg.hot_host_threshold
+        if n_frontier <= threshold:
+            return {}
         counts = (
             ray.data.read_parquet(frontier_dir, columns=["root"])
             .groupby("root")
             .count()
-            .materialize()
         )
 
-        threshold = cfg.hot_host_threshold
-
         def partials(batch: pa.Table) -> pa.Table:
-            """Per-batch partial: hot roots (count > threshold) plus the
-            batch's max virtual-politeness seconds as a sentinel row."""
+            """Per-batch partial: only roots above threshold survive."""
             roots = batch.column("root").to_pylist()
             ns = batch.column("count()").to_pylist()
-            hot_r, hot_n, vmax = [], [], 0.0
-            for r, n in zip(roots, ns):
-                rate, interval = cfg.rate_for_root(r)
-                vmax = max(vmax, math.ceil(n / rate) * interval)
-                if n > threshold:
-                    hot_r.append(r)
-                    hot_n.append(int(n))
+            hot_r = [r for r, n in zip(roots, ns) if n > threshold]
+            hot_n = [int(n) for n in ns if n > threshold]
             return pa.table(
                 {
-                    "root": pa.array(hot_r + [""], pa.string()),
-                    "n": pa.array(hot_n + [0], pa.int64()),
-                    "vmax": pa.array([0.0] * len(hot_r) + [vmax], pa.float64()),
+                    "root": pa.array(hot_r, pa.string()),
+                    "n": pa.array(hot_n, pa.int64()),
                 }
             )
 
         # hot roots are rare by construction — the collected rows are tiny
         rows = counts.map_batches(partials, batch_format="pyarrow").take_all()
-        hot = {
-            r["root"]: max(2, math.ceil(r["n"] / threshold))
-            for r in rows
-            if r["root"]
+        return {r["root"]: max(2, math.ceil(r["n"] / threshold)) for r in rows}
+
+    def _hot_from_rootstats(self, metrics_parts_dir: str) -> dict[str, int]:
+        """Next round's hot roots from the dedup shards' survivor
+        root-count sidecars (a root's rows can span seen-shards — sum)."""
+        threshold = self.cfg.hot_host_threshold
+        counts: dict[str, int] = {}
+        for p in glob.glob(os.path.join(metrics_parts_dir, "rootstats-*.json")):
+            with open(p) as f:
+                for root, n in json.load(f).items():
+                    counts[root] = counts.get(root, 0) + n
+        return {
+            r: max(2, math.ceil(n / threshold))
+            for r, n in counts.items()
+            if n > threshold
         }
-        # virtual politeness: wall time a real paced crawl would need for
-        # its slowest root this round (max over roots of ceil(n/rate)*interval)
-        vsec = max((r["vmax"] for r in rows), default=0.0)
-        return hot, vsec
 
-    def _round_metrics(self, results_dir: str, n_frontier: int) -> dict[str, int]:
-        ds = ray.data.read_parquet(
-            results_dir, columns=["status", "n_links_total", "n_skipped"]
-        )
+    def _run_round_local(
+        self,
+        frontier_tbl: pa.Table,
+        hot_roots: dict[str, int],
+        index_dir: str,
+        results_dir: str,
+        metrics_parts: str,
+        seen: SeenSet,
+    ) -> pa.Table:
+        """Execute one round entirely in the driver process using the
+        SAME stage functions as the distributed path — a scheduler
+        choice, not a semantic one: below ``local_round_threshold``
+        frontier rows, pipeline-launch latency dwarfs the round's work.
+        Returns the ordered next frontier (without final crawl_ord)."""
+        import pyarrow.compute as pc
 
-        def partial(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        cfg = self.cfg
+        assigned = make_assign_fetch_part(cfg, hot_roots)(frontier_tbl)
+        fused = make_fused_fetch_fn(index_dir, cfg, results_dir, metrics_parts)
+        cand_parts = []
+        for part in sorted(set(assigned.column("fetch_part").to_pylist())):
+            sub = assigned.filter(pc.equal(assigned.column("fetch_part"), part))
+            cand_parts.append(fused(sub))
+        cand = pa.concat_tables(cand_parts).combine_chunks()
+        dedup_fn = make_dedup_fn(seen.shards, stats_dir=metrics_parts)
+        survivors = []
+        for s in sorted(set(cand.column("seen_shard").to_pylist())):
+            grp = cand.filter(pc.equal(cand.column("seen_shard"), s))
+            survivors.append(dedup_fn(grp))
+        if not survivors:
+            return cand.drop_columns(["seen_shard"]).sort_by("ord64")
+        return pa.concat_tables(survivors).combine_chunks().sort_by("ord64")
 
-            ok = pc.sum(pc.cast(pc.equal(batch.column("status"), 200), pa.int64())).as_py() or 0
-            return pa.table(
-                {
-                    "ok": pa.array([ok], pa.int64()),
-                    "n": pa.array([batch.num_rows], pa.int64()),
-                    "total_link": pa.array([pc.sum(batch.column("n_links_total")).as_py() or 0], pa.int64()),
-                    "skipped": pa.array([pc.sum(batch.column("n_skipped")).as_py() or 0], pa.int64()),
-                }
-            )
-
+    def _round_metrics(self, metrics_parts_dir: str, n_frontier: int) -> tuple[dict[str, int], float]:
+        """Sum the per-group metric sidecars the fused fetch stage wrote
+        (one tiny JSON per fetch partition) — no Ray pipeline needed."""
         ok = n = total_link = skipped = 0
-        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
-            ok += row["ok"]
-            n += row["n"]
-            total_link += row["total_link"]
-            skipped += row["skipped"]
+        vsec = 0.0
+        for p in glob.glob(os.path.join(metrics_parts_dir, "part-*.json")):
+            with open(p) as f:
+                m = json.load(f)
+            ok += m["ok"]
+            n += m["n"]
+            total_link += m["total_link"]
+            skipped += m["skipped"]
+            vsec = max(vsec, m["vmax"])
         return {
             "total_requests": n_frontier,
             "successful_requests": int(ok),
@@ -220,7 +259,7 @@ class Crawler:
             "crawled_link": 0,
             "duplicated_link": 0,
             "_accepted_candidates": int(total_link - skipped),
-        }
+        }, vsec
 
     # -- main entry -------------------------------------------------------
     def crawl(
@@ -233,7 +272,7 @@ class Crawler:
         cfg = self.cfg
         wd = self.workdir
         os.makedirs(wd, exist_ok=True)
-        index_dir = os.path.join(wd, "index")
+        index_dir = self.shared_index_dir or os.path.join(wd, "index")
 
         if resume:
             with open(self._manifest_path()) as f:
@@ -270,6 +309,9 @@ class Crawler:
             for stale in glob.glob(os.path.join(wd, "seen", "round=*")):
                 if int(stale.rsplit("=", 1)[1]) >= start:
                     _clean(stale)
+            for stale in glob.glob(os.path.join(wd, "metrics_parts", "round=*")):
+                if int(stale.rsplit("=", 1)[1]) >= start:
+                    _clean(stale)
             if resume and completed:
                 seen.restore(
                     [os.path.join(wd, "seen", f"round={r}") for r in completed]
@@ -277,6 +319,7 @@ class Crawler:
             ord_base = sum(r["n_frontier"] for r in manifest["rounds"])
 
             d = start
+            hot_roots: dict[str, int] | None = None  # carried across rounds
             while True:
                 frontier_dir = os.path.join(wd, "frontier", f"round={d}")
                 n_d = _parquet_rows(frontier_dir)
@@ -285,60 +328,138 @@ class Crawler:
                     self._save_manifest(manifest)
                     break
 
-                hot_roots, vsec = self._root_stats(frontier_dir)
+                import time as _time
 
-                # ---- fetch + extract (index-lookup join, politeness-local)
+                stage_sec: dict[str, float] = {}
+                _t = _time.perf_counter()
+                if hot_roots is None:
+                    # first round of this (possibly resumed) run: one
+                    # gated scan; later rounds reuse the dedup sidecars
+                    hot_roots = self._hot_roots(frontier_dir, n_d)
+                stage_sec["hot_detect"] = round(_time.perf_counter() - _t, 3)
+
+                # ---- ONE fused pipeline per round:
+                # fetch + extract + results sink + metric sidecars +
+                # candidate explode (inside the fetch task), then the
+                # dedup shuffle and the ordering sort — no intermediate
+                # parquet round-trips, no separate metrics pass.
+                _t = _time.perf_counter()
                 results_dir = os.path.join(wd, "results", f"round={d}")
+                metrics_parts = os.path.join(wd, "metrics_parts", f"round={d}")
                 _clean(results_dir)
-                (
-                    ray.data.read_parquet(frontier_dir)
-                    .map_batches(
-                        make_assign_fetch_part(cfg, hot_roots),
-                        batch_format="pyarrow",
-                        batch_size=cfg.batch_size,
-                    )
-                    .groupby("fetch_part")
-                    .map_groups(
-                        make_fetch_group_fn(index_dir, cfg),
-                        batch_format="pyarrow",
-                    )
-                    .write_parquet(results_dir)
-                )
-
-                metrics = self._round_metrics(results_dir, n_d)
-
-                # ---- explode -> dedup -> order -> next frontier
+                _clean(metrics_parts)
+                os.makedirs(results_dir, exist_ok=True)
+                os.makedirs(metrics_parts, exist_ok=True)
                 next_dir = os.path.join(wd, "frontier", f"round={d + 1}")
-                _clean(next_dir)
-                candidates = (
-                    ray.data.read_parquet(results_dir, columns=CANDIDATE_COLUMNS)
-                    .map_batches(
-                        make_explode_fn(cfg),
-                        batch_format="pyarrow",
-                        batch_size=cfg.batch_size,
+                cols = FRONTIER_SCHEMA.names
+
+                if n_d <= cfg.local_round_threshold:
+                    # ---- tiny round: run in-process (same stage fns)
+                    frontier_tbl = pa.concat_tables(
+                        pq.read_table(f)
+                        for f in sorted(glob.glob(os.path.join(frontier_dir, "*.parquet")))
                     )
-                    .groupby("seen_shard")
-                    .map_groups(make_dedup_fn(seen.shards), batch_format="pyarrow")
-                    .sort("ord64")
-                )
-                ordered, n_next = assign_crawl_ord(candidates, ord_base + n_d)
-                os.makedirs(next_dir, exist_ok=True)
-                if n_next > 0:
-                    cols = FRONTIER_SCHEMA.names
-                    ordered.map_batches(
-                        lambda t: t.select(cols), batch_format="pyarrow"
-                    ).write_parquet(next_dir)
+                    ordered_tbl = self._run_round_local(
+                        frontier_tbl, hot_roots, index_dir, results_dir,
+                        metrics_parts, seen,
+                    )
+                    n_next = ordered_tbl.num_rows
+                    stage_sec["fetch_dedup"] = round(_time.perf_counter() - _t, 3)
+
+                    _t = _time.perf_counter()
+                    _clean(next_dir)
+                    os.makedirs(next_dir, exist_ok=True)
+                    if n_next == 0:
+                        pq.write_table(
+                            FRONTIER_SCHEMA.empty_table(),
+                            os.path.join(next_dir, "part-0.parquet"),
+                        )
+                    else:
+                        ordered_tbl = ordered_tbl.append_column(
+                            "crawl_ord",
+                            pa.array(
+                                range(ord_base + n_d, ord_base + n_d + n_next),
+                                pa.int64(),
+                            ),
+                        )
+                        pq.write_table(
+                            ordered_tbl.select(cols),
+                            os.path.join(next_dir, "part-0.parquet"),
+                        )
+                    stage_sec["order_write"] = round(_time.perf_counter() - _t, 3)
                 else:
-                    pq.write_table(
-                        FRONTIER_SCHEMA.empty_table(),
-                        os.path.join(next_dir, "part-0.parquet"),
+                    n_blocks = max(1, min(cfg.num_buckets, math.ceil(n_d / cfg.batch_size)))
+                    deduped = (
+                        ray.data.read_parquet(frontier_dir, override_num_blocks=n_blocks)
+                        .map_batches(
+                            make_assign_fetch_part(cfg, hot_roots),
+                            batch_format="pyarrow",
+                            batch_size=cfg.batch_size,
+                        )
+                        .groupby("fetch_part")
+                        .map_groups(
+                            make_fused_fetch_fn(index_dir, cfg, results_dir, metrics_parts),
+                            batch_format="pyarrow",
+                        )
+                        .groupby("seen_shard")
+                        .map_groups(
+                            make_dedup_fn(seen.shards, stats_dir=metrics_parts),
+                            batch_format="pyarrow",
+                        )
+                        .materialize()
                     )
+                    n_next = deduped.count()
+                    stage_sec["fetch_dedup"] = round(_time.perf_counter() - _t, 3)
+
+                    _t = _time.perf_counter()
+                    _clean(next_dir)
+                    os.makedirs(next_dir, exist_ok=True)
+                    if n_next == 0:
+                        pq.write_table(
+                            FRONTIER_SCHEMA.empty_table(),
+                            os.path.join(next_dir, "part-0.parquet"),
+                        )
+                    elif n_next <= cfg.driver_order_threshold:
+                        # small frontier: a distributed sort would be pure
+                        # shuffle overhead — merge the slim candidate blocks
+                        # driver-side (few MB), rank, write one file
+                        blocks = [
+                            b for b in ray.get(deduped.to_arrow_refs()) if b.num_rows > 0
+                        ]
+                        tbl = pa.concat_tables(blocks).combine_chunks()
+                        tbl = tbl.sort_by("ord64")
+                        tbl = tbl.append_column(
+                            "crawl_ord",
+                            pa.array(
+                                range(ord_base + n_d, ord_base + n_d + tbl.num_rows),
+                                pa.int64(),
+                            ),
+                        )
+                        pq.write_table(
+                            tbl.select(cols), os.path.join(next_dir, "part-0.parquet")
+                        )
+                    else:
+                        ordered, _ = assign_crawl_ord(
+                            deduped.sort("ord64"), ord_base + n_d
+                        )
+                        ordered.map_batches(
+                            lambda t: t.select(cols), batch_format="pyarrow"
+                        ).write_parquet(next_dir)
+                    stage_sec["order_write"] = round(_time.perf_counter() - _t, 3)
+
+                # next round's hot roots: piggybacked survivor root counts
+                hot_roots = self._hot_from_rootstats(metrics_parts)
+
+                _t = _time.perf_counter()
+                metrics, vsec = self._round_metrics(metrics_parts, n_d)
+                stage_sec["metrics_sidecar"] = round(_time.perf_counter() - _t, 3)
 
                 n_dup = metrics.pop("_accepted_candidates") - n_next
                 metrics["crawled_link"] = int(n_next)
                 metrics["duplicated_link"] = int(n_dup)
                 metrics["virtual_politeness_sec"] = vsec
                 metrics["hot_roots"] = len(hot_roots)
+                metrics["stage_sec"] = stage_sec
 
                 seen.flush_deltas(os.path.join(wd, "seen", f"round={d}"))
 

@@ -142,22 +142,26 @@ def dedup_ngram(sf_dir: str, threshold: float = 0.8):
 
 N_PERM = 64
 N_BANDS = 8  # 8 rows per band
-_MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(0xC0FFEE)
-_PERM_A = (_rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)).astype(np.uint64)
-_PERM_B = (_rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)).astype(np.uint64)
+_PERM_A = _rng.randint(1, 1 << 62, size=N_PERM, dtype=np.int64).astype(np.uint64) | np.uint64(1)
+_PERM_B = _rng.randint(0, 1 << 62, size=N_PERM, dtype=np.int64).astype(np.uint64)
+_MIX = np.uint64(0xFF51AFD7ED558CCD)
 
 
 def _minhash_sig(tok: np.ndarray) -> np.ndarray:
-    """64-perm MinHash over the token-hash set (universal hashing mod a
-    Mersenne prime; fixed seeds → cluster-stable signatures)."""
+    """64-perm MinHash over the shingle-hash set. The permutation family
+    is wrap-around multiply-add + a splitmix64-style finalizer — fully
+    vectorized in uint64 (one (shingles × 64) matrix op per doc instead
+    of a Python loop), deterministic across processes/nodes (fixed
+    seeds, no Python ``hash``)."""
     if tok.size == 0:
         return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = tok.astype(np.object_)  # python ints: exact 128-bit mod-prime math
-    out = np.empty(N_PERM, dtype=np.uint64)
-    for p in range(N_PERM):
-        out[p] = min((int(_PERM_A[p]) * int(v) + int(_PERM_B[p])) % _MERSENNE for v in x)
-    return out
+    with np.errstate(over="ignore"):
+        z = tok[:, None] * _PERM_A[None, :] + _PERM_B[None, :]  # (n, 64) wraps
+        z ^= z >> np.uint64(33)
+        z *= _MIX
+        z ^= z >> np.uint64(29)
+    return z.min(axis=0)
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.7):

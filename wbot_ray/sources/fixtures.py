@@ -26,14 +26,16 @@ import pyarrow.parquet as pq
 
 from wbot_ray.html import extract_text
 
-__all__ = ["gen_pages", "write_pages", "SCALES", "seeds_for_scale"]
+__all__ = ["gen_pages", "write_pages", "write_pages_sharded", "SCALES", "seeds_for_scale"]
 
-# rows are approximate; the generator is deterministic for a given scale
+# rows are approximate; the generator is deterministic for a given scale.
+# "words" widens page bodies (Common-Crawl-ish pages are tens of KB; the
+# conformance scales keep the small default so oracle runs stay fast).
 SCALES = {
     "tiny": {"hosts": 3, "pages_per_host": 8, "hot_factor": 2},
     "small": {"hosts": 12, "pages_per_host": 40, "hot_factor": 6},
     "medium": {"hosts": 40, "pages_per_host": 120, "hot_factor": 10},
-    "bench": {"hosts": 200, "pages_per_host": 400, "hot_factor": 20},
+    "bench": {"hosts": 300, "pages_per_host": 600, "hot_factor": 5, "words": (4000, 8000)},
 }
 
 _BASE_TS = int(datetime(2024, 5, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
@@ -45,8 +47,11 @@ _WORDS = (
 ).split()
 
 
-def _page_text_words(rng: random.Random, hi: int, pj: int) -> str:
-    n = 12 + rng.randrange(30)
+def _page_text_words(
+    rng: random.Random, hi: int, pj: int, words_range: tuple[int, int] = (12, 42)
+) -> str:
+    lo, hi_w = words_range
+    n = lo + rng.randrange(max(1, hi_w - lo))
     words = [f"host{hi}", f"page{pj}"] + [rng.choice(_WORDS) for _ in range(n)]
     return " ".join(words)
 
@@ -172,51 +177,82 @@ def _render_html(
     return "".join(parts).encode("utf-8")
 
 
-def gen_pages(scale: str | dict = "tiny", seed: int = 42) -> pa.Table:
-    """Build the full pages table for a scale. Deterministic in (seed, scale)."""
-    cfg = SCALES[scale] if isinstance(scale, str) else scale
+_LANG_CYCLE = ("en", "de", "fr", "es", "en", "en", "pt", "it")
+
+
+class _Emitter:
+    """Accumulates page rows; ``k`` is the GLOBAL page ordinal (drives
+    ``warc_ts``/``lang``), passed in so per-host shards generated on
+    different workers still produce exactly the rows the sequential
+    generator would."""
+
+    def __init__(self) -> None:
+        self.urls: list[str] = []
+        self.htmls: list[bytes] = []
+        self.texts: list[str] = []
+        self.langs: list[str] = []
+        self.tss: list[int] = []
+
+    def emit(self, url: str, html: bytes, k: int) -> None:
+        self.urls.append(url)
+        self.htmls.append(html)
+        self.texts.append(extract_text(html))
+        self.langs.append(_LANG_CYCLE[k % len(_LANG_CYCLE)])
+        self.tss.append(_BASE_TS + k * 1_000_000)
+
+    def table(self) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.array(self.urls, pa.string()),
+                "warc_ts": pa.array(self.tss, pa.timestamp("us")),
+                "html": pa.array(self.htmls, pa.binary()),
+                "text": pa.array(self.texts, pa.string()),
+                "lang": pa.array(self.langs, pa.string()),
+            }
+        )
+
+
+def _host_page_count(cfg: dict, hi: int) -> int:
+    return cfg["pages_per_host"] * (cfg["hot_factor"] if hi == 0 else 1) + 25  # + chain
+
+
+def _gen_host(cfg: dict, hi: int, k_start: int, seed: int) -> pa.Table:
+    """All pages of host ``hi`` (regular + chain). Pure function of
+    (cfg, hi, k_start, seed) — host shards parallelize embarrassingly."""
     n_hosts = cfg["hosts"]
     per_host = cfg["pages_per_host"]
     hot = cfg["hot_factor"]
+    words_range = tuple(cfg.get("words", (12, 42)))
+    em = _Emitter()
+    k = k_start
+    n_pages = per_host * (hot if hi == 0 else 1)
+    rng = random.Random(f"{seed}:host:{hi}")
+    for pj in range(n_pages):
+        groups = _links_for_page(rng, hi, pj, n_pages, n_hosts)
+        pad, tail = 0, None
+        if hi == 0 and pj == 2:
+            # oversized page: tail links beyond any small max_body_size
+            pad = 64 * 1024
+            tail = [f"/p/{(pj + 5) % n_pages}", "/only-in-tail"]
+        html = _render_html(f"site{hi} page {pj}", _page_text_words(rng, hi, pj, words_range), groups, pad, tail)
+        em.emit(_page_url(hi, pj), html, k)
+        k += 1
+    # deep chain (length 2*max_depth-ish, plenty)
+    for cj in range(25):
+        html = _render_html(
+            f"site{hi} chain {cj}",
+            _page_text_words(rng, hi, 10_000 + cj, words_range),
+            ([f"/chain/{cj + 1}"], [], [], [], []),
+        )
+        em.emit(f"https://site{hi}.com/chain/{cj}", html, k)
+        k += 1
+    return em.table()
 
-    urls: list[str] = []
-    htmls: list[bytes] = []
-    texts: list[str] = []
-    langs: list[str] = []
-    tss: list[int] = []
-    lang_cycle = ("en", "de", "fr", "es", "en", "en", "pt", "it")
 
-    def emit(url: str, html: bytes, k: int) -> None:
-        urls.append(url)
-        htmls.append(html)
-        texts.append(extract_text(html))
-        langs.append(lang_cycle[k % len(lang_cycle)])
-        tss.append(_BASE_TS + k * 1_000_000)
-
-    k = 0
-    for hi in range(n_hosts):
-        n_pages = per_host * (hot if hi == 0 else 1)
-        rng = random.Random(f"{seed}:host:{hi}")
-        for pj in range(n_pages):
-            groups = _links_for_page(rng, hi, pj, n_pages, n_hosts)
-            pad, tail = 0, None
-            if hi == 0 and pj == 2:
-                # oversized page: tail links beyond any small max_body_size
-                pad = 64 * 1024
-                tail = [f"/p/{(pj + 5) % n_pages}", "/only-in-tail"]
-            html = _render_html(f"site{hi} page {pj}", _page_text_words(rng, hi, pj), groups, pad, tail)
-            emit(_page_url(hi, pj), html, k)
-            k += 1
-        # deep chain (length 2*max_depth-ish, plenty)
-        for cj in range(25):
-            html = _render_html(
-                f"site{hi} chain {cj}",
-                _page_text_words(rng, hi, 10_000 + cj),
-                ([f"/chain/{cj + 1}"], [], [], [], []),
-            )
-            emit(f"https://site{hi}.com/chain/{cj}", html, k)
-            k += 1
-
+def _gen_extras(cfg: dict, k_start: int, seed: int) -> pa.Table:
+    """The scope-quirk host + subdomain pages (fixed tail of the corpus)."""
+    em = _Emitter()
+    k = k_start
     # substring-scope-quirk host (crawlable from site0 in fidelity mode)
     rng = random.Random(f"{seed}:notsite0")
     for pj in range(4):
@@ -225,7 +261,7 @@ def gen_pages(scale: str | dict = "tiny", seed: int = 42) -> pa.Table:
             _page_text_words(rng, 990, pj),
             ([f"/p/{(pj + 1) % 4}", "https://site0.com/p/1"], [], [], [], []),
         )
-        emit(f"https://notsite0.com/p/{pj}", html, k)
+        em.emit(f"https://notsite0.com/p/{pj}", html, k)
         k += 1
     # a few real subdomain pages for sub.site0.com
     rng = random.Random(f"{seed}:sub0")
@@ -235,18 +271,21 @@ def gen_pages(scale: str | dict = "tiny", seed: int = 42) -> pa.Table:
             _page_text_words(rng, 991, pj),
             ([f"/p/{(pj + 1) % 3}", "https://site0.com/p/2"], [], [], [], []),
         )
-        emit(f"https://sub.site0.com/p/{pj}", html, k)
+        em.emit(f"https://sub.site0.com/p/{pj}", html, k)
         k += 1
+    return em.table()
 
-    return pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(tss, pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-        }
-    )
+
+def gen_pages(scale: str | dict = "tiny", seed: int = 42) -> pa.Table:
+    """Build the full pages table for a scale. Deterministic in (seed, scale)."""
+    cfg = SCALES[scale] if isinstance(scale, str) else scale
+    tables = []
+    k = 0
+    for hi in range(cfg["hosts"]):
+        tables.append(_gen_host(cfg, hi, k, seed))
+        k += _host_page_count(cfg, hi)
+    tables.append(_gen_extras(cfg, k, seed))
+    return pa.concat_tables(tables)
 
 
 def write_pages(path: str, scale: str | dict = "tiny", seed: int = 42, row_group_size: int = 2048) -> str:
@@ -254,3 +293,40 @@ def write_pages(path: str, scale: str | dict = "tiny", seed: int = 42, row_group
     table = gen_pages(scale, seed)
     pq.write_table(table, path, row_group_size=row_group_size)
     return path
+
+
+def write_pages_sharded(
+    out_dir: str, scale: str | dict, seed: int = 42, row_group_size: int = 2048
+) -> str:
+    """Parallel corpus generation: one Ray task per host, writing
+    ``out_dir/host-<hi>.parquet`` shards. Row-for-row identical content
+    to ``gen_pages`` (per-host RNG streams + closed-form global
+    ordinals), built in wall-time ≈ slowest host instead of the whole
+    corpus. Requires an initialised Ray; returns ``out_dir`` (readable
+    as one parquet dataset)."""
+    import os
+
+    import ray
+
+    cfg = SCALES[scale] if isinstance(scale, str) else scale
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def shard(hi: int, k_start: int) -> None:
+        t = _gen_host(cfg, hi, k_start, seed)
+        tmp = os.path.join(out_dir, f".host-{hi:05d}.tmp")
+        pq.write_table(t, tmp, row_group_size=row_group_size)
+        os.replace(tmp, os.path.join(out_dir, f"host-{hi:05d}.parquet"))
+
+    refs, k = [], 0
+    for hi in range(cfg["hosts"]):
+        refs.append(shard.remote(hi, k))
+        k += _host_page_count(cfg, hi)
+    pq.write_table(_gen_extras(cfg, k, seed), os.path.join(out_dir, "extras.parquet"))
+    ray.get(refs)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir

@@ -25,9 +25,16 @@ import ray
 __all__ = ["make_dedup_fn"]
 
 
-def make_dedup_fn(shard_handles: list):
+def make_dedup_fn(shard_handles: list, stats_dir: str | None = None):
+    """``stats_dir``: when set, each shard task also writes a sidecar
+    JSON of its survivors' per-root counts — the next round's hot-host
+    (skew) detection piggybacks on this instead of re-scanning the
+    frontier (atomic tmp+rename; deterministic content, retry-safe)."""
+
     def dedup(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
+            if "seen_shard" in group.column_names:
+                group = group.drop_columns(["seen_shard"])
             return group
         df = group.to_pandas()
         df = df.sort_values("ord64", kind="mergesort").drop_duplicates(
@@ -38,6 +45,15 @@ def make_dedup_fn(shard_handles: list):
             shard_handles[shard].check_and_set.remote(df["url_hash"].tolist())
         )
         df = df[mask]
+        if stats_dir is not None:
+            import json
+            import os
+
+            counts = df["root"].value_counts().to_dict()
+            tmp = os.path.join(stats_dir, f".rootstats-{shard:03d}.tmp")
+            with open(tmp, "w") as f:
+                json.dump({str(k): int(v) for k, v in counts.items()}, f)
+            os.replace(tmp, os.path.join(stats_dir, f"rootstats-{shard:03d}.json"))
         return pa.Table.from_pandas(df.drop(columns=["seen_shard"]), preserve_index=False)
 
     return dedup

@@ -31,21 +31,21 @@ its per-root fetches with a token bucket (rate semantics of
 
 from __future__ import annotations
 
+import math
 import os
 import time
 import zlib
 
 import pyarrow as pa
-import pyarrow.dataset as pads
 
 from wbot_ray.config import CrawlConfig
 from wbot_ray.filters import RuleFilter, in_scope
 from wbot_ray.html import extract_text, find_links
 from wbot_ray.robots import RobotsGate
 from wbot_ray.urlnorm import URLError, parse_url, resolve_url
-from wbot_ray.web_index import bucket_of_root
+from wbot_ray.web_index import bucket_of_root, lookup_pages
 
-__all__ = ["make_assign_fetch_part", "make_fetch_group_fn", "NEXT_TYPE", "RESULT_SCHEMA"]
+__all__ = ["make_assign_fetch_part", "make_fetch_group_fn", "make_fused_fetch_fn", "NEXT_TYPE", "RESULT_SCHEMA"]
 
 NEXT_TYPE = pa.list_(
     pa.struct(
@@ -131,6 +131,10 @@ def make_fetch_group_fn(index_dir: str, cfg: CrawlConfig):
     def fetch_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return RESULT_SCHEMA.empty_table()
+        # many fetch tasks run concurrently per node; per-task Arrow IO
+        # fan-out must stay bounded or threads thrash at high concurrency
+        if pa.io_thread_count() > 2:
+            pa.set_io_thread_count(2)
         rule_filter = RuleFilter(cfg.filter_rules)
         robots = RobotsGate(mode, cfg.robots_bodies)
         bucket = int(group.column("fetch_part")[0].as_py()) % B
@@ -138,11 +142,8 @@ def make_fetch_group_fn(index_dir: str, cfg: CrawlConfig):
         urls = group.column("url").to_pylist()
         bucket_dir = os.path.join(index_dir, f"bucket={bucket}")
         pages: dict[str, tuple[bytes, str, int]] = {}
-        if os.path.isdir(bucket_dir):
-            tbl = pads.dataset(bucket_dir, format="parquet").to_table(
-                columns=["url", "html", "lang", "warc_ts"],
-                filter=pads.field("url").isin(urls),
-            )
+        tbl = lookup_pages(bucket_dir, urls, ["url", "html", "lang", "warc_ts"])
+        if tbl is not None:
             u_col = tbl.column("url").to_pylist()
             h_col = tbl.column("html").to_pylist()
             l_col = tbl.column("lang").to_pylist()
@@ -241,3 +242,79 @@ def make_fetch_group_fn(index_dir: str, cfg: CrawlConfig):
         return pa.table(out, schema=RESULT_SCHEMA)
 
     return fetch_group
+
+
+def _group_vmax(roots: list[str], cfg: CrawlConfig) -> float:
+    """Virtual politeness budget of one fetch group: wall seconds a
+    really-paced crawl would need for the group's slowest root this round
+    (``limiter.go:52-59`` token-bucket semantics on a virtual clock). The
+    group owns ALL frontier rows of its roots, so this is exact without
+    any global pass."""
+    if cfg.politeness == "off":
+        return 0.0
+    counts: dict[str, int] = {}
+    for r in roots:
+        counts[r] = counts.get(r, 0) + 1
+    vmax = 0.0
+    for r, n in counts.items():
+        rate, interval = cfg.rate_for_root(r)
+        vmax = max(vmax, math.ceil(n / rate) * interval)
+    return vmax
+
+
+def make_fused_fetch_fn(index_dir: str, cfg: CrawlConfig, results_dir: str, metrics_dir: str):
+    """The fused per-round hot stage: fetch + extract + results sink +
+    metrics sidecar + candidate explode, all in ONE ``map_groups`` task
+    per fetch partition — the round executes as a single streaming
+    pipeline instead of four (fetch, metrics pass, results re-read,
+    explode), which removes three pipeline launches and one full
+    round-trip of the results through the object store.
+
+    Side-effect sinks are safe under task retry: file names are
+    deterministic per ``fetch_part`` and writes are tmp + atomic rename
+    of identical (deterministic) content.
+    """
+    import json
+
+    from wbot_ray.stages.explode import make_explode_fn
+
+    fetch_group = make_fetch_group_fn(index_dir, cfg)
+    explode = make_explode_fn(cfg)
+    max_depth = cfg.max_depth
+
+    def fused(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if group.num_rows == 0:
+            return explode(RESULT_SCHEMA.empty_table())
+        part = int(group.column("fetch_part")[0].as_py())
+        results = fetch_group(group)
+
+        tmp = os.path.join(results_dir, f".part-{part:05d}.tmp")
+        pq.write_table(results, tmp)
+        os.replace(tmp, os.path.join(results_dir, f"part-{part:05d}.parquet"))
+
+        ok = pc.sum(pc.cast(pc.equal(results.column("status"), 200), pa.int64())).as_py() or 0
+        sidecar = {
+            "n": results.num_rows,
+            "ok": int(ok),
+            "total_link": int(pc.sum(results.column("n_links_total")).as_py() or 0),
+            "skipped": int(pc.sum(results.column("n_skipped")).as_py() or 0),
+            "vmax": _group_vmax(group.column("root").to_pylist(), cfg),
+        }
+        mtmp = os.path.join(metrics_dir, f".part-{part:05d}.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(sidecar, f)
+        os.replace(mtmp, os.path.join(metrics_dir, f"part-{part:05d}.json"))
+
+        # candidates: explode the in-memory results (never re-read from disk).
+        # Depth gate already applied inside fetch (empty `next` rows vanish
+        # in list_flatten); max_depth kept here only as a cheap short-circuit.
+        if results.num_rows == 0 or (
+            int(results.column("depth")[0].as_py()) + 1 > max_depth
+        ):
+            return explode(RESULT_SCHEMA.empty_table())
+        return explode(results)
+
+    return fused
