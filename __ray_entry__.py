@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- crawl core (oracle = sequential reference simulator in tests/)
         "crawl_visited": crawlq.crawl_visited,
         "crawl_results": crawlq.crawl_results,
+        "crawl_metrics": crawlq.crawl_metrics,
         # -- text analysis
         "text_stats": lambda sf: textops.text_stats(sf),
         "lang_dist": textops.lang_dist,

@@ -133,3 +133,54 @@ def test_write_pages_roundtrip(tmp_root):
     t = pq.read_table(p)
     assert t.num_rows > 50
     assert t.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExtensionSurface:
+    """Reference §2.10 seams: OnReponse post-stage + pluggable Fetcher."""
+
+    def test_on_response_stage(self, tmp_root):
+        import pyarrow as pa
+
+        def enrich(results: pa.Table) -> pa.Table:
+            n_tok = [len(t.split()) if t else 0 for t in results.column("text").to_pylist()]
+            return results.append_column("n_tokens", pa.array(n_tok, pa.int64()))
+
+        cfg = CrawlConfig(max_depth=2, num_buckets=4, seen_shards=2, on_response=enrich)
+        pages = gen_pages("tiny")
+        pages_path = str(tmp_root / "onresp_pages.parquet")
+        pq.write_table(pages, pages_path)
+        run = Crawler(cfg, workdir=str(tmp_root / "onresp_run")).crawl(
+            seeds=seeds_for_scale("tiny", 2), pages_path=pages_path
+        )
+        ds = run.results_dataset(columns=["status", "n_tokens"])
+        rows = ds.take_all()
+        assert all("n_tokens" in r for r in rows)
+        assert any(r["n_tokens"] > 0 for r in rows if r["status"] == 200)
+
+    def test_pluggable_fetcher(self, tmp_root):
+        from wbot_ray.stages.fetch import make_fetch_group_fn
+        import pyarrow as pa
+
+        def shouting_fetcher(index_dir, cfg):
+            inner = make_fetch_group_fn(index_dir, cfg)
+
+            def fetch(group: pa.Table) -> pa.Table:
+                res = inner(group)
+                texts = [t.upper() if t else t for t in res.column("text").to_pylist()]
+                i = res.schema.get_field_index("text")
+                return res.set_column(i, "text", pa.array(texts, pa.string()))
+
+            return fetch
+
+        cfg = CrawlConfig(
+            max_depth=2, num_buckets=4, seen_shards=2, fetcher_factory=shouting_fetcher
+        )
+        pages = gen_pages("tiny")
+        pages_path = str(tmp_root / "plugf_pages.parquet")
+        pq.write_table(pages, pages_path)
+        run = Crawler(cfg, workdir=str(tmp_root / "plugf_run")).crawl(
+            seeds=seeds_for_scale("tiny", 2), pages_path=pages_path
+        )
+        texts = [r["text"] for r in run.results_table().to_pylist()]
+        assert texts and all(t == t.upper() for t in texts)

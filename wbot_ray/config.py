@@ -114,6 +114,19 @@ class CrawlConfig:
     # overhead. 0 disables (always distributed).
     local_round_threshold: int = 4096
 
+    # -- user-extension surface (reference option.go:14-63 + OnReponse,
+    #    crawler.go:148-165, re-expressed Ray-Data-first) -------------
+    # on_response: batch UDF applied to each fetch group's RESULT table
+    # (the Response stream equivalent) before it is written — must return
+    # a table with at least the RESULT_SCHEMA columns. Runs inside the
+    # fetch task: zero extra passes.
+    on_response: object | None = None
+    # fetcher_factory: swap the fetch implementation (reference Fetcher
+    # seam, pkg/api/wbot.go:38-41). Called as
+    # ``fetcher_factory(index_dir, cfg) -> (group: pa.Table) -> pa.Table``
+    # returning RESULT_SCHEMA rows; None = built-in index-lookup fetcher.
+    fetcher_factory: object | None = None
+
     def __post_init__(self) -> None:
         if self.max_depth <= 0:  # config.go:30-32
             self.max_depth = 10

@@ -2,27 +2,35 @@
 worker loop (``/root/reference/crawler.go:195-291``).
 
 There is no queue object: the depth-``d`` frontier IS a Parquet-checkpointed
-Dataset, and one BFS round is one streaming pipeline (SURVEY §3.4)::
+Dataset, and one BFS round is ONE fused streaming pipeline (SURVEY §3.4)::
 
     frontier_d ──map_batches(assign fetch_part)──
-      groupby(fetch_part).map_groups(fetch+extract)   # index-lookup join,
-      → write results/round=d                          #   politeness locality
-    results_d ──pruned re-read──map_batches(explode)──
-      groupby(seen_shard).map_groups(dedup+check_and_set)
-      → sort(ord64) → assign crawl_ord → write frontier/round=d+1
+      groupby(fetch_part).map_groups(FUSED:                # one task per
+          fetch index-lookup + truncate + extract + gates  # fetch partition
+          + results sink + metric sidecar + explode)       # (politeness-local)
+      groupby(seen_shard).map_groups(dedup+check_and_set
+          + survivor root-count sidecar)                   # skew stats ride along
+      → order (driver merge if small, Dataset.sort if big)
+      → assign crawl_ord → write frontier/round=d+1
 
-Rounds terminate when the next frontier is empty (the depth gate inside the
-fetch stage guarantees that by ``max_depth``); there are no sleep/status
-races like the reference's termination heuristic (``crawler.go:203-212``).
+Rounds below ``local_round_threshold`` frontier rows execute as raw Ray
+tasks orchestrated by the driver — same stage functions, none of the
+pipeline-launch/shuffle latency. Rounds terminate when the next frontier
+is empty (the depth gate inside the fetch stage guarantees that by
+``max_depth``); there are no sleep/status races like the reference's
+termination heuristic (``crawler.go:203-212``).
 
 Checkpoint/lineage layout under ``workdir`` (every round resumable)::
 
-    index/                    bucketed web index (built once)
+    index/                    bucketed web index (built once; url-sorted
+                              buckets → row-group-pruned point lookups)
     frontier/round=<d>/       the round-d frontier (sorted, dense crawl_ord)
     results/round=<d>/        fetch output incl. nested `next` lineage
+    metrics_parts/round=<d>/  per-fetch-group + per-dedup-shard sidecars
     seen/round=<d>/shard=<s>  per-shard seen-set deltas for the round
     metrics/round=<d>.json    per-round per-stage counters (metrics parity
                               with the reference's 7 atomics, metrics.go:8-17)
+                              + per-stage wall-times + politeness budget
     MANIFEST.json             committed rounds — the resume point
 
 Crash recovery: a round is visible only once MANIFEST.json records it
@@ -212,20 +220,25 @@ class Crawler:
         metrics_parts: str,
         seen: SeenSet,
     ) -> pa.Table:
-        """Execute one round entirely in the driver process using the
-        SAME stage functions as the distributed path — a scheduler
-        choice, not a semantic one: below ``local_round_threshold``
-        frontier rows, pipeline-launch latency dwarfs the round's work.
-        Returns the ordered next frontier (without final crawl_ord)."""
+        """Execute one round as RAW Ray tasks (one per fetch partition)
+        plus driver-side dedup/ordering, using the SAME stage functions
+        as the distributed path — a scheduler choice, not a semantic
+        one: below ``local_round_threshold`` frontier rows, Dataset
+        pipeline-launch + shuffle latency dwarfs the round's work, but
+        the per-bucket index lookups still want parallel IO. Returns the
+        ordered next frontier (without final crawl_ord)."""
+        import ray
+
         import pyarrow.compute as pc
 
         cfg = self.cfg
         assigned = make_assign_fetch_part(cfg, hot_roots)(frontier_tbl)
-        fused = make_fused_fetch_fn(index_dir, cfg, results_dir, metrics_parts)
-        cand_parts = []
+        fused = ray.remote(make_fused_fetch_fn(index_dir, cfg, results_dir, metrics_parts))
+        refs = []
         for part in sorted(set(assigned.column("fetch_part").to_pylist())):
             sub = assigned.filter(pc.equal(assigned.column("fetch_part"), part))
-            cand_parts.append(fused(sub))
+            refs.append(fused.remote(sub))
+        cand_parts = ray.get(refs)
         cand = pa.concat_tables(cand_parts).combine_chunks()
         dedup_fn = make_dedup_fn(seen.shards, stats_dir=metrics_parts)
         survivors = []

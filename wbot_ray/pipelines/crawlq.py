@@ -22,7 +22,7 @@ from wbot_ray.config import CrawlConfig
 from wbot_ray.driver import Crawler, CrawlRun
 from wbot_ray.sources.fixtures import seeds_for_scale, write_pages
 
-__all__ = ["scale_for_sf", "crawl_run_for", "crawl_visited", "crawl_results"]
+__all__ = ["scale_for_sf", "crawl_run_for", "crawl_visited", "crawl_results", "crawl_metrics"]
 
 _CACHE_ROOT = "/tmp/wbot_ray_q"
 
@@ -65,3 +65,24 @@ def crawl_results(sf_dir: str):
     return run.results_table().select(
         ["crawl_ord", "url", "depth", "status", "text", "lang", "n_links"]
     )
+
+
+def crawl_metrics(sf_dir: str):
+    """Per-round metrics lineage (the reference's 7 counters + politeness
+    budget per round) as a table — the north rule's per-stage metrics
+    surface."""
+    import pyarrow as pa
+
+    run = crawl_run_for(sf_dir)
+    rounds = run.manifest["rounds"]
+    keys = [
+        "total_requests", "successful_requests", "failed_requests",
+        "total_link", "crawled_link", "skipped_link", "duplicated_link",
+    ]
+    cols: dict = {"round": pa.array([r["round"] for r in rounds], pa.int64())}
+    for k in keys:
+        cols[k] = pa.array([r["metrics"][k] for r in rounds], pa.int64())
+    cols["virtual_politeness_sec"] = pa.array(
+        [float(r["metrics"]["virtual_politeness_sec"]) for r in rounds], pa.float64()
+    )
+    return pa.table(cols)

@@ -133,8 +133,8 @@ def make_fetch_group_fn(index_dir: str, cfg: CrawlConfig):
             return RESULT_SCHEMA.empty_table()
         # many fetch tasks run concurrently per node; per-task Arrow IO
         # fan-out must stay bounded or threads thrash at high concurrency
-        if pa.io_thread_count() > 2:
-            pa.set_io_thread_count(2)
+        if pa.io_thread_count() > 4:
+            pa.set_io_thread_count(4)
         rule_filter = RuleFilter(cfg.filter_rules)
         robots = RobotsGate(mode, cfg.robots_bodies)
         bucket = int(group.column("fetch_part")[0].as_py()) % B
@@ -278,9 +278,13 @@ def make_fused_fetch_fn(index_dir: str, cfg: CrawlConfig, results_dir: str, metr
 
     from wbot_ray.stages.explode import make_explode_fn
 
-    fetch_group = make_fetch_group_fn(index_dir, cfg)
+    if cfg.fetcher_factory is not None:  # pluggable Fetcher seam (§2.10)
+        fetch_group = cfg.fetcher_factory(index_dir, cfg)
+    else:
+        fetch_group = make_fetch_group_fn(index_dir, cfg)
     explode = make_explode_fn(cfg)
     max_depth = cfg.max_depth
+    on_response = cfg.on_response
 
     def fused(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -290,6 +294,8 @@ def make_fused_fetch_fn(index_dir: str, cfg: CrawlConfig, results_dir: str, metr
             return explode(RESULT_SCHEMA.empty_table())
         part = int(group.column("fetch_part")[0].as_py())
         results = fetch_group(group)
+        if on_response is not None:  # OnReponse equivalent (§2.10)
+            results = on_response(results)
 
         tmp = os.path.join(results_dir, f".part-{part:05d}.tmp")
         pq.write_table(results, tmp)

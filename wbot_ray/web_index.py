@@ -32,7 +32,7 @@ import ray.data
 
 from wbot_ray.urlnorm import URLError, registrable_domain
 
-__all__ = ["bucket_of_root", "root_of_url_host", "build_web_index"]
+__all__ = ["bucket_of_root", "root_of_url_host", "build_web_index", "lookup_pages"]
 
 
 def bucket_of_root(root: str, num_buckets: int) -> int:
@@ -51,7 +51,7 @@ def root_of_url_host(url: str) -> str:
         return host.lower()
 
 
-INDEX_ROW_GROUP = 256  # rows per row group — the lookup-pruning granule
+INDEX_ROW_GROUP = 64  # rows per row group — the lookup-pruning granule
 
 
 def build_web_index(
