@@ -100,3 +100,31 @@ class TestConfig:
     def test_spinner_rotation(self):
         cfg = CrawlConfig(user_agents=["A", "B"])
         assert [cfg.user_agent_for_seed(i) for i in range(4)] == ["A", "B", "A", "B"]
+
+
+class TestRealPoliteness:
+    def test_token_bucket_paces(self):
+        """politeness="real": the reference's blocking Take() semantics
+        (limiter.go:52-59) — N takes at rate R/interval need at least
+        (N-1)·interval/R wall seconds."""
+        import time
+
+        from wbot_ray.stages.fetch import _TokenBucket
+
+        tb = _TokenBucket(rate=100, interval_s=1.0)  # 10 ms per request
+        t0 = time.perf_counter()
+        for _ in range(5):
+            tb.take()
+        elapsed = time.perf_counter() - t0
+        assert elapsed >= 4 * 0.01 - 0.002
+
+    def test_headless_stub(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from wbot_ray.config import CrawlConfig
+        from wbot_ray.stages.fetch import make_headless_fetcher
+
+        fn = make_headless_fetcher("/tmp/nowhere", CrawlConfig())
+        with _pytest.raises(NotImplementedError):
+            fn(pa.table({"url": pa.array(["https://x.com/"], pa.string())}))

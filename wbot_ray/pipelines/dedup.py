@@ -32,7 +32,6 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 from ray.data.aggregate import Count, Min
 
 from wbot_ray.pipelines.common import hash64, read_table, shingle_hashes, token_hashes

@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from wbot_ray.pipelines.common import STOPWORDS, hash64, read_table
+from wbot_ray.pipelines.common import STOPWORDS, read_table
 
 __all__ = [
     "text_stats",

@@ -103,6 +103,21 @@ def make_assign_fetch_part(cfg: CrawlConfig, hot_roots: dict[str, int]):
     return assign
 
 
+def make_headless_fetcher(index_dir: str, cfg: CrawlConfig):
+    """Headless-browser fetcher seam — the reference ships this as an
+    empty ChromeDP stub (``pkg/services/fetcher/headless.go:1-7``); kept
+    here with the same pluggable signature (``cfg.fetcher_factory``) so a
+    real browser pool can be dropped in as an actor-pool stage."""
+
+    def fetch_group(group: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "headless fetching is a stub in the reference and here; "
+            "plug a browser-pool fetcher via cfg.fetcher_factory"
+        )
+
+    return fetch_group
+
+
 class _TokenBucket:
     """Real-politeness pacing (reference ``limiter.go:52-59`` semantics:
     blocking take at ``rate`` per ``interval``)."""
