@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "fp_md5"]
         ),
         "langid": textops.langid,
+        "corpus_filter": textops.corpus_filter,
         # -- deduplication
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram": dedup.dedup_ngram,
@@ -99,6 +100,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "corpus_filter": f"""
+            WITH g AS (
+              SELECT doc_id, md5(text) AS fp,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(string_split(text, ' '), w -> w IN {STOP_SQL})) AS BIGINT) AS sc
+              FROM documents
+            )
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
+            FROM g WHERE n_tokens >= 30 AND sc >= 1 GROUP BY fp
+        """,
         "dedup_exact": """
             SELECT md5(text) AS fp_md5,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_id,

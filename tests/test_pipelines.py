@@ -242,6 +242,7 @@ class TestOracleParity:
             "region_acctbal",
             "payload_features",
             "doc_fingerprint",
+            "corpus_filter",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):

@@ -24,7 +24,10 @@ from wbot_ray.sources.fixtures import seeds_for_scale, write_pages
 
 __all__ = ["scale_for_sf", "crawl_run_for", "crawl_visited", "crawl_results", "crawl_metrics"]
 
-_CACHE_ROOT = "/tmp/wbot_ray_q"
+# bump when engine semantics or fixture content change — invalidates any
+# cached crawl from an older code version
+_CACHE_VERSION = 2
+_CACHE_ROOT = f"/tmp/wbot_ray_q/v{_CACHE_VERSION}"
 
 
 def scale_for_sf(sf_dir: str) -> str:

@@ -120,6 +120,6 @@ def payload_features(sf_dir: str):
         FeatureExtractor,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=(2, 8),  # autoscaling actor pool — sized up on a real cluster
     )
     return feats.select_columns(["doc_id", "n_bytes", "payload_md5"])

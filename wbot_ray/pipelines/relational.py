@@ -67,6 +67,9 @@ def cust_order_stats(sf_dir: str):
     import pyarrow.parquet as pq
     import os
 
+    # broadcast join: valid while the dimension fits one heap (~100M keys);
+    # past that, swap to a two-level groupby on (custkey-hash, segment) —
+    # the two-level distinct pattern below already avoids any driver state
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )

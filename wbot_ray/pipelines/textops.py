@@ -27,6 +27,7 @@ __all__ = [
     "token_counts",
     "doc_fingerprint",
     "langid",
+    "corpus_filter",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -186,3 +187,43 @@ def langid(sf_dir: str):
     return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _langid_batch, batch_format="pyarrow"
     )
+
+
+def corpus_filter(sf_dir: str, min_tokens: int = 30, min_stopwords: int = 1):
+    """The flagship training-data pipeline in one op: quality gates
+    (length + stopword presence) THEN exact dedup (first doc_id per
+    content hash wins). Gates run before the shuffle so rejected
+    documents never enter the exchange; the dedup shuffle carries only
+    (hash, doc_id, n_tokens) — the text stays behind."""
+    import hashlib as _hashlib
+
+    from ray.data.aggregate import Min as _Min
+
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_fp, out_nt = [], [], []
+        for d, t in zip(ids, texts):
+            toks = t.split(" ")
+            if len(toks) < min_tokens:
+                continue
+            if sum(1 for w in toks if w in STOPWORDS) < min_stopwords:
+                continue
+            out_id.append(d)
+            out_fp.append(_hashlib.md5(t.encode()).hexdigest())
+            out_nt.append(len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "fp": pa.array(out_fp, pa.string()),
+                "n_tokens": pa.array(out_nt, pa.int64()),
+            }
+        )
+
+    kept = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(gate, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(_Min("doc_id", alias_name="doc_id"), _Min("n_tokens", alias_name="n_tokens"))
+    )
+    return kept.select_columns(["doc_id", "n_tokens"])
