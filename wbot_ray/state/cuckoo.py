@@ -37,6 +37,7 @@ class CuckooFilter:
         self._overflow: set[int] = set()
         self._rng = np.random.default_rng(seed)
         self.count = 0
+        self.capacity = int(n_buckets * _SLOTS * 0.95)  # growth trigger point
 
     @staticmethod
     def _fingerprint(h: int) -> int:
@@ -50,11 +51,17 @@ class CuckooFilter:
         b2 = (b1 ^ (fp * 0x5BD1E995)) & self._mask
         return fp, b1, b2
 
+    def _overflow_key(self, b: int, fp: int) -> tuple[int, int]:
+        """Canonical (bucket-pair, fingerprint) key: the pair is
+        recoverable from either side via the partial-key involution."""
+        alt = (b ^ (fp * 0x5BD1E995)) & self._mask
+        return (min(b, alt), fp)
+
     def contains(self, h: int) -> bool:
         fp, b1, b2 = self._buckets(h)
         if fp in self._table[b1] or fp in self._table[b2]:
             return True
-        return h in self._overflow
+        return self._overflow_key(b1, fp) in self._overflow
 
     def add(self, h: int) -> None:
         fp, b1, b2 = self._buckets(h)
@@ -77,7 +84,10 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return
-        self._overflow.add(h)
+        # chain failed: the HOMELESS entry is the last displaced
+        # fingerprint (not necessarily the inserted item) — park its
+        # (bucket-pair, fp) so its owner can never go false-negative
+        self._overflow.add(self._overflow_key(b, fp))
         self.count += 1
 
     def contains_many(self, hs: np.ndarray) -> np.ndarray:
@@ -93,6 +103,6 @@ class CuckooFilter:
         if self._overflow:
             miss = np.flatnonzero(~hit)
             for i in miss:
-                if int(hs[i]) in self._overflow:
+                if self._overflow_key(int(b1[i]), int(fp[i])) in self._overflow:
                     hit[i] = True
         return hit

@@ -70,7 +70,24 @@ class _SeenShard:
             self._cuckoo.add(int(prefixes[i]))
             self._delta.append(hashes[i])
             mask[i] = True
+        self._maybe_grow()
         return mask
+
+    def _maybe_grow(self) -> None:
+        """Rebuild the cuckoo filter at 2× when load approaches capacity —
+        without this, a filter past its sizing hint silently degrades into
+        the Python overflow set (~80 B/entry vs ~2 B/entry), which is an
+        OOM cliff at frontier scale. The exact digest set holds the full
+        keys, so the rebuild is a plain re-insertion scan (amortized
+        O(1)/insert)."""
+        cu = self._cuckoo
+        if cu.count <= cu.capacity:
+            return
+        new_cap = max(cu.capacity * 2, len(self._exact) * 2)
+        fresh = type(cu)(new_cap)
+        for d in self._exact:
+            fresh.add(int.from_bytes(d[:8], "big"))
+        self._cuckoo = fresh
 
     def flush_delta(self, path: str) -> int:
         """Write this round's newly-seen hashes to Parquet and reset the
@@ -90,6 +107,7 @@ class _SeenShard:
                 if d not in self._exact:
                     self._exact.add(d)
                     self._cuckoo.add(int.from_bytes(d[:8], "big"))
+        self._maybe_grow()
         return len(self._exact)
 
     def size(self) -> int:
