@@ -69,6 +69,11 @@ def build_web_index(
     """
     if os.path.exists(os.path.join(index_dir, "_DONE")):
         return index_dir
+    if os.path.isdir(pages_path):
+        # sharded corpus (e.g. one file per host): a shard's rows mostly
+        # map to one bucket, so the index builds WITHOUT the all-to-all
+        # shuffle — each bucket task reads just its assigned shard files
+        return _build_index_from_shards(pages_path, index_dir, num_buckets)
     ds = ray.data.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
 
     B = num_buckets
@@ -100,6 +105,53 @@ def build_web_index(
         .map_groups(write_bucket, batch_format="pyarrow")
         .materialize()
     )
+    with open(os.path.join(index_dir, "_DONE"), "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def _build_index_from_shards(pages_dir: str, index_dir: str, num_buckets: int) -> str:
+    """Shuffle-free index build for a sharded corpus directory.
+
+    Pass 1 (driver): read ONLY the url column of every shard file and
+    compute which buckets it feeds (a per-host shard feeds exactly one;
+    mixed shards feed a few). Pass 2 (one Ray task per bucket): read the
+    assigned files column-pruned, keep the bucket's rows, sort by url,
+    write the bucket file. The corpus' html bytes move exactly once,
+    straight into their final sorted location."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray
+
+    B = num_buckets
+    files = sorted(_glob.glob(os.path.join(pages_dir, "*.parquet")))
+    by_bucket: dict[int, list[str]] = {}
+    for f in files:
+        urls = pq.read_table(f, columns=["url"]).column("url").to_pylist()
+        for b in {bucket_of_root(root_of_url_host(u), B) for u in urls}:
+            by_bucket.setdefault(b, []).append(f)
+
+    @ray.remote
+    def build_bucket(b: int, srcs: list[str]) -> None:
+        import pyarrow.compute as _pc
+
+        pieces = []
+        for f in srcs:
+            t = pq.read_table(f, columns=["url", "warc_ts", "html", "lang"])
+            mask = [
+                bucket_of_root(root_of_url_host(u), B) == b
+                for u in t.column("url").to_pylist()
+            ]
+            pieces.append(t.filter(pa.array(mask, pa.bool_())))
+        tbl = pa.concat_tables(pieces).combine_chunks().sort_by("url")
+        d = os.path.join(index_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".part-0.tmp")
+        pq.write_table(tbl, tmp, row_group_size=INDEX_ROW_GROUP)
+        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+
+    ray.get([build_bucket.remote(b, srcs) for b, srcs in sorted(by_bucket.items())])
     with open(os.path.join(index_dir, "_DONE"), "w") as f:
         f.write("ok")
     return index_dir
