@@ -65,7 +65,7 @@ def _init_ray(num_cpus: int) -> None:
     ).materialize()
 
 
-NUM_BUCKETS = 64
+NUM_BUCKETS = 192
 
 
 def _bench_pages() -> str:
@@ -107,7 +107,7 @@ def run_crawl_bench(num_cpus: int) -> dict:
         max_body_size=64 * 1024,
         num_buckets=NUM_BUCKETS,
         seen_shards=16,
-        hot_host_threshold=1024,
+        hot_host_threshold=512,
         local_round_threshold=16_384,
     )
     seeds = seeds_for_scale(BENCH_SCALE, N_SEEDS)
@@ -178,7 +178,7 @@ def one(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
     }
 
 
-def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
+def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 3) -> dict:
     """Same crawl job at two parallelism levels in fresh processes.
 
     Each level runs ``reps`` times and the BEST wall time counts:

@@ -423,6 +423,13 @@ class Crawler:
                     )
                     n_next = deduped.count()
                     stage_sec["fetch_dedup"] = round(_time.perf_counter() - _t, 3)
+                    if os.environ.get("WBOT_RAY_STATS"):
+                        # Ray Data per-operator wall/cpu/memory breakdown —
+                        # the tuning feedback loop for the round pipeline
+                        stats_path = os.path.join(wd, "metrics", f"round={d}.stats.txt")
+                        os.makedirs(os.path.dirname(stats_path), exist_ok=True)
+                        with open(stats_path, "w") as sf:
+                            sf.write(deduped.stats())
 
                     _t = _time.perf_counter()
                     _clean(next_dir)
