@@ -50,7 +50,7 @@ def _init_ray(num_cpus: int) -> None:
     # default shuffle parallelism (200) is sized for clusters; clamp to
     # the actual executor width so tiny shuffles don't pay 200-partition
     # fixed costs
-    ctx.min_parallelism = num_cpus * 2
+    ctx.min_parallelism = num_cpus * 4
 
     # pre-warm the worker pool (process spawn + module import) so the
     # first timed pipeline measures the engine, not cluster bring-up —

@@ -54,6 +54,11 @@ def make_dedup_fn(shard_handles: list, stats_dir: str | None = None):
             with open(tmp, "w") as f:
                 json.dump({str(k): int(v) for k, v in counts.items()}, f)
             os.replace(tmp, os.path.join(stats_dir, f"rootstats-{shard:03d}.json"))
-        return pa.Table.from_pandas(df.drop(columns=["seen_shard"]), preserve_index=False)
+        # pin the schema: an empty (all-duplicates) survivor frame would
+        # otherwise degrade string columns to null type and break concat
+        out_schema = pa.schema([f for f in group.schema if f.name != "seen_shard"])
+        return pa.Table.from_pandas(
+            df.drop(columns=["seen_shard"]), schema=out_schema, preserve_index=False
+        )
 
     return dedup

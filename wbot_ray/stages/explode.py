@@ -20,22 +20,46 @@ import pyarrow.compute as pc
 from wbot_ray.config import CrawlConfig
 from wbot_ray.state.seen import shard_of
 
-__all__ = ["make_explode_fn", "CANDIDATE_COLUMNS", "ORD_LINK_BITS"]
+__all__ = ["make_explode_fn", "CANDIDATE_COLUMNS", "CANDIDATE_SCHEMA", "ORD_LINK_BITS"]
 
 ORD_LINK_BITS = 20
 
 # columns the explode stage needs from the results parquet (pruned read)
 CANDIDATE_COLUMNS = ["crawl_ord", "depth", "user_agent", "proxy", "referer", "next"]
 
+CANDIDATE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_hash", pa.string()),
+        ("host", pa.string()),
+        ("root", pa.string()),
+        ("depth", pa.int32()),
+        ("parent_ord", pa.int64()),
+        ("link_idx", pa.int32()),
+        ("ord64", pa.int64()),
+        ("seen_shard", pa.int32()),
+        ("user_agent", pa.string()),
+        ("proxy", pa.string()),
+        ("referer", pa.string()),
+    ]
+)
+
 
 def make_explode_fn(cfg: CrawlConfig):
     num_shards = cfg.seen_shards
 
     def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty input must keep the TYPED schema — struct_field over an
+            # empty column degrades to null-typed arrays, whose tables
+            # cannot concat with real candidate blocks
+            return CANDIDATE_SCHEMA.empty_table()
         nxt = batch.column("next")
         if isinstance(nxt, pa.ChunkedArray):
             nxt = nxt.combine_chunks()
         flat = pc.list_flatten(nxt)
+        if len(flat) == 0:
+            return CANDIDATE_SCHEMA.empty_table()
         parent_idx = pc.list_parent_indices(nxt)
 
         parent_ord = pc.take(batch.column("crawl_ord"), parent_idx)
@@ -66,7 +90,8 @@ def make_explode_fn(cfg: CrawlConfig):
                 "user_agent": ua,
                 "proxy": proxy,
                 "referer": referer,
-            }
+            },
+            schema=CANDIDATE_SCHEMA,
         )
 
     return explode
