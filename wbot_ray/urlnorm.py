@@ -113,8 +113,11 @@ _FRAGMENT_SAFE = _UNRESERVED | set("$&+,/:;=?@!()*")
 
 
 def _escape(s: str, safe: set[str]) -> str:
+    # surrogateescape: round-trip raw non-UTF-8 bytes exactly like Go,
+    # whose strings are byte slices ("%80" decodes to byte 0x80 and must
+    # re-escape to "%80", never crash)
     out = []
-    for b in s.encode("utf-8"):
+    for b in s.encode("utf-8", "surrogateescape"):
         c = chr(b)
         out.append(c if c in safe else "%%%02X" % b)
     return "".join(out)
@@ -261,7 +264,7 @@ def hash_link(
     cleaned = cleaned.rstrip("/")
     if cleaned.startswith("//"):
         cleaned = cleaned[2:]
-    return hashlib.sha256(cleaned.encode("utf-8")).hexdigest()
+    return hashlib.sha256(cleaned.encode("utf-8", "surrogateescape")).hexdigest()
 
 
 def parse_url(raw: str) -> ParsedURL:
