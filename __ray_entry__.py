@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": relational.q1_pricing,
         "cust_order_stats": relational.cust_order_stats,
         "events_hourly": relational.events_hourly,
+        "sessionize": relational.sessionize,
         "topk_users": relational.topk_users,
         "region_acctbal": relational.region_acctbal,
     }
@@ -175,6 +176,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM({cents('value')}) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": f"""
+            WITH e AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                     {cents('value')} AS value_cents
+              FROM events
+            ), flags AS (
+              SELECT user_id, ts_us, value_cents,
+                     CASE WHEN ts_us - LAG(ts_us) OVER w > 30*60*1000000
+                          OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+            ), sess AS (
+              SELECT user_id, ts_us, value_cents,
+                     CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM flags
+            )
+            SELECT user_id, session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents,
+                   CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+            FROM sess GROUP BY user_id, session_id
         """,
         "topk_users": f"""
             WITH agg AS (

@@ -148,6 +148,8 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "cust_order_stats",
         "events_hourly",
         "topk_users",
+        "sessionize",
+        "corpus_filter",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -128,3 +128,12 @@ class TestRealPoliteness:
         fn = make_headless_fetcher("/tmp/nowhere", CrawlConfig())
         with _pytest.raises(NotImplementedError):
             fn(pa.table({"url": pa.array(["https://x.com/"], pa.string())}))
+
+
+class TestConfigValidation:
+    def test_bad_filter_regex_fails_fast(self):
+        from wbot_ray.config import CrawlConfig, FilterRule
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="invalid filter regex"):
+            CrawlConfig(filter_rules=[FilterRule(hostname="x.com", disallow=["("])])

@@ -243,6 +243,7 @@ class TestOracleParity:
             "payload_features",
             "doc_fingerprint",
             "corpus_filter",
+            "sessionize",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):

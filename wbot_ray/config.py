@@ -132,6 +132,19 @@ class CrawlConfig:
             self.max_depth = 10
         if not self.user_agents:
             self.user_agents = [DEFAULT_USER_AGENT]
+        # fail FAST on malformed filter regexes: the reference takes
+        # pre-compiled *regexp.Regexp (can't be invalid); string patterns
+        # must not explode later inside every fetch task
+        import re as _re
+
+        for rule in self.filter_rules:
+            for pat in list(rule.allow) + list(rule.disallow):
+                try:
+                    _re.compile(pat)
+                except _re.error as e:
+                    raise ValueError(
+                        f"invalid filter regex {pat!r} for host {rule.hostname!r}: {e}"
+                    ) from None
 
     def user_agent_for_seed(self, seed_ord: int) -> str:
         return self.user_agents[seed_ord % len(self.user_agents)]

@@ -20,7 +20,7 @@ from ray.data.aggregate import Count, Sum
 
 from wbot_ray.pipelines.common import cents, read_table
 
-__all__ = ["q1_pricing", "cust_order_stats", "events_hourly", "topk_users", "region_acctbal"]
+__all__ = ["q1_pricing", "cust_order_stats", "events_hourly", "topk_users", "sessionize", "region_acctbal"]
 
 
 def q1_pricing(sf_dir: str):
@@ -142,6 +142,61 @@ def topk_users(sf_dir: str, k: int = 10):
     t = pa.Table.from_pylist(agg.take_all())
     t = t.select(["user_id", "n_events", "sum_value_cents"])
     return t.append_column("rank", pa.array(range(1, t.num_rows + 1), pa.int64()))
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Stateful streaming-window op: split each user's event stream into
+    sessions at inactivity gaps > ``gap_minutes``. The canonical Ray-Data
+    shape for per-key ordered state: ``groupby(user_id).map_groups`` with
+    an in-group sort — each task owns one user's full (ordered) stream,
+    so the session counter is plain local state; the shuffle carries only
+    (user_id, ts, value_cents) rows."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "value_cents": cents(batch.column("value")),
+            }
+        )
+
+    def user_sessions(group: pa.Table) -> pa.Table:
+        uid = int(group.column("user_id")[0].as_py())
+        order = np.argsort(np.asarray(group.column("ts_us").to_pylist(), dtype=np.int64), kind="stable")
+        ts = np.asarray(group.column("ts_us").to_pylist(), dtype=np.int64)[order]
+        val = np.asarray(group.column("value_cents").to_pylist(), dtype=np.int64)[order]
+        new_session = np.empty(len(ts), dtype=bool)
+        new_session[0] = True
+        if len(ts) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new_session)  # 1-based session ordinal per user
+        out = {"user_id": [], "session_id": [], "n_events": [], "sum_value_cents": [],
+               "duration_us": []}
+        for s in range(1, int(sid[-1]) + 1):
+            m = sid == s
+            out["user_id"].append(uid)
+            out["session_id"].append(s)
+            out["n_events"].append(int(m.sum()))
+            out["sum_value_cents"].append(int(val[m].sum()))
+            out["duration_us"].append(int(ts[m].max() - ts[m].min()))
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"], pa.int64()),
+                "session_id": pa.array(out["session_id"], pa.int64()),
+                "n_events": pa.array(out["n_events"], pa.int64()),
+                "sum_value_cents": pa.array(out["sum_value_cents"], pa.int64()),
+                "duration_us": pa.array(out["duration_us"], pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(user_sessions, batch_format="pyarrow")
+    )
 
 
 def region_acctbal(sf_dir: str):
