@@ -195,7 +195,7 @@ def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 3) -> dict:
     import ray
 
     ray.shutdown()
-    time.sleep(2)  # let the prep session's raylet fully exit
+    time.sleep(10)  # let the prep session's raylet fully exit
     best: dict[int, dict] = {}
     runs: list[dict] = []
     for _ in range(reps):
@@ -203,7 +203,7 @@ def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 3) -> dict:
             # flush the previous run's dirty pages so its writeback
             # doesn't steal IO from the next timed run
             subprocess.run(["sync"], check=False)
-            time.sleep(1)
+            time.sleep(5)  # previous session teardown must fully drain
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", "--cpus", str(n), "--crawl-only"],
                 capture_output=True,
