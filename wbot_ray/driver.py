@@ -240,11 +240,14 @@ class Crawler:
             refs.append(fused.remote(sub))
         cand_parts = ray.get(refs)
         cand = pa.concat_tables(cand_parts).combine_chunks()
-        dedup_fn = make_dedup_fn(seen.shards, stats_dir=metrics_parts)
-        survivors = []
-        for s in sorted(set(cand.column("seen_shard").to_pylist())):
-            grp = cand.filter(pc.equal(cand.column("seen_shard"), s))
-            survivors.append(dedup_fn(grp))
+        # shard dedups are independent (one ordered actor call each) —
+        # run them as parallel raw tasks, not a sequential RPC chain
+        dedup_task = ray.remote(make_dedup_fn(seen.shards, stats_dir=metrics_parts))
+        shard_refs = [
+            dedup_task.remote(cand.filter(pc.equal(cand.column("seen_shard"), s)))
+            for s in sorted(set(cand.column("seen_shard").to_pylist()))
+        ]
+        survivors = ray.get(shard_refs)
         if not survivors:
             return cand.drop_columns(["seen_shard"]).sort_by("ord64")
         return pa.concat_tables(survivors).combine_chunks().sort_by("ord64")
