@@ -180,7 +180,7 @@ def one(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
     }
 
 
-def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 3) -> dict:
+def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
     """Same crawl job at two parallelism levels in fresh processes.
 
     Each level runs ``reps`` times and the BEST wall time counts:
