@@ -72,7 +72,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     cents = lambda col: f"CAST(round({col}*100) AS BIGINT)"  # noqa: E731
+    # Crawl-core oracles: an independent DuckDB BFS over the fixture link
+    # graph (side tables are deterministic pure functions of the scale;
+    # the driver compares at sf0.01 == scale "small").
+    from wbot_ray.pipelines.crawlq import oracle_entries
+
+    crawl = oracle_entries("small")
     return {
+        **crawl,
         "text_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_uniq, n_bpe, stop_cnt,
                    CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio

@@ -1,0 +1,53 @@
+"""The crawl core vs the independent DuckDB BFS oracle.
+
+``wbot_ray.pipelines.crawl_oracle`` re-derives the BFS visited set,
+results, and per-round metrics purely in SQL over static link-graph side
+tables. This pins the distributed engine against that oracle at tiny
+scale — the same comparison the graft driver runs at sf0.01 via
+``__ray_entry__.oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_sqls(ray_session):
+    from wbot_ray.pipelines.crawlq import oracle_entries
+
+    return oracle_entries("tiny")
+
+
+@pytest.mark.parametrize("name", ["crawl_visited", "crawl_results", "crawl_metrics"])
+def test_crawl_query_matches_duckdb_bfs(name, oracle_sqls, ray_session):
+    from wbot_ray.pipelines import crawlq
+
+    got = getattr(crawlq, name)(SF_TINY)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = duckdb.connect().execute(oracle_sqls[name]).df()
+    assert len(got) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False, check_exact=True
+    )
+
+
+def test_visited_order_is_bfs_rank(ray_session, oracle_sqls):
+    """crawl_ord must be the dense global BFS pop rank: depths
+    non-decreasing, ords dense from 0."""
+    from wbot_ray.pipelines import crawlq
+
+    vis = crawlq.crawl_visited(SF_TINY).to_pandas()
+    assert list(vis["crawl_ord"]) == list(range(len(vis)))
+    assert vis["depth"].is_monotonic_increasing

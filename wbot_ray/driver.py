@@ -97,29 +97,50 @@ class CrawlRun:
         )
         return ray.data.read_parquet(files, columns=columns)
 
-    def results_table(self) -> pa.Table:
-        """Successful fetches in exact crawl order (small-scale helper for
-        conformance; streams block-by-block through the sort only)."""
-        ds = self.results_dataset(
-            columns=["crawl_ord", "url", "url_hash", "root", "depth", "status",
-                     "text", "lang", "n_links"]
-        )
+    def results_dataset_ordered(
+        self, columns: list[str] | None = None
+    ) -> "ray.data.Dataset":
+        """Successful fetches as a crawl-ordered Dataset — the streaming
+        query surface (consume with ``iter_batches``/``write_parquet``;
+        nothing materializes driver-side)."""
+        cols = columns or [
+            "crawl_ord", "url", "url_hash", "root", "depth", "status",
+            "text", "lang", "n_links",
+        ]
+        read_cols = cols if "status" in cols else [*cols, "status"]
         import pyarrow.compute as pc
 
-        ds = ds.map_batches(
-            lambda t: t.filter(pc.equal(t.column("status"), 200)),
-            batch_format="pyarrow",
-        ).sort("crawl_ord")
-        return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        return (
+            self.results_dataset(columns=read_cols)
+            .map_batches(
+                lambda t: t.filter(pc.equal(t.column("status"), 200)).select(cols),
+                batch_format="pyarrow",
+            )
+            .sort("crawl_ord")
+        )
 
-    def visited_table(self) -> pa.Table:
+    def visited_dataset(self) -> "ray.data.Dataset":
         """Every popped request (== frontier rows across rounds) in pop
-        order — comparable 1:1 with the sequential oracle's visited list."""
+        order, as a sorted Dataset."""
         files = sorted(
             glob.glob(os.path.join(self.workdir, "frontier", "round=*", "*.parquet"))
         )
-        ds = ray.data.read_parquet(files, columns=["crawl_ord", "url", "url_hash", "depth"])
-        return pa.Table.from_pandas(ds.sort("crawl_ord").to_pandas(), preserve_index=False)
+        return ray.data.read_parquet(
+            files, columns=["crawl_ord", "url", "url_hash", "depth"]
+        ).sort("crawl_ord")
+
+    def results_table(self) -> pa.Table:
+        """Small-scale conformance helper: ``results_dataset_ordered``
+        collected to one Arrow table (tests only — the query surface is
+        the Dataset)."""
+        ds = self.results_dataset_ordered()
+        return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+    def visited_table(self) -> pa.Table:
+        """Small-scale conformance helper over ``visited_dataset``."""
+        return pa.Table.from_pandas(
+            self.visited_dataset().to_pandas(), preserve_index=False
+        )
 
     def metrics_total(self) -> dict[str, int]:
         total = dict.fromkeys(METRIC_KEYS, 0)

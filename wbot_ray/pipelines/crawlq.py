@@ -3,31 +3,50 @@
 The crawl's input is the Common-Crawl-style pages table of
 ``BASELINE.json``'s input_hint — not one of the TPC-H-ish testdata
 tables — so the corpus is synthesized deterministically per scale
-(``wbot_ray.sources.fixtures``, pure function of (seed, scale)) and the
-crawl queries are rows-only checked by the driver; their *semantic*
-oracle is the sequential reference simulator exercised by
-``tests/test_engine.py``.
+(``wbot_ray.sources.fixtures``, pure function of (seed, scale)).
+
+Correctness gate: ``oracle_entries()`` materializes the fixture link
+graph as side tables and returns DuckDB SQL that re-derives the BFS
+visited set / results / per-round metrics independently
+(``wbot_ray.pipelines.crawl_oracle``), so the driver can hash-compare
+the crawl core like any relational query. The sequential reference
+simulator (``tests/oracle.py``) remains the semantic oracle in pytest.
 
 Runs are cached per scale under /tmp so the visited/results queries
-share one crawl.
+share one crawl. The query surface STREAMS: visited/results return
+sorted Datasets — no driver-side materialization of the crawl.
 """
 
 from __future__ import annotations
 
 import os
 
-import pyarrow.parquet as pq
-
 from wbot_ray.config import CrawlConfig
 from wbot_ray.driver import Crawler, CrawlRun
+from wbot_ray.pipelines.crawl_oracle import crawl_oracle_sqls, write_crawl_oracle_tables
 from wbot_ray.sources.fixtures import seeds_for_scale, write_pages
 
-__all__ = ["scale_for_sf", "crawl_run_for", "crawl_visited", "crawl_results", "crawl_metrics"]
+__all__ = [
+    "scale_for_sf",
+    "crawl_run_for",
+    "crawl_visited",
+    "crawl_results",
+    "crawl_metrics",
+    "oracle_entries",
+]
 
 # bump when engine semantics or fixture content change — invalidates any
 # cached crawl from an older code version
-_CACHE_VERSION = 2
+_CACHE_VERSION = 3
 _CACHE_ROOT = f"/tmp/wbot_ray_q/v{_CACHE_VERSION}"
+
+# the config every crawl query (and its oracle) runs under
+_QUERY_MAX_DEPTH = 4
+_QUERY_MAX_BODY = 16 * 1024
+
+
+def _query_cfg() -> CrawlConfig:
+    return CrawlConfig(max_depth=_QUERY_MAX_DEPTH, max_body_size=_QUERY_MAX_BODY)
 
 
 def scale_for_sf(sf_dir: str) -> str:
@@ -35,11 +54,18 @@ def scale_for_sf(sf_dir: str) -> str:
     return {"sf0.001": "tiny", "sf0.01": "small", "sf0.1": "medium"}.get(name, "small")
 
 
-def crawl_run_for(sf_dir: str, max_depth: int = 4) -> CrawlRun:
-    scale = scale_for_sf(sf_dir)
+def _pages_path(scale: str) -> str:
     root = os.path.join(_CACHE_ROOT, scale)
     os.makedirs(root, exist_ok=True)
     pages = os.path.join(root, "pages.parquet")
+    if not os.path.exists(pages):
+        write_pages(pages, scale)
+    return pages
+
+
+def crawl_run_for(sf_dir: str, max_depth: int = _QUERY_MAX_DEPTH) -> CrawlRun:
+    scale = scale_for_sf(sf_dir)
+    root = os.path.join(_CACHE_ROOT, scale)
     workdir = os.path.join(root, "run")
     manifest = os.path.join(workdir, "MANIFEST.json")
     if os.path.exists(manifest):
@@ -49,23 +75,24 @@ def crawl_run_for(sf_dir: str, max_depth: int = 4) -> CrawlRun:
             m = json.load(f)
         if m.get("done"):
             return CrawlRun(workdir, m)
-    if not os.path.exists(pages):
-        write_pages(pages, scale)
-    cfg = CrawlConfig(max_depth=max_depth, max_body_size=16 * 1024)
+    pages = _pages_path(scale)
+    cfg = _query_cfg()
+    cfg.max_depth = max_depth
     return Crawler(cfg, workdir=workdir).crawl(
         seeds=seeds_for_scale(scale), pages_path=pages
     )
 
 
 def crawl_visited(sf_dir: str):
-    """Every fetched URL in exact BFS crawl order."""
-    return crawl_run_for(sf_dir).visited_table()
+    """Every fetched URL in exact BFS crawl order (sorted Dataset — the
+    caller streams or writes it; nothing materializes driver-side)."""
+    return crawl_run_for(sf_dir).visited_dataset()
 
 
 def crawl_results(sf_dir: str):
-    """Successful fetches with byte-identical extracted text."""
-    run = crawl_run_for(sf_dir)
-    return run.results_table().select(
+    """Successful fetches with byte-identical extracted text (sorted
+    Dataset)."""
+    return crawl_run_for(sf_dir).results_dataset_ordered(
         ["crawl_ord", "url", "depth", "status", "text", "lang", "n_links"]
     )
 
@@ -89,3 +116,15 @@ def crawl_metrics(sf_dir: str):
         [float(r["metrics"]["virtual_politeness_sec"]) for r in rounds], pa.float64()
     )
     return pa.table(cols)
+
+
+def oracle_entries(scale: str = "small") -> dict[str, str]:
+    """DuckDB oracle SQL for the three crawl queries at ``scale`` (the
+    driver compares at sf0.01 → "small"). Ensures the fixture corpus and
+    the link-graph side tables exist first; both are deterministic pure
+    functions of the scale, so this is idempotent and cached."""
+    pages = _pages_path(scale)
+    cfg = _query_cfg()
+    oracle_dir = os.path.join(_CACHE_ROOT, scale, "oracle")
+    pages_oracle, links = write_crawl_oracle_tables(pages, oracle_dir, cfg)
+    return crawl_oracle_sqls(seeds_for_scale(scale), cfg, pages_oracle, links)

@@ -60,47 +60,75 @@ def tld_allowlist() -> frozenset[str]:
     return frozenset(line.strip() for line in data.splitlines() if line.strip())
 
 
-# Multi-label public suffixes for eTLD+1 extraction. The reference uses the
-# full Mozilla PSL via publicsuffix-go; this engine embeds the common
-# two-level suffixes. Hosts not matching a multi-label suffix fall back to
-# the PSL's own default rule: the last label is the public suffix.
-_MULTI_SUFFIXES = frozenset(
-    {
-        "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk",
-        "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
-        "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz", "gen.nz", "maori.nz",
-        "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
-        "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
-        "com.br", "net.br", "org.br", "gov.br", "edu.br",
-        "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-        "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
-        "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr",
-        "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
-        "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
-        "com.my", "net.my", "org.my", "gov.my", "edu.my",
-        "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
-        "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
-        "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
-        "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
-        "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
-        "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
-        "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
-        "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
-        "co.th", "in.th", "or.th", "ac.th", "go.th", "net.th",
-        "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
-        "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
-        "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk",
-        "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg",
-        "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa",
-        "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
-        "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
-        "com.co", "net.co", "org.co", "gov.co", "edu.co",
-        "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe",
-        "com.ve", "net.ve", "org.ve", "gob.ve",
-        "co.id", "net.id", "or.id", "web.id", "ac.id", "go.id", "sch.id",
-        "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd",
-    }
-)
+# Full Mozilla Public Suffix List for eTLD+1 extraction — the same data
+# publicsuffix-go embeds for the reference's ``publicsuffix.Domain``
+# (``wbot.go:143-146``). ``public_suffix_list.dat`` is the public
+# MPL-2.0-licensed data file (ICANN + private sections, like
+# publicsuffix-go's DefaultList with DefaultFindOptions).
+
+
+def _idna_ascii(rule: str) -> str | None:
+    """Punycode (IDNA) form of a PSL rule, label-by-label; None when a
+    label can't be encoded. Hosts reaching the engine are ASCII (Go's
+    ``url.Hostname()`` of a fetched URL), so unicode rules are indexed by
+    their ASCII form too."""
+    try:
+        labels = [
+            lb if all(ord(c) < 128 for c in lb) else lb.encode("idna").decode("ascii")
+            for lb in rule.split(".")
+        ]
+    except (UnicodeError, UnicodeDecodeError):
+        return None
+    return ".".join(labels)
+
+
+@lru_cache(maxsize=1)
+def _psl_rules() -> tuple[frozenset, frozenset, frozenset]:
+    """``(exact, wildcard_bases, exception_suffixes)`` parsed from the
+    embedded PSL. ``exception_suffixes`` maps a matching exception rule to
+    its public suffix (the rule minus its leftmost label) implicitly: the
+    stored string is the full rule; the matcher derives the suffix."""
+    data = resources.files("wbot_ray.data").joinpath("public_suffix_list.dat").read_text(
+        encoding="utf-8"
+    )
+    exact, wild, exc = set(), set(), set()
+    for line in data.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            bucket, rule = exc, rule[1:]
+        elif rule.startswith("*."):
+            bucket, rule = wild, rule[2:]
+        else:
+            bucket = exact
+        bucket.add(rule)
+        if any(ord(c) >= 128 for c in rule):
+            a = _idna_ascii(rule)
+            if a is not None:
+                bucket.add(a)
+    return frozenset(exact), frozenset(wild), frozenset(exc)
+
+
+def _public_suffix_label_count(labels: list[str]) -> int:
+    """Number of labels in the public suffix per the PSL algorithm
+    (https://publicsuffix.org/list/): an exception rule prevails; else the
+    longest matching rule; else the default rule ``*`` (last label). A
+    wildcard ``*.base`` consumes one extra host label."""
+    exact, wild, exc = _psl_rules()
+    n = len(labels)
+    best = 1  # default rule "*"
+    for i in range(n):
+        s = ".".join(labels[i:])
+        if s in exc:
+            # exception: public suffix = the rule minus its leftmost label
+            return n - i - 1
+        if s in exact and n - i > best:
+            best = n - i
+        if i > 0 and s in wild and n - i + 1 > best:
+            best = n - i + 1
+    return best
 
 
 # --- Go-compatible percent-escaping -------------------------------------
@@ -201,13 +229,13 @@ def registrable_domain(host: str) -> str:
     labels = hostname.split(".")
     if any(not lb for lb in labels):
         raise URLError(f"failed to extract domain: {host!r}")
-    if len(labels) >= 2 and ".".join(labels[-2:]) in _MULTI_SUFFIXES:
-        if len(labels) < 3:
-            raise URLError(f"failed to extract domain: {host!r}")
-        domain = ".".join(labels[-3:])
-    else:
-        domain = ".".join(labels[-2:])
-    tld = domain.rsplit(".", 1)[-1]
+    ps = _public_suffix_label_count(labels)
+    if len(labels) <= ps:
+        # host IS a public suffix ("github.io", "co.uk") — publicsuffix-go
+        # returns an error here, and so does the reference
+        raise URLError(f"failed to extract domain: {host!r}")
+    domain = ".".join(labels[-(ps + 1):])
+    tld = labels[-1]
     if tld not in tld_allowlist():
         raise URLError(f"invalid TLD: {tld}")
     return domain
