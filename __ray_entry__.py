@@ -70,6 +70,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_oracle_sql() -> str:
+    """Generated from the SAME profile table the engine scores with —
+    argmax of per-language stopword hits (sorted-lang first-wins
+    tie-break, 'und' when every profile scores 0), score = best hits /
+    token count (ONE float division — bit-exact across engines)."""
+    from wbot_ray.pipelines.textops import LANG_PROFILES
+
+    langs = [l for l in sorted(LANG_PROFILES) if LANG_PROFILES[l]]
+    score_exprs = ",\n                     ".join(
+        "CAST(len(list_filter(toks, w -> w IN ({}))) AS BIGINT) AS s_{}".format(
+            ",".join(f"'{w}'" for w in sorted(LANG_PROFILES[l])), l
+        )
+        for l in langs
+    )
+    all_scores = ", ".join(f"s_{l}" for l in langs)
+    pred_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{l} > 0 AND s_{l} >= GREATEST({all_scores}) THEN '{l}'"
+            for l in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+          SELECT doc_id, len(toks) AS n_toks,
+                     {score_exprs}
+          FROM t
+        )
+        SELECT doc_id,
+               {pred_case} AS pred_lang,
+               CAST(GREATEST(0, {all_scores}) AS DOUBLE)
+                 / CAST(GREATEST(n_toks, 1) AS DOUBLE) AS score
+        FROM s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cents = lambda col: f"CAST(round({col}*100) AS BIGINT)"  # noqa: E731
     # Crawl-core oracles: an independent DuckDB BFS over the fixture link
@@ -80,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
     crawl = oracle_entries("small")
     return {
         **crawl,
+        "langid": _langid_oracle_sql(),
         "text_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_uniq, n_bpe, stop_cnt,
                    CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
@@ -126,16 +166,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_ngram": """
+            -- blocking rule kept in exact sync with the engine: a pair
+            -- is compared iff both docs share the lexicographic minimum
+            -- of md5(token) over their distinct tokens. The engine's
+            -- extra length-octave gate is provably output-neutral
+            -- (J >= 0.8 forces size ratio <= 1.25 < 2), so it is not
+            -- modeled here.
             WITH d AS (
               SELECT doc_id, lang, source,
-                     list_distinct(string_split(text, ' ')) AS toks
+                     list_distinct(string_split(text, ' ')) AS toks,
+                     list_min(list_transform(list_distinct(string_split(text, ' ')),
+                                             t -> md5(t))) AS min_md5
               FROM documents
             ), pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS i,
                      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS u
               FROM d a JOIN d b
-                ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+                ON a.lang = b.lang AND a.source = b.source
+                AND a.min_md5 = b.min_md5 AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, (i * 1048576) // u AS sim_pm
             FROM pairs WHERE (i * 1048576) // u >= 838860
@@ -149,15 +198,22 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e
               WHERE e.vec_id <> q.q_id
             ), r AS (
+              -- rank on the SAME quantized grid as the engine
+              -- (similarity.SIM_QUANT): float accumulation order differs
+              -- between numpy and DuckDB; the integer grid makes the
+              -- rank order platform-independent
               SELECT q_id, n_id,
-                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS knn_rank
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id
+                       ORDER BY round(sim * 1000000) DESC, n_id
+                     ) AS BIGINT) AS knn_rank
               FROM s
             )
             SELECT q_id, n_id, knn_rank FROM r WHERE knn_rank <= 10
         """,
         "payload_features": """
             SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS payload_md5
             FROM documents
         """,

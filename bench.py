@@ -28,10 +28,24 @@ import subprocess
 import sys
 import time
 
-BENCH_ROOT = "/tmp/wbot_ray_bench"
 BENCH_SCALE = "bench"
 N_SEEDS = 200
 MAX_DEPTH = 5
+
+
+def _bench_root() -> str:
+    """Cache root keyed by the CONTENT of the bench fixture config: a
+    machine with a stale cache from an older SCALES['bench'] must
+    regenerate, not silently benchmark the old corpus."""
+    import hashlib
+
+    from wbot_ray.sources.fixtures import SCALES
+
+    key = hashlib.md5(
+        json.dumps(SCALES[BENCH_SCALE], sort_keys=True, default=str).encode()
+    ).hexdigest()[:10]
+    return f"/tmp/wbot_ray_bench/{key}"
+
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -72,10 +86,11 @@ def _bench_pages() -> str:
     """Generate (once, cached) the bench-scale synthetic web — sharded
     per host in parallel Ray tasks (~190k pages, CC-realistic ~40 KB
     bodies). Requires an initialised Ray."""
-    os.makedirs(BENCH_ROOT, exist_ok=True)
+    root = _bench_root()
+    os.makedirs(root, exist_ok=True)
     from wbot_ray.sources.fixtures import write_pages_sharded
 
-    return write_pages_sharded(os.path.join(BENCH_ROOT, "pages"), BENCH_SCALE)
+    return write_pages_sharded(os.path.join(root, "pages"), BENCH_SCALE)
 
 
 def _bench_index(pages: str) -> str:
@@ -83,7 +98,7 @@ def _bench_index(pages: str) -> str:
     layout of the simulated web, shared by all bench runs."""
     from wbot_ray.web_index import build_web_index
 
-    index_dir = os.path.join(BENCH_ROOT, "index")
+    index_dir = os.path.join(_bench_root(), "index")
     build_web_index(pages, index_dir, NUM_BUCKETS)
     return index_dir
 
@@ -97,7 +112,7 @@ def run_crawl_bench(num_cpus: int) -> dict:
 
     pages = _bench_pages()
     index_dir = _bench_index(pages)
-    workdir = os.path.join(BENCH_ROOT, f"run_cpus{num_cpus}")
+    workdir = os.path.join(_bench_root(), f"run_cpus{num_cpus}")
     shutil.rmtree(workdir, ignore_errors=True)
     # partitioning is FIXED across parallelism levels so the scaling runs
     # execute identical work (only the executor width changes); the hot
@@ -211,8 +226,14 @@ def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
                 env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
                 check=False,
             )
-            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
+            lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"scaling child (cpus={n}) produced no JSON; "
+                    f"exit={proc.returncode}\nstderr tail:\n"
+                    + "\n".join(proc.stderr.strip().splitlines()[-20:])
+                )
+            r = json.loads(lines[-1])
             runs.append({"cpus": n, "pages_per_sec": r["crawl"]["pages_per_sec"]})
             if n not in best or r["crawl"]["sec"] < best[n]["crawl"]["sec"]:
                 best[n] = r

@@ -184,3 +184,43 @@ class TestExtensionSurface:
         )
         texts = [r["text"] for r in run.results_table().to_pylist()]
         assert texts and all(t == t.upper() for t in texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHotRootPoliteness:
+    def test_salted_hot_root_budget_is_exact(self, tmp_root):
+        """A salted hot root's frontier rows span k fetch sub-partitions,
+        so group-local vmax understates its politeness budget by ~k; the
+        driver must report the EXACT global per-root budget
+        (max over roots of ceil(n/rate)*interval) regardless of salting."""
+        import glob
+        import math
+        import os
+
+        cfg = CrawlConfig(
+            max_depth=3, num_buckets=4, seen_shards=2, hot_host_threshold=4
+        )
+        pages = gen_pages("tiny")
+        pages_path = str(tmp_root / "hot_pages.parquet")
+        pq.write_table(pages, pages_path)
+        wd = str(tmp_root / "hot_run")
+        run = Crawler(cfg, workdir=wd).crawl(
+            seeds=seeds_for_scale("tiny", 2), pages_path=pages_path
+        )
+        rounds = run.manifest["rounds"]
+        assert any(r["metrics"].get("hot_roots", 0) > 0 for r in rounds), (
+            "fixture/threshold no longer produces a hot root — test is vacuous"
+        )
+        for r in rounds:
+            d = r["round"]
+            files = glob.glob(os.path.join(wd, "frontier", f"round={d}", "*.parquet"))
+            counts: dict[str, int] = {}
+            for f in files:
+                for root in pq.read_table(f, columns=["root"]).column("root").to_pylist():
+                    counts[root] = counts.get(root, 0) + 1
+            want = 0.0
+            for root, n in counts.items():
+                rate, interval = cfg.rate_for_root(root)
+                want = max(want, math.ceil(n / rate) * interval)
+            got = r["metrics"]["virtual_politeness_sec"]
+            assert got == pytest.approx(want), (d, got, want)

@@ -111,6 +111,40 @@ class TestDedup:
         assert (0, 100) in got and (0, 101) in got and (100, 101) in got
         assert (1, 102) in got and (2, 103) in got
 
+    def test_ngram_skewed_block_not_quadratic(self, tmp_path, ray_session):
+        """One dominant (lang, source) block — 10k docs, all 'en'/'web'.
+        The old blocking made this one O(n²) task (~50M pair checks); the
+        (octave, min-md5) key must keep it tractable. Planted copies must
+        still be found."""
+        import time
+
+        rng = np.random.RandomState(11)
+        n = 10_000
+        texts = [
+            " ".join(f"w{rng.randint(0, 8000)}" for _ in range(40)) for _ in range(n)
+        ]
+        texts[5000] = texts[17]  # planted exact copy
+        d = tmp_path / "skew"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * n, pa.string()),
+                    "source": pa.array(["web"] * n, pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        t0 = time.perf_counter()
+        got = _pairs(dedup.dedup_ngram(str(d), threshold=0.8))
+        dt = time.perf_counter() - t0
+        assert (17, 5000) in got
+        # generous wall bound: quadratic all-pairs on 10k docs of 40-token
+        # sets is minutes; the bounded blocking is seconds
+        assert dt < 60, f"skewed block took {dt:.1f}s — blocking regressed?"
+
     def test_simhash_finds_planted(self, planted_dir):
         got = _pairs(dedup.dedup_simhash(planted_dir, max_hamming=10))
         assert (0, 100) in got and (0, 101) in got and (100, 101) in got
@@ -154,6 +188,61 @@ class TestSimilarity:
             ivf.setdefault(r["q_id"], set()).add(r["n_id"])
         recalls = [len(brute[q] & ivf.get(q, set())) / len(brute[q]) for q in brute]
         assert sum(recalls) / len(recalls) >= 0.5  # nprobe=2 of 4 buckets
+
+    def test_ivf_actually_prunes(self, planted_dir, capsys):
+        """The IVF layout must make a probe read ONLY its buckets: with
+        nprobe=1 of 8 centroids and one query, the probed fraction of the
+        corpus must be well under half, and the results must agree with
+        the equivalent full-mask computation."""
+        import re
+
+        similarity.knn_ivf(
+            planted_dir, n_queries=1, k=3, n_centroids=8, nprobe=1
+        ).take_all()
+        out = capsys.readouterr().out
+        m = re.search(r"\[knn_ivf\] probing (\d+)/(\d+) buckets = (\d+)/(\d+) rows", out)
+        assert m, out
+        probed_rows, total_rows = int(m.group(3)), int(m.group(4))
+        assert 0 < probed_rows < total_rows / 2
+
+    def test_ivf_matches_masked_bruteforce(self, planted_dir):
+        """Bucketed-layout IVF must return EXACTLY what a full-scan with
+        per-query bucket masking returns — the layout changes I/O, never
+        the result."""
+        got = {
+            (r["q_id"], r["n_id"], r["knn_rank"])
+            for r in similarity.knn_ivf(
+                planted_dir, n_queries=4, k=5, n_centroids=4, nprobe=2
+            ).take_all()
+        }
+        # reference: assign every corpus vector to its centroid with the
+        # saved centroids, mask by each query's probe set, rank
+        t = pq.read_table(os.path.join(planted_dir, "embeddings.parquet"))
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        src = os.path.join(planted_dir, "embeddings.parquet")
+        st = os.stat(src)
+        fp = hashlib.md5(
+            f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        ).hexdigest()[:12]
+        cents = np.load(
+            f"/tmp/wbot_ray_ivf/v{similarity._IVF_CACHE_VERSION}/{fp}/c4/centroids.npy"
+        )
+        assign = np.argmax(unit @ cents.T, axis=1)
+        want = set()
+        for qi in range(4):
+            q_idx = int(np.nonzero(ids == qi)[0][0])
+            sims = unit[q_idx] @ unit.T
+            pr = set(np.argsort(-(unit[q_idx] @ cents.T))[:2])
+            cand = [
+                j for j in range(len(ids))
+                if ids[j] != qi and int(assign[j]) in pr
+            ]
+            cand.sort(key=lambda j: (-round(sims[j] * 1e6), ids[j]))
+            for rank, j in enumerate(cand[:5], 1):
+                want.add((qi, int(ids[j]), rank))
+        assert got == want
 
 
 class TestTextops:

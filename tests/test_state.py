@@ -54,9 +54,43 @@ class TestShardGrowth:
 
         shard = _SeenShard.remote(0, capacity_hint=256)
         hashes = [hashlib.sha256(f"u{i}".encode()).hexdigest() for i in range(5000)]
-        mask = ray.get(shard.check_and_set.remote(hashes))
+        mask = ray.get(shard.check_and_set.remote(0, hashes))
         assert mask.all()  # all new
-        mask2 = ray.get(shard.check_and_set.remote(hashes))
+        mask2 = ray.get(shard.check_and_set.remote(1, hashes))
         assert not mask2.any()  # all seen, despite 20x past the hint
         assert ray.get(shard.size.remote()) == 5000
+        ray.kill(shard)
+
+    def test_check_and_set_round_replay_is_idempotent(self):
+        """A repeated call with the SAME round_id (what a Ray task retry
+        looks like after the actor call already succeeded) must return
+        the recorded decision mask, not an all-seen mask — otherwise a
+        retried dedup task silently drops its shard's next frontier."""
+        import ray
+
+        from wbot_ray.state.seen import _SeenShard
+
+        shard = _SeenShard.remote(0)
+        hashes = [hashlib.sha256(f"r{i}".encode()).hexdigest() for i in range(100)]
+        mask = ray.get(shard.check_and_set.remote(0, hashes))
+        assert mask.all()
+        replay = ray.get(shard.check_and_set.remote(0, hashes))
+        assert replay.all()  # replay, NOT "all already seen"
+        nxt = ray.get(shard.check_and_set.remote(1, hashes))
+        assert not nxt.any()  # a new round sees them as duplicates
+        assert ray.get(shard.size.remote()) == 100
+        ray.kill(shard)
+
+    def test_check_and_set_within_call_first_wins(self):
+        """Duplicates inside one ordered call: only the first occurrence
+        wins (the reference's check-and-set order over the FIFO list)."""
+        import ray
+
+        from wbot_ray.state.seen import _SeenShard
+
+        shard = _SeenShard.remote(0)
+        a = hashlib.sha256(b"a").hexdigest()
+        b = hashlib.sha256(b"b").hexdigest()
+        mask = ray.get(shard.check_and_set.remote(0, [a, b, a, a, b]))
+        assert mask.tolist() == [True, True, False, False, False]
         ray.kill(shard)

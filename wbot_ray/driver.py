@@ -180,20 +180,26 @@ class Crawler:
         os.replace(tmp, self._manifest_path())
 
     # -- per-round helpers ------------------------------------------------
-    def _hot_roots(self, frontier_dir: str, n_frontier: int) -> dict[str, int]:
+    def _hot_roots(
+        self, frontier_dir: str, n_frontier: int
+    ) -> tuple[dict[str, int], dict[str, int]]:
         """Hot-root (skew) detection: roots whose frontier rows exceed
         ``hot_host_threshold`` get salt-split into sub-partitions.
+        Returns ``(salts, counts)`` — the exact round counts of the hot
+        roots feed the driver-side politeness budget (``_hot_vsec``),
+        since a salted root's rows span fetch groups and group-local
+        vmax understates it.
 
         Gated on frontier size — if the whole round has fewer rows than
         the threshold no root can be hot, so the per-root counting pass
         (an extra read + groupby shuffle) only runs on rounds where skew
-        is actually possible. Virtual-politeness budgets are computed
-        inside the fetch groups themselves (each group owns all rows of
-        its roots), never here."""
+        is actually possible. Non-hot roots' virtual-politeness budgets
+        are computed inside the fetch groups themselves (each group owns
+        all rows of its roots), never here."""
         cfg = self.cfg
         threshold = cfg.hot_host_threshold
         if n_frontier <= threshold:
-            return {}
+            return {}, {}
         counts = (
             ray.data.read_parquet(frontier_dir, columns=["root"])
             .groupby("root")
@@ -215,22 +221,35 @@ class Crawler:
 
         # hot roots are rare by construction — the collected rows are tiny
         rows = counts.map_batches(partials, batch_format="pyarrow").take_all()
-        return {r["root"]: max(2, math.ceil(r["n"] / threshold)) for r in rows}
+        salts = {r["root"]: max(2, math.ceil(r["n"] / threshold)) for r in rows}
+        return salts, {r["root"]: int(r["n"]) for r in rows}
 
-    def _hot_from_rootstats(self, metrics_parts_dir: str) -> dict[str, int]:
+    def _hot_from_rootstats(
+        self, metrics_parts_dir: str
+    ) -> tuple[dict[str, int], dict[str, int]]:
         """Next round's hot roots from the dedup shards' survivor
-        root-count sidecars (a root's rows can span seen-shards — sum)."""
+        root-count sidecars (a root's rows can span seen-shards — sum).
+        Returns ``(salts, counts)`` like ``_hot_roots``."""
         threshold = self.cfg.hot_host_threshold
         counts: dict[str, int] = {}
         for p in glob.glob(os.path.join(metrics_parts_dir, "rootstats-*.json")):
             with open(p) as f:
                 for root, n in json.load(f).items():
                     counts[root] = counts.get(root, 0) + n
-        return {
-            r: max(2, math.ceil(n / threshold))
-            for r, n in counts.items()
-            if n > threshold
-        }
+        hot = {r: n for r, n in counts.items() if n > threshold}
+        return {r: max(2, math.ceil(n / threshold)) for r, n in hot.items()}, hot
+
+    def _hot_vsec(self, hot_counts: dict[str, int]) -> float:
+        """Exact virtual-politeness budget of the salted hot roots this
+        round (their rows span fetch groups, so group-local vmax
+        understates them — see ``stages.fetch._group_vmax``)."""
+        if self.cfg.politeness == "off" or not hot_counts:
+            return 0.0
+        vmax = 0.0
+        for root, n in hot_counts.items():
+            rate, interval = self.cfg.rate_for_root(root)
+            vmax = max(vmax, math.ceil(n / rate) * interval)
+        return vmax
 
     def _run_round_local(
         self,
@@ -240,6 +259,7 @@ class Crawler:
         results_dir: str,
         metrics_parts: str,
         seen: SeenSet,
+        round_id: int,
     ) -> pa.Table:
         """Execute one round as RAW Ray tasks (one per fetch partition)
         plus driver-side dedup/ordering, using the SAME stage functions
@@ -254,7 +274,9 @@ class Crawler:
 
         cfg = self.cfg
         assigned = make_assign_fetch_part(cfg, hot_roots)(frontier_tbl)
-        fused = ray.remote(make_fused_fetch_fn(index_dir, cfg, results_dir, metrics_parts))
+        fused = ray.remote(
+            make_fused_fetch_fn(index_dir, cfg, results_dir, metrics_parts, hot_roots)
+        )
         refs = []
         for part in sorted(set(assigned.column("fetch_part").to_pylist())):
             sub = assigned.filter(pc.equal(assigned.column("fetch_part"), part))
@@ -263,7 +285,9 @@ class Crawler:
         cand = pa.concat_tables(cand_parts).combine_chunks()
         # shard dedups are independent (one ordered actor call each) —
         # run them as parallel raw tasks, not a sequential RPC chain
-        dedup_task = ray.remote(make_dedup_fn(seen.shards, stats_dir=metrics_parts))
+        dedup_task = ray.remote(
+            make_dedup_fn(seen.shards, round_id, stats_dir=metrics_parts)
+        )
         shard_refs = [
             dedup_task.remote(cand.filter(pc.equal(cand.column("seen_shard"), s)))
             for s in sorted(set(cand.column("seen_shard").to_pylist()))
@@ -357,6 +381,7 @@ class Crawler:
 
             d = start
             hot_roots: dict[str, int] | None = None  # carried across rounds
+            hot_counts: dict[str, int] = {}  # exact counts of this round's hot roots
             while True:
                 frontier_dir = os.path.join(wd, "frontier", f"round={d}")
                 n_d = _parquet_rows(frontier_dir)
@@ -372,7 +397,7 @@ class Crawler:
                 if hot_roots is None:
                     # first round of this (possibly resumed) run: one
                     # gated scan; later rounds reuse the dedup sidecars
-                    hot_roots = self._hot_roots(frontier_dir, n_d)
+                    hot_roots, hot_counts = self._hot_roots(frontier_dir, n_d)
                 stage_sec["hot_detect"] = round(_time.perf_counter() - _t, 3)
 
                 # ---- ONE fused pipeline per round:
@@ -398,7 +423,7 @@ class Crawler:
                     )
                     ordered_tbl = self._run_round_local(
                         frontier_tbl, hot_roots, index_dir, results_dir,
-                        metrics_parts, seen,
+                        metrics_parts, seen, d,
                     )
                     n_next = ordered_tbl.num_rows
                     stage_sec["fetch_dedup"] = round(_time.perf_counter() - _t, 3)
@@ -435,12 +460,14 @@ class Crawler:
                         )
                         .groupby("fetch_part")
                         .map_groups(
-                            make_fused_fetch_fn(index_dir, cfg, results_dir, metrics_parts),
+                            make_fused_fetch_fn(
+                                index_dir, cfg, results_dir, metrics_parts, hot_roots
+                            ),
                             batch_format="pyarrow",
                         )
                         .groupby("seen_shard")
                         .map_groups(
-                            make_dedup_fn(seen.shards, stats_dir=metrics_parts),
+                            make_dedup_fn(seen.shards, d, stats_dir=metrics_parts),
                             batch_format="pyarrow",
                         )
                         .materialize()
@@ -491,11 +518,14 @@ class Crawler:
                         ).write_parquet(next_dir)
                     stage_sec["order_write"] = round(_time.perf_counter() - _t, 3)
 
+                # THIS round's hot-root budget before the counts roll over
+                round_hot_vsec = self._hot_vsec(hot_counts)
                 # next round's hot roots: piggybacked survivor root counts
-                hot_roots = self._hot_from_rootstats(metrics_parts)
+                hot_roots, hot_counts = self._hot_from_rootstats(metrics_parts)
 
                 _t = _time.perf_counter()
                 metrics, vsec = self._round_metrics(metrics_parts, n_d)
+                vsec = max(vsec, round_hot_vsec)
                 stage_sec["metrics_sidecar"] = round(_time.perf_counter() - _t, 3)
 
                 n_dup = metrics.pop("_accepted_candidates") - n_next

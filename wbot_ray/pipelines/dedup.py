@@ -6,17 +6,16 @@ dedup technique:
 * ``dedup_exact``    — md5(text) hash-partition + per-group first
                        (``groupby(fp).aggregate(min,count)``) — one shuffle
                        keyed by content hash.
-* ``dedup_ngram``    — blocked exact n-gram Jaccard: candidate pairs only
-                       within a (lang, source) block, pairwise set overlap
-                       inside ``map_groups``. Oracle-checked.
+* ``dedup_ngram``    — blocked exact n-gram Jaccard: candidate pairs
+                       within bounded ``(lang, source, octave, min-md5)``
+                       blocks, pairwise set overlap inside ``map_groups``.
+                       Oracle-checked (identical blocking rule in SQL).
 * ``dedup_minhash``  — shingle → 64-perm MinHash → banded LSH: signatures
                        computed per batch, band rows exploded, one
                        ``groupby(band, band_hash)`` shuffle buckets the
-                       candidates, exact-Jaccard verification happens
-                       in-bucket on carried token-hash arrays (no second
-                       join back to the corpus — the arrays ride the
-                       shuffle; ~0.5 KB/doc, the price of avoiding two
-                       more all-to-all exchanges at 100 TB).
+                       candidates, verification in-bucket by
+                       signature-estimated Jaccard — only the 512-byte
+                       signature rides the shuffle, never token arrays.
 * ``dedup_simhash``  — 64-bit SimHash, 4×16-bit band blocking, in-bucket
                        Hamming ≤ k verification.
 * ``dedup_embed``    — embedding cosine near-dup via random-hyperplane
@@ -34,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 from ray.data.aggregate import Count, Min
 
-from wbot_ray.pipelines.common import hash64, read_table, shingle_hashes, token_hashes
+from wbot_ray.pipelines.common import hash64, read_table, shingle_hashes
 
 __all__ = [
     "dedup_exact",
@@ -100,30 +99,91 @@ def _jaccard_pm(sa: np.ndarray, sb: np.ndarray) -> int:
 
 
 def dedup_ngram(sf_dir: str, threshold: float = 0.8):
-    """Exact token-set Jaccard ≥ threshold, candidate pairs blocked by
-    (lang, source). The block key bounds pair fan-out; in a real corpus
-    the block would be a cheap cluster key (host, shard, length bucket)."""
+    """Token-set Jaccard ≥ threshold with BOUNDED candidate blocks.
+
+    Block key = ``(lang, source, token-count octave, min-md5 token)``:
+
+    * **min-md5 token** (the lexicographic minimum of ``md5(token)`` over
+      the doc's distinct tokens) is the recall rule: a pair is compared
+      iff both docs agree on it. Under random hashing the probability two
+      docs share their set-minimum equals their Jaccard similarity, so
+      qualifying pairs (J ≥ 0.8) are found with P ≥ 0.8 — the standard
+      1-permutation-MinHash blocking trade-off, and (unlike banded
+      MinHash) expressible verbatim in SQL, so the DuckDB oracle applies
+      the *identical* rule and both engines agree exactly.
+    * **octave** (``bit_length`` of the distinct-token count; each doc is
+      also emitted as a *guest* into the next octave, guest↔guest pairs
+      skipped so no pair is produced twice) bounds the block when one
+      min-token dominates. Provably lossless for the OUTPUT: J ≥ 0.8
+      forces a size ratio ≤ 1.25 < 2, so every qualifying pair sits in
+      the same or adjacent octave — the gate only prunes pairs that
+      could never pass the threshold, which is why the oracle does not
+      need to model it.
+
+    The previous all-pairs-per-(lang, source) blocking was quadratic in
+    the dominant block (≈ the whole corpus for an ``en``/``web`` crawl);
+    this key keeps the biggest block ≈ docs-per-hot-min-token within one
+    length octave."""
     thr_pm = int(threshold * (1 << 20))
 
     def prep(batch: pa.Table) -> pa.Table:
-        toks = [token_hashes(t) for t in batch.column("text").to_pylist()]
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        md5_cache: dict[str, str] = {}
+
+        def min_md5(tokset: set[str]) -> str:
+            best = None
+            for t in tokset:
+                h = md5_cache.get(t)
+                if h is None:
+                    h = md5_cache[t] = hashlib.md5(t.encode()).hexdigest()
+                if best is None or h < best:
+                    best = h
+            return best or ""
+
+        o_id, o_lang, o_src, o_lb, o_min, o_guest, o_tok = [], [], [], [], [], [], []
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            tokset = set(text.split(" "))
+            th = np.sort(
+                np.fromiter((hash64(t) for t in tokset), dtype=np.uint64, count=len(tokset))
+            )
+            mm = min_md5(tokset)
+            lb = len(tokset).bit_length()
+            tl = th.tolist()
+            for blk, guest in ((lb, False), (lb + 1, True)):
+                o_id.append(ids[i])
+                o_lang.append(langs[i])
+                o_src.append(srcs[i])
+                o_lb.append(blk)
+                o_min.append(mm)
+                o_guest.append(guest)
+                o_tok.append(tl)
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "lang": batch.column("lang"),
-                "source": batch.column("source"),
-                "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.uint64())),
+                "doc_id": pa.array(o_id, pa.int64()),
+                "lang": pa.array(o_lang, pa.string()),
+                "source": pa.array(o_src, pa.string()),
+                "lb": pa.array(o_lb, pa.int32()),
+                "min_md5": pa.array(o_min, pa.string()),
+                "guest": pa.array(o_guest, pa.bool_()),
+                "tokens": pa.array(o_tok, pa.list_(pa.uint64())),
             }
         )
 
     def block_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return PAIR_SCHEMA.empty_table()
         ids = group.column("doc_id").to_pylist()
+        guests = group.column("guest").to_pylist()
         toks = [np.asarray(t, dtype=np.uint64) for t in group.column("tokens").to_pylist()]
         order = np.argsort(ids)
         rows = []
         for i in range(len(order)):
             for j in range(i + 1, len(order)):
                 a, b = order[i], order[j]
+                if guests[a] and guests[b]:
+                    continue  # that pair already met in the lower octave
                 pm = _jaccard_pm(toks[a], toks[b])
                 if pm >= thr_pm:
                     rows.append((ids[a], ids[b], pm))
@@ -132,7 +192,7 @@ def dedup_ngram(sf_dir: str, threshold: float = 0.8):
     return (
         read_table(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
         .map_batches(prep, batch_format="pyarrow")
-        .groupby(["lang", "source"])
+        .groupby(["lang", "source", "lb", "min_md5"])
         .map_groups(block_pairs, batch_format="pyarrow")
     )
 
@@ -165,7 +225,15 @@ def _minhash_sig(tok: np.ndarray) -> np.ndarray:
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.7):
     """MinHash-LSH near-dup pairs: shingle → sign → band → bucket-groupby
-    → in-bucket exact-Jaccard verify ≥ threshold."""
+    → in-bucket verify by SIGNATURE-estimated Jaccard ≥ threshold
+    (matching components / 64).
+
+    The shuffle carries only the 512-byte 64-perm signature per (doc,
+    band) row — never the shingle-hash arrays (which are ~4 KB/doc and
+    would ride every one of the 8 band rows = 8× duplication). The
+    estimator's std at J is sqrt(J(1-J)/64) ≤ 0.063, the standard
+    at-scale trade; callers needing exact Jaccard re-verify the emitted
+    candidate pairs with ``dedup_ngram``'s machinery on a second pass."""
     thr_pm = int(threshold * (1 << 20))
     rows_per_band = N_PERM // N_BANDS
 
@@ -173,23 +241,22 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7):
         """One output row per (doc, band): the LSH explode."""
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_id, out_band, out_bhash, out_tok = [], [], [], []
+        out_id, out_band, out_bhash, out_sig = [], [], [], []
         for d, t in zip(ids, texts):
-            tok = shingle_hashes(t)
-            sig = _minhash_sig(tok)
-            tl = tok.tolist()
+            sig = _minhash_sig(shingle_hashes(t))
+            sl = sig.tolist()
             for b in range(N_BANDS):
                 band = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 out_id.append(d)
                 out_band.append(b)
                 out_bhash.append(hash64(",".join(map(str, band.tolist()))))
-                out_tok.append(tl)
+                out_sig.append(sl)
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
                 "band": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_bhash, pa.uint64()),
-                "tokens": pa.array(out_tok, pa.list_(pa.uint64())),
+                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
             }
         )
 
@@ -197,7 +264,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7):
         if group.num_rows < 2:
             return PAIR_SCHEMA.empty_table()
         ids = group.column("doc_id").to_pylist()
-        toks = [np.asarray(t, dtype=np.uint64) for t in group.column("tokens").to_pylist()]
+        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.uint64)  # (n, 64)
         order = np.argsort(ids)
         rows, seen = [], set()
         for i in range(len(order)):
@@ -207,7 +274,8 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7):
                 if ids[a] == ids[b] or key in seen:
                     continue
                 seen.add(key)
-                pm = _jaccard_pm(toks[a], toks[b])
+                est = int(np.count_nonzero(sigs[a] == sigs[b]))
+                pm = (est << 20) // N_PERM
                 if pm >= thr_pm:
                     rows.append((ids[a], ids[b], pm))
         return _pairs_table(rows)

@@ -6,12 +6,22 @@
   per-batch candidates into the global top-k. The shuffle carries
   O(k × queries × batches) candidate rows — never the corpus.
 * ``knn_ivf``   — the scale path: deterministic k-means-lite coarse
-  centroids (fit on a driver-side sample), corpus bucketed by nearest
-  centroid, queries probe only ``nprobe`` buckets. Approximate;
-  verified by a recall test against ``knn_brute``.
+  centroids (fit on a driver-side sample), the corpus laid out ONCE as
+  bucket-partitioned Parquet (``build_ivf_index`` — same pattern as the
+  web index), queries read ONLY their ``nprobe`` closest buckets. The
+  pruned-read fraction is logged every run (no silent caps).
+  Approximate; verified by a recall test against ``knn_brute``.
+
+Ranking determinism: similarities are quantized to an integer grid
+(``round(sim * 1e6)``) BEFORE ranking, with ``n_id`` as tie-break — so
+the rank order is reproducible across engines/platforms even though
+multi-term float accumulation order differs (numpy matmul vs a SQL
+engine's ``list_cosine_similarity``).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -19,7 +29,9 @@ import ray
 
 from wbot_ray.pipelines.common import read_table
 
-__all__ = ["knn_brute", "knn_ivf"]
+__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "SIM_QUANT"]
+
+SIM_QUANT = 1e6  # similarity quantization grid (both engines rank on it)
 
 CAND_SCHEMA = pa.schema(
     [("q_id", pa.int64()), ("n_id", pa.int64()), ("sim", pa.float64())]
@@ -39,13 +51,19 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _rank_candidates(sim: np.ndarray, nid: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top ``kk`` candidates under the deterministic order:
+    quantized similarity desc, then n_id asc."""
+    sim_q = np.round(sim * SIM_QUANT)
+    return np.lexsort((nid, -sim_q))[:kk]
+
+
 def _topk_of_group(group: pa.Table, k: int) -> pa.Table:
-    """Merge a query's candidate rows into its global top-k.
-    Order: similarity desc, then n_id asc (deterministic tie-break)."""
+    """Merge a query's candidate rows into its global top-k."""
     qid = int(group.column("q_id")[0].as_py())
     nid = np.asarray(group.column("n_id").to_pylist(), dtype=np.int64)
     sim = np.asarray(group.column("sim").to_pylist(), dtype=np.float64)
-    order = np.lexsort((nid, -sim))[:k]
+    order = _rank_candidates(sim, nid, k)
     return pa.table(
         {
             "q_id": pa.array([qid] * len(order), pa.int64()),
@@ -59,9 +77,8 @@ def _topk_of_group(group: pa.Table, k: int) -> pa.Table:
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     """The benchmark query set: the first ``n_queries`` vectors (a tiny
     driver-side read — at scale this is the user-provided query matrix)."""
-    import pyarrow.parquet as pq
     import pyarrow.compute as pc
-    import os
+    import pyarrow.parquet as pq
 
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -87,14 +104,12 @@ def knn_brute(sf_dir: str, n_queries: int = 8, k: int = 10):
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, len(ids))  # +1: self may be in-batch
         for qi in range(len(qids)):
-            s = sims[qi]
-            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-            for j in idx:
+            for j in _rank_candidates(sims[qi], ids, kk):
                 if ids[j] == qids[qi]:
                     continue
                 out_q.append(qids[qi])
                 out_n.append(ids[j])
-                out_s.append(s[j])
+                out_s.append(sims[qi, j])
         return pa.table(
             {"q_id": pa.array(out_q, pa.int64()), "n_id": pa.array(out_n, pa.int64()),
              "sim": pa.array(out_s, pa.float64())},
@@ -126,36 +141,135 @@ def _fit_centroids(sample: np.ndarray, n_centroids: int, iters: int = 5) -> np.n
     return c
 
 
-def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_centroids: int = 16, nprobe: int = 4):
-    """IVF approximate top-k: corpus rows keep only buckets their
-    centroid assignment puts them in; a query scans just its ``nprobe``
-    closest buckets. Same output schema as ``knn_brute``."""
-    q_ids, q_unit = _load_queries(sf_dir, n_queries)
+def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16) -> str:
+    """One-time IVF corpus layout: fit coarse centroids on a sample, then
+    ONE shuffle (``groupby(ivf_bucket)``) writes each bucket's vectors to
+    ``index_dir/bucket=<b>/part-0.parquet`` (the ``ivf_bucket`` column is
+    kept IN the file so bucket reads need no hive inference). The same
+    bucketed-parquet pattern as the web index: built once, probed many
+    times; nothing materializes driver-side. Idempotent via ``_DONE``."""
+    if os.path.exists(os.path.join(index_dir, "_DONE")):
+        return index_dir
+    os.makedirs(index_dir, exist_ok=True)
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    sample = _unit(_vecs(pa.table(
-        {"embedding": pa.array([r["embedding"] for r in ds.limit(2048).take_all()])}
-    )))
+    sample = _unit(
+        _vecs(
+            pa.table(
+                {"embedding": pa.array([r["embedding"] for r in ds.limit(2048).take_all()])}
+            )
+        )
+    )
     cents = _fit_centroids(sample, min(n_centroids, len(sample)))
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    c_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        unit = _unit(_vecs(batch))
+        b = np.argmax(unit @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(b, pa.int32()))
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if group.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
+        b = int(group.column("ivf_bucket")[0].as_py())
+        d = os.path.join(index_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".part-0.tmp")
+        pq.write_table(group, tmp)
+        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        return pa.table({"bucket": pa.array([b], pa.int32()), "rows": pa.array([group.num_rows], pa.int64())})
+
+    (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("ivf_bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    with open(os.path.join(index_dir, "_DONE"), "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+_IVF_CACHE_VERSION = 1
+
+
+def knn_ivf(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    index_dir: str | None = None,
+):
+    """IVF approximate top-k: each query reads ONLY its ``nprobe``
+    closest centroid buckets from the one-time ``build_ivf_index``
+    layout — I/O and compute scale with the probed fraction, not the
+    corpus. Same output schema as ``knn_brute``."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if index_dir is None:
+        import hashlib
+
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        st = os.stat(src)
+        # content fingerprint: a rebuilt corpus at the same path must not
+        # silently reuse a stale layout
+        fp = hashlib.md5(
+            f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        ).hexdigest()[:12]
+        index_dir = f"/tmp/wbot_ray_ivf/v{_IVF_CACHE_VERSION}/{fp}/c{n_centroids}"
+    build_ivf_index(sf_dir, index_dir, n_centroids)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+
+    q_ids, q_unit = _load_queries(sf_dir, n_queries)
     probe = np.argsort(-(q_unit @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    probed = {int(q_ids[qi]): set(int(b) for b in probe[qi]) for qi in range(len(q_ids))}
-    bcast = ray.put((q_ids, q_unit, cents, probed))
+    probed = {int(q_ids[qi]): {int(b) for b in probe[qi]} for qi in range(len(q_ids))}
+    used = sorted(set().union(*probed.values()))
+
+    # pruned-read accounting from parquet METADATA only (no data read)
+    rows_of = {}
+    for d in _glob.glob(os.path.join(index_dir, "bucket=*")):
+        b = int(os.path.basename(d).split("=")[1])
+        rows_of[b] = sum(
+            pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(d, "*.parquet"))
+        )
+    total = sum(rows_of.values())
+    probed_rows = sum(rows_of.get(b, 0) for b in used)
+    frac = probed_rows / total if total else 0.0
+    print(
+        f"[knn_ivf] probing {len(used)}/{len(rows_of)} buckets = "
+        f"{probed_rows}/{total} rows ({frac:.1%} of corpus read)"
+    )
+
+    bcast = ray.put((q_ids, q_unit, probed))
+    files = sorted(
+        f
+        for b in used
+        for f in _glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))
+    )
 
     def batch_topk(batch: pa.Table) -> pa.Table:
-        qids, qm, c, pr = ray.get(bcast)
+        qids, qm, pr = ray.get(bcast)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        buckets = np.asarray(batch.column("ivf_bucket").to_pylist(), dtype=np.int64)
         unit = _unit(_vecs(batch))
-        assign = np.argmax(unit @ c.T, axis=1)
-        sims = qm @ unit.T
+        sims = qm @ unit.T  # (nq, probed-batch) — batch is union-pruned
         out_q, out_n, out_s = [], [], []
         for qi in range(len(qids)):
-            mask = np.fromiter((int(a) in pr[int(qids[qi])] for a in assign), bool, len(assign))
-            mask &= ids != qids[qi]
+            qid = int(qids[qi])
+            mask = np.isin(buckets, list(pr[qid])) & (ids != qid)
             j_idx = np.nonzero(mask)[0]
             if len(j_idx) > k:
-                j_idx = j_idx[np.argpartition(-sims[qi, j_idx], k - 1)[:k]]
+                j_idx = j_idx[_rank_candidates(sims[qi, j_idx], ids[j_idx], k)]
             for j in j_idx:
-                out_q.append(qids[qi])
+                out_q.append(qid)
                 out_n.append(ids[j])
                 out_s.append(sims[qi, j])
         return pa.table(
@@ -165,7 +279,8 @@ def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_centroids: int = 16,
         )
 
     return (
-        ds.map_batches(batch_topk, batch_format="pyarrow")
+        ray.data.read_parquet(files)
+        .map_batches(batch_topk, batch_format="pyarrow")
         .groupby("q_id")
         .map_groups(lambda g: _topk_of_group(g, k), batch_format="pyarrow")
     )

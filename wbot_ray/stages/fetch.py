@@ -134,14 +134,23 @@ class _TokenBucket:
         self.next_free = now + self.per_req
 
 
-def make_fetch_group_fn(index_dir: str, cfg: CrawlConfig):
+def make_fetch_group_fn(
+    index_dir: str, cfg: CrawlConfig, hot_roots: dict[str, int] | None = None
+):
     """Build the per-group fetch function. Stateless across tasks; all
     broadcastable state (config, rules, robots) rides the closure once per
-    task submission — never per row."""
+    task submission — never per row.
+
+    ``hot_roots`` (root → salt count): a salted root's frontier rows are
+    split across ``k`` concurrent sub-partitions, so in real-politeness
+    mode each sub-partition's token bucket runs at ``rate / k`` — the
+    aggregate pacing stays at the configured per-root rate instead of
+    silently multiplying it by the salt factor."""
     B = cfg.num_buckets
     max_body = cfg.max_body_size
     max_depth = cfg.max_depth
     mode = cfg.mode
+    hot_roots = hot_roots or {}
 
     def fetch_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -185,7 +194,10 @@ def make_fetch_group_fn(index_dir: str, cfg: CrawlConfig):
                 tb = limiters.get(root)
                 if tb is None:
                     rate, interval = cfg.rate_for_root(root)
-                    tb = limiters[root] = _TokenBucket(rate, interval)
+                    # salted root: k sub-partitions pace concurrently, so
+                    # each runs at rate/k (interval stretched k×)
+                    k = hot_roots.get(root, 1)
+                    tb = limiters[root] = _TokenBucket(rate, interval * k)
                 tb.take()
             t0 = time.perf_counter()
             page = pages.get(url)
@@ -262,9 +274,14 @@ def make_fetch_group_fn(index_dir: str, cfg: CrawlConfig):
 def _group_vmax(roots: list[str], cfg: CrawlConfig) -> float:
     """Virtual politeness budget of one fetch group: wall seconds a
     really-paced crawl would need for the group's slowest root this round
-    (``limiter.go:52-59`` token-bucket semantics on a virtual clock). The
-    group owns ALL frontier rows of its roots, so this is exact without
-    any global pass."""
+    (``limiter.go:52-59`` token-bucket semantics on a virtual clock).
+
+    A group owns ALL frontier rows of its roots EXCEPT salted hot roots,
+    whose rows span k sub-partitions — a group sees only ~n/k of them, so
+    its value understates the hot root's true budget. The driver
+    compensates: it knows every hot root's exact round count and takes the
+    max of this group-local vmax with the exact driver-side hot-root
+    budget (``Crawler._hot_vsec``), so the reported metric is exact."""
     if cfg.politeness == "off":
         return 0.0
     counts: dict[str, int] = {}
@@ -277,7 +294,13 @@ def _group_vmax(roots: list[str], cfg: CrawlConfig) -> float:
     return vmax
 
 
-def make_fused_fetch_fn(index_dir: str, cfg: CrawlConfig, results_dir: str, metrics_dir: str):
+def make_fused_fetch_fn(
+    index_dir: str,
+    cfg: CrawlConfig,
+    results_dir: str,
+    metrics_dir: str,
+    hot_roots: dict[str, int] | None = None,
+):
     """The fused per-round hot stage: fetch + extract + results sink +
     metrics sidecar + candidate explode, all in ONE ``map_groups`` task
     per fetch partition — the round executes as a single streaming
@@ -296,7 +319,7 @@ def make_fused_fetch_fn(index_dir: str, cfg: CrawlConfig, results_dir: str, metr
     if cfg.fetcher_factory is not None:  # pluggable Fetcher seam (§2.10)
         fetch_group = cfg.fetcher_factory(index_dir, cfg)
     else:
-        fetch_group = make_fetch_group_fn(index_dir, cfg)
+        fetch_group = make_fetch_group_fn(index_dir, cfg, hot_roots)
     explode = make_explode_fn(cfg)
     max_depth = cfg.max_depth
     on_response = cfg.on_response

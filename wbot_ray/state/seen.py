@@ -50,27 +50,54 @@ class _SeenShard:
         self._exact: set[bytes] = set()
         self._cuckoo = CuckooFilter(capacity_hint)
         self._delta: list[str] = []
+        # replay cache: (last round served, its decision mask) — see
+        # check_and_set's idempotency contract
+        self._last_round: int | None = None
+        self._last_mask: np.ndarray | None = None
 
-    def check_and_set(self, hashes: list[str]) -> np.ndarray:
+    def check_and_set(self, round_id: int, hashes: list[str]) -> np.ndarray:
         """First-wins check-and-set over an *ordered* hash list (the order
         defines which duplicate within the call wins). Returns a bool mask:
-        True = newly inserted (crawl it), False = already seen."""
+        True = newly inserted (crawl it), False = already seen.
+
+        Idempotent per ``round_id``: the shard receives exactly one call
+        per crawl round, so a repeat of the last round_id is a replay
+        (e.g. a Ray task retry after a worker died AFTER the actor call
+        succeeded) — the recorded decision mask is returned without
+        re-mutating state, preserving the identical-visited-set invariant
+        under task retries."""
+        if round_id == self._last_round:
+            return self._last_mask
         n = len(hashes)
-        mask = np.empty(n, dtype=bool)
+        if n == 0:
+            mask = np.empty(0, dtype=bool)
+            self._last_round, self._last_mask = round_id, mask
+            return mask
         digests = [bytes.fromhex(h) for h in hashes]
-        prefixes = np.frombuffer(b"".join(d[:8] for d in digests), dtype=">u8").astype(np.uint64)
-        maybe = self._cuckoo.contains_many(prefixes) if n else np.empty(0, bool)
+        joined = b"".join(digests)
+        prefixes = np.frombuffer(
+            b"".join(d[:8] for d in digests), dtype=">u8"
+        ).astype(np.uint64)
+        # vectorized probe: cuckoo negative fast path, then exact-set
+        # membership only for the maybe-present rows (no per-hash loop
+        # over definite misses)
+        maybe = self._cuckoo.contains_many(prefixes)
+        dig_view = np.frombuffer(joined, dtype=np.dtype((np.void, len(digests[0]))))
+        _, first_idx = np.unique(dig_view, return_index=True)
+        is_first = np.zeros(n, dtype=bool)
+        is_first[first_idx] = True
+        in_exact = np.zeros(n, dtype=bool)
         exact = self._exact
-        for i in range(n):
-            d = digests[i]
-            if maybe[i] and d in exact:
-                mask[i] = False
-                continue
-            exact.add(d)
+        for i in np.nonzero(maybe)[0]:
+            in_exact[i] = digests[i] in exact
+        mask = is_first & ~in_exact
+        new_idx = np.nonzero(mask)[0]
+        for i in new_idx:
+            exact.add(digests[i])
             self._cuckoo.add(int(prefixes[i]))
-            self._delta.append(hashes[i])
-            mask[i] = True
+        self._delta.extend(hashes[i] for i in new_idx)
         self._maybe_grow()
+        self._last_round, self._last_mask = round_id, mask
         return mask
 
     def _maybe_grow(self) -> None:

@@ -113,9 +113,10 @@ def build_web_index(
 def _build_index_from_shards(pages_dir: str, index_dir: str, num_buckets: int) -> str:
     """Shuffle-free index build for a sharded corpus directory.
 
-    Pass 1 (driver): read ONLY the url column of every shard file and
-    compute which buckets it feeds (a per-host shard feeds exactly one;
-    mixed shards feed a few). Pass 2 (one Ray task per bucket): read the
+    Pass 1 (one Ray task per shard file): read ONLY the url column and
+    compute which buckets the shard feeds (a per-host shard feeds exactly
+    one; mixed shards feed a few) — the driver handles O(shards) bucket
+    lists, never url data. Pass 2 (one Ray task per bucket): read the
     assigned files column-pruned, keep the bucket's rows, sort by url,
     write the bucket file. The corpus' html bytes move exactly once,
     straight into their final sorted location."""
@@ -126,10 +127,15 @@ def _build_index_from_shards(pages_dir: str, index_dir: str, num_buckets: int) -
 
     B = num_buckets
     files = sorted(_glob.glob(os.path.join(pages_dir, "*.parquet")))
-    by_bucket: dict[int, list[str]] = {}
-    for f in files:
+
+    @ray.remote
+    def buckets_of_shard(f: str) -> list[int]:
         urls = pq.read_table(f, columns=["url"]).column("url").to_pylist()
-        for b in {bucket_of_root(root_of_url_host(u), B) for u in urls}:
+        return sorted({bucket_of_root(root_of_url_host(u), B) for u in urls})
+
+    by_bucket: dict[int, list[str]] = {}
+    for f, bl in zip(files, ray.get([buckets_of_shard.remote(f) for f in files])):
+        for b in bl:
             by_bucket.setdefault(b, []).append(f)
 
     @ray.remote
