@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -129,19 +130,52 @@ def token_counts(sf_dir: str):
     )
 
 
+_FP_MOD = (1 << 61) - 1  # Mersenne prime: ·2^k mod p is a 61-bit rotation
+_FP_BASE = 131
+_fp_pow_cache = np.array([1], dtype=np.uint64)
+
+
+def _fp_pows(n: int) -> np.ndarray:
+    """``[BASE^0, .., BASE^(n-1)] mod p`` as uint64 (grown geometrically,
+    cached per process)."""
+    global _fp_pow_cache
+    if len(_fp_pow_cache) < n:
+        m = max(n, 2 * len(_fp_pow_cache))
+        pows, x = [], 1
+        for _ in range(m):
+            pows.append(x)
+            x = (x * _FP_BASE) % _FP_MOD
+        _fp_pow_cache = np.array(pows, dtype=np.uint64)
+    return _fp_pow_cache
+
+
+def _rolling_fp(data: bytes) -> int:
+    """``h = Σ b_i · BASE^(n-1-i) mod p`` — the per-byte Horner loop's
+    value, computed vectorized: products are split at bit 32 so every
+    intermediate fits uint64 (b·hi < 2^37; the ·2^32 reduction uses
+    2^61 ≡ 1 mod p, i.e. a 61-bit rotation)."""
+    n = len(data)
+    if n == 0:
+        return 0
+    w = _fp_pows(n)[n - 1 :: -1]
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    hi = w >> np.uint64(32)
+    lo = w & np.uint64(0xFFFFFFFF)
+    t1 = b * hi  # < 2^37
+    r1 = ((t1 >> np.uint64(29)) + ((t1 & np.uint64((1 << 29) - 1)) << np.uint64(32))) % np.uint64(_FP_MOD)
+    terms = (r1 + b * lo) % np.uint64(_FP_MOD)
+    s_lo = int((terms & np.uint64(0xFFFFFFFF)).sum())
+    s_hi = int((terms >> np.uint64(32)).sum())
+    return ((s_hi % _FP_MOD) * (1 << 32) + s_lo) % _FP_MOD
+
+
 def _fingerprint_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
     md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
     # 64-bit rolling (polynomial) content fingerprint — the cheap identity
     # used for shard-local exact dedup at scale (not SQL-expressible;
-    # verified by unit test instead).
-    rolling = []
-    MOD = (1 << 61) - 1
-    for t in texts:
-        h = 0
-        for b in t.encode():
-            h = (h * 131 + b) % MOD
-        rolling.append(h)
+    # verified against the per-byte Horner definition by unit test).
+    rolling = [_rolling_fp(t.encode()) for t in texts]
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

@@ -49,7 +49,11 @@ class _SeenShard:
         self.shard_id = shard_id
         self._exact: set[bytes] = set()
         self._cuckoo = CuckooFilter(capacity_hint)
-        self._delta: list[str] = []
+        # per-round deltas: flushes are addressed BY round, so a delayed
+        # flush of round d can never swallow hashes inserted by round
+        # d+1's check_and_set (the driver overlaps round-d flushes with
+        # round d+1's pipeline)
+        self._delta: dict[int, list[str]] = {}
         # replay cache: (last round served, its decision mask) — see
         # check_and_set's idempotency contract
         self._last_round: int | None = None
@@ -95,7 +99,7 @@ class _SeenShard:
         for i in new_idx:
             exact.add(digests[i])
             self._cuckoo.add(int(prefixes[i]))
-        self._delta.extend(hashes[i] for i in new_idx)
+        self._delta.setdefault(round_id, []).extend(hashes[i] for i in new_idx)
         self._maybe_grow()
         self._last_round, self._last_mask = round_id, mask
         return mask
@@ -116,15 +120,14 @@ class _SeenShard:
             fresh.add(int.from_bytes(d[:8], "big"))
         self._cuckoo = fresh
 
-    def flush_delta(self, path: str) -> int:
-        """Write this round's newly-seen hashes to Parquet and reset the
-        delta. The actor writes its own file — deltas never transit the
-        driver."""
-        n = len(self._delta)
+    def flush_delta(self, round_id: int, path: str) -> int:
+        """Write ``round_id``'s newly-seen hashes to Parquet and drop
+        them from the delta map. The actor writes its own file — deltas
+        never transit the driver."""
+        delta = self._delta.pop(round_id, [])
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(pa.table({"url_hash": pa.array(self._delta, pa.string())}), path)
-        self._delta.clear()
-        return n
+        pq.write_table(pa.table({"url_hash": pa.array(delta, pa.string())}), path)
+        return len(delta)
 
     def load_hashes(self, paths: list[str]) -> int:
         """Replay checkpoint deltas (resume path) — no delta recording."""
@@ -150,15 +153,22 @@ class SeenSet:
             _SeenShard.remote(s, capacity_hint) for s in range(num_shards)
         ]
 
-    def flush_deltas(self, round_dir: str) -> int:
-        """Checkpoint every shard's delta under ``round_dir`` (parallel)."""
-        counts = ray.get(
-            [
-                sh.flush_delta.remote(os.path.join(round_dir, f"shard={s}.parquet"))
-                for s, sh in enumerate(self.shards)
-            ]
-        )
-        return int(sum(counts))
+    def flush_deltas_async(self, round_id: int, round_dir: str) -> list:
+        """Submit every shard's round-``round_id`` delta flush; returns
+        the futures so the caller can overlap the writes with the next
+        round's pipeline and ``ray.get`` them before committing the
+        round to the manifest."""
+        return [
+            sh.flush_delta.remote(
+                round_id, os.path.join(round_dir, f"shard={s}.parquet")
+            )
+            for s, sh in enumerate(self.shards)
+        ]
+
+    def flush_deltas(self, round_id: int, round_dir: str) -> int:
+        """Checkpoint every shard's delta under ``round_dir`` (parallel,
+        blocking)."""
+        return int(sum(ray.get(self.flush_deltas_async(round_id, round_dir))))
 
     def restore(self, round_dirs: list[str]) -> int:
         """Replay deltas from completed rounds into the shards (parallel)."""
