@@ -224,3 +224,56 @@ class TestHotRootPoliteness:
                 want = max(want, math.ceil(n / rate) * interval)
             got = r["metrics"]["virtual_politeness_sec"]
             assert got == pytest.approx(want), (d, got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStoreQueueSeams:
+    """The WithStore / WithQueue equivalents (reference option.go:49-58):
+    a custom store and a custom queue plugged via config must carry the
+    whole crawl with identical output — and demonstrably be the objects
+    in use."""
+
+    def test_pluggable_store_and_queue(self, tmp_root):
+        from wbot_ray.state.frontier import ParquetFrontier
+        from wbot_ray.state.seen import SeenSet
+
+        calls = {"store": 0, "queue_writes": 0, "queue_reads": 0}
+
+        class CountingStore(SeenSet):
+            def flush_deltas_async(self, round_id, round_dir):
+                calls["store"] += 1
+                return super().flush_deltas_async(round_id, round_dir)
+
+        class CountingQueue(ParquetFrontier):
+            def write_table(self, d, tbl):
+                calls["queue_writes"] += 1
+                return super().write_table(d, tbl)
+
+            def read_table(self, d):
+                calls["queue_reads"] += 1
+                return super().read_table(d)
+
+        cfg_plain = CrawlConfig(max_depth=3, num_buckets=4, seen_shards=2)
+        cfg_plugged = CrawlConfig(
+            max_depth=3,
+            num_buckets=4,
+            seen_shards=2,
+            store_factory=lambda cfg: CountingStore(cfg.seen_shards),
+            queue_factory=lambda wd, cfg: CountingQueue(wd),
+        )
+        pages = gen_pages("tiny")
+        pages_path = str(tmp_root / "seam_pages.parquet")
+        pq.write_table(pages, pages_path)
+        seeds = seeds_for_scale("tiny", 2)
+
+        run_a = Crawler(cfg_plain, workdir=str(tmp_root / "seam_a")).crawl(
+            seeds=seeds, pages_path=pages_path
+        )
+        run_b = Crawler(cfg_plugged, workdir=str(tmp_root / "seam_b")).crawl(
+            seeds=seeds, pages_path=pages_path
+        )
+        assert calls["store"] > 0 and calls["queue_writes"] > 0 and calls["queue_reads"] > 0
+        assert run_a.metrics_total() == run_b.metrics_total()
+        va = run_a.visited_table().to_pylist()
+        vb = run_b.visited_table().to_pylist()
+        assert va == vb

@@ -126,6 +126,21 @@ class CrawlConfig:
     # ``fetcher_factory(index_dir, cfg) -> (group: pa.Table) -> pa.Table``
     # returning RESULT_SCHEMA rows; None = built-in index-lookup fetcher.
     fetcher_factory: object | None = None
+    # store_factory: swap the URL-seen store (reference Store seam,
+    # pkg/api/wbot.go:43-46 via WithStore, option.go:49-53). Called as
+    # ``store_factory(cfg) -> store`` where the store implements the
+    # ``wbot_ray.state.seen.SeenSet`` protocol: ``.shards`` (actor
+    # handles with idempotent per-round ``check_and_set``),
+    # ``flush_deltas_async`` / ``flush_deltas``, ``restore``,
+    # ``total_size``, ``shutdown``. None = built-in sharded cuckoo+exact
+    # actor pool.
+    store_factory: object | None = None
+    # queue_factory: swap the frontier (the reference Queue seam,
+    # pkg/api/wbot.go:48-53 via WithQueue, option.go:54-58). Called as
+    # ``queue_factory(workdir, cfg) -> queue`` implementing the
+    # ``wbot_ray.state.frontier.ParquetFrontier`` protocol (push = write
+    # round d+1, pop = read round d). None = built-in Parquet rounds.
+    queue_factory: object | None = None
 
     def __post_init__(self) -> None:
         if self.max_depth <= 0:  # config.go:30-32

@@ -56,6 +56,7 @@ from wbot_ray.stages.dedup import make_dedup_fn
 from wbot_ray.stages.fetch import make_assign_fetch_part, make_fused_fetch_fn
 from wbot_ray.stages.normalize import FRONTIER_SCHEMA, seeds_to_frontier
 from wbot_ray.stages.order import assign_crawl_ord
+from wbot_ray.state.frontier import ParquetFrontier
 from wbot_ray.state.seen import SeenSet
 from wbot_ray.web_index import build_web_index
 
@@ -70,13 +71,6 @@ METRIC_KEYS = [
     "skipped_link",
     "duplicated_link",
 ]
-
-
-def _parquet_rows(path: str) -> int:
-    return sum(
-        pq.read_metadata(f).num_rows
-        for f in glob.glob(os.path.join(path, "*.parquet"))
-    )
 
 
 def _clean(path: str) -> None:
@@ -122,9 +116,7 @@ class CrawlRun:
     def visited_dataset(self) -> "ray.data.Dataset":
         """Every popped request (== frontier rows across rounds) in pop
         order, as a sorted Dataset."""
-        files = sorted(
-            glob.glob(os.path.join(self.workdir, "frontier", "round=*", "*.parquet"))
-        )
+        files = ParquetFrontier(self.workdir).files()
         return ray.data.read_parquet(
             files, columns=["crawl_ord", "url", "url_hash", "depth"]
         ).sort("crawl_ord")
@@ -181,7 +173,7 @@ class Crawler:
 
     # -- per-round helpers ------------------------------------------------
     def _hot_roots(
-        self, frontier_dir: str, n_frontier: int
+        self, frontier: "ParquetFrontier", d: int, n_frontier: int
     ) -> tuple[dict[str, int], dict[str, int]]:
         """Hot-root (skew) detection: roots whose frontier rows exceed
         ``hot_host_threshold`` get salt-split into sub-partitions.
@@ -200,11 +192,7 @@ class Crawler:
         threshold = cfg.hot_host_threshold
         if n_frontier <= threshold:
             return {}, {}
-        counts = (
-            ray.data.read_parquet(frontier_dir, columns=["root"])
-            .groupby("root")
-            .count()
-        )
+        counts = frontier.read_dataset(d, columns=["root"]).groupby("root").count()
 
         def partials(batch: pa.Table) -> pa.Table:
             """Per-batch partial: only roots above threshold survive."""
@@ -335,19 +323,25 @@ class Crawler:
         os.makedirs(wd, exist_ok=True)
         index_dir = self.shared_index_dir or os.path.join(wd, "index")
 
+        # extension seams (reference WithQueue / WithStore,
+        # option.go:49-58): the frontier layout and the seen store are
+        # pluggable; defaults are the built-in Parquet rounds + sharded
+        # cuckoo/exact actors
+        frontier = (
+            cfg.queue_factory(wd, cfg) if cfg.queue_factory else ParquetFrontier(wd)
+        )
+
         if resume:
             with open(self._manifest_path()) as f:
                 manifest = json.load(f)
         else:
             if seeds is None or pages_path is None:
                 raise ValueError("fresh crawl needs seeds and pages_path")
-            for sub in ("frontier", "results", "seen", "metrics"):
+            frontier.clear_all()
+            for sub in ("results", "seen", "metrics"):
                 _clean(os.path.join(wd, sub))
             build_web_index(pages_path, index_dir, cfg.num_buckets)
-            f0 = seeds_to_frontier(seeds, cfg)
-            r0_dir = os.path.join(wd, "frontier", "round=0")
-            os.makedirs(r0_dir, exist_ok=True)
-            pq.write_table(f0, os.path.join(r0_dir, "part-0.parquet"))
+            frontier.write_table(0, seeds_to_frontier(seeds, cfg))
             manifest = {
                 "pages_path": pages_path,
                 "seeds": seeds,
@@ -356,7 +350,7 @@ class Crawler:
             }
             self._save_manifest(manifest)
 
-        seen = SeenSet(cfg.seen_shards)
+        seen = cfg.store_factory(cfg) if cfg.store_factory else SeenSet(cfg.seen_shards)
         try:
             completed = [r["round"] for r in manifest["rounds"]]
             start = (max(completed) + 1) if completed else 0
@@ -364,9 +358,7 @@ class Crawler:
             for stale in glob.glob(os.path.join(wd, "results", "round=*")):
                 if int(stale.rsplit("=", 1)[1]) >= start:
                     _clean(stale)
-            for stale in glob.glob(os.path.join(wd, "frontier", "round=*")):
-                if int(stale.rsplit("=", 1)[1]) > start:
-                    _clean(stale)
+            frontier.clear_rounds_after(start)
             for stale in glob.glob(os.path.join(wd, "seen", "round=*")):
                 if int(stale.rsplit("=", 1)[1]) >= start:
                     _clean(stale)
@@ -398,8 +390,7 @@ class Crawler:
                 pending_commit = None
 
             while True:
-                frontier_dir = os.path.join(wd, "frontier", f"round={d}")
-                n_d = _parquet_rows(frontier_dir)
+                n_d = frontier.rows(d)
                 if n_d == 0:
                     _commit_pending()
                     manifest["done"] = True
@@ -413,7 +404,7 @@ class Crawler:
                 if hot_roots is None:
                     # first round of this (possibly resumed) run: one
                     # gated scan; later rounds reuse the dedup sidecars
-                    hot_roots, hot_counts = self._hot_roots(frontier_dir, n_d)
+                    hot_roots, hot_counts = self._hot_roots(frontier, d, n_d)
                 stage_sec["hot_detect"] = round(_time.perf_counter() - _t, 3)
 
                 # ---- ONE fused pipeline per round:
@@ -428,15 +419,11 @@ class Crawler:
                 _clean(metrics_parts)
                 os.makedirs(results_dir, exist_ok=True)
                 os.makedirs(metrics_parts, exist_ok=True)
-                next_dir = os.path.join(wd, "frontier", f"round={d + 1}")
                 cols = FRONTIER_SCHEMA.names
 
                 if n_d <= cfg.local_round_threshold:
                     # ---- tiny round: run in-process (same stage fns)
-                    frontier_tbl = pa.concat_tables(
-                        pq.read_table(f)
-                        for f in sorted(glob.glob(os.path.join(frontier_dir, "*.parquet")))
-                    )
+                    frontier_tbl = frontier.read_table(d)
                     ordered_tbl = self._run_round_local(
                         frontier_tbl, hot_roots, index_dir, results_dir,
                         metrics_parts, seen, d,
@@ -445,13 +432,8 @@ class Crawler:
                     stage_sec["fetch_dedup"] = round(_time.perf_counter() - _t, 3)
 
                     _t = _time.perf_counter()
-                    _clean(next_dir)
-                    os.makedirs(next_dir, exist_ok=True)
                     if n_next == 0:
-                        pq.write_table(
-                            FRONTIER_SCHEMA.empty_table(),
-                            os.path.join(next_dir, "part-0.parquet"),
-                        )
+                        frontier.write_table(d + 1, FRONTIER_SCHEMA.empty_table())
                     else:
                         ordered_tbl = ordered_tbl.append_column(
                             "crawl_ord",
@@ -460,10 +442,7 @@ class Crawler:
                                 pa.int64(),
                             ),
                         )
-                        pq.write_table(
-                            ordered_tbl.select(cols),
-                            os.path.join(next_dir, "part-0.parquet"),
-                        )
+                        frontier.write_table(d + 1, ordered_tbl.select(cols))
                     stage_sec["order_write"] = round(_time.perf_counter() - _t, 3)
                 else:
                     # block count = shuffle/task width of the round. Two
@@ -481,7 +460,7 @@ class Crawler:
                         ),
                     )
                     pipe = (
-                        ray.data.read_parquet(frontier_dir, override_num_blocks=n_blocks)
+                        frontier.read_dataset(d, override_num_blocks=n_blocks)
                         .map_batches(
                             make_assign_fetch_part(cfg, hot_roots),
                             batch_format="pyarrow",
@@ -514,13 +493,8 @@ class Crawler:
                             sf.write(deduped.stats())
 
                     _t = _time.perf_counter()
-                    _clean(next_dir)
-                    os.makedirs(next_dir, exist_ok=True)
                     if n_next == 0:
-                        pq.write_table(
-                            FRONTIER_SCHEMA.empty_table(),
-                            os.path.join(next_dir, "part-0.parquet"),
-                        )
+                        frontier.write_table(d + 1, FRONTIER_SCHEMA.empty_table())
                     elif n_next <= cfg.driver_order_threshold:
                         # small frontier: a distributed sort would be pure
                         # shuffle overhead — merge the slim candidate blocks
@@ -537,16 +511,14 @@ class Crawler:
                                 pa.int64(),
                             ),
                         )
-                        pq.write_table(
-                            tbl.select(cols), os.path.join(next_dir, "part-0.parquet")
-                        )
+                        frontier.write_table(d + 1, tbl.select(cols))
                     else:
                         ordered, _ = assign_crawl_ord(
                             deduped.sort("ord64"), ord_base + n_d
                         )
                         ordered.map_batches(
                             lambda t: t.select(cols), batch_format="pyarrow"
-                        ).write_parquet(next_dir)
+                        ).write_parquet(frontier.prepare_round_dir(d + 1))
                     stage_sec["order_write"] = round(_time.perf_counter() - _t, 3)
 
                 # THIS round's hot-root budget before the counts roll over
