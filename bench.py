@@ -198,12 +198,13 @@ def one(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
 def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
     """Same crawl job at two parallelism levels in fresh processes.
 
-    Each level runs ``reps`` times and the BEST wall time counts:
-    single-node runs see ±20% noise from page-cache writeback and the
-    previous Ray session's teardown, and the minimum is the standard
-    low-noise estimator of attainable throughput. The hi level runs
-    first in each rep so cache-warming order favors (conservatively)
-    the lo level."""
+    Each level runs ``reps`` times. Reported: the BEST-pair efficiency
+    (minimum wall per level — the standard low-noise estimator of
+    attainable throughput on a shared box with ±20% noise bursts) AND
+    the per-rep pair efficiencies with their MEDIAN (``value`` is the
+    median — the conservative headline). The hi level runs first in
+    each rep so cache-warming order favors (conservatively) the lo
+    level."""
     # corpus + index prepared ONCE here so neither timed run pays for them
     _init_ray(hi)
     _bench_index(_bench_pages())
@@ -226,6 +227,11 @@ def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
                 env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
                 check=False,
             )
+            try:
+                with open("/proc/loadavg") as lf:
+                    load1 = float(lf.read().split()[0])
+            except OSError:
+                load1 = None
             lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
             if not lines:
                 raise RuntimeError(
@@ -234,17 +240,33 @@ def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
                     + "\n".join(proc.stderr.strip().splitlines()[-20:])
                 )
             r = json.loads(lines[-1])
-            runs.append({"cpus": n, "pages_per_sec": r["crawl"]["pages_per_sec"]})
+            # load1 is sampled right after the child exits: external load
+            # on this shared box crushes the hi level far more than the
+            # lo level, so the context is part of the record
+            runs.append(
+                {"cpus": n, "pages_per_sec": r["crawl"]["pages_per_sec"], "load1_after": load1}
+            )
             if n not in best or r["crawl"]["sec"] < best[n]["crawl"]["sec"]:
                 best[n] = r
             time.sleep(2)
     thr_lo = best[lo]["crawl"]["pages_per_sec"]
     thr_hi = best[hi]["crawl"]["pages_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+    best_eff = (thr_hi / thr_lo) / (hi / lo)
+    # per-rep pairs: rep i's hi run against rep i's lo run
+    hi_runs = [r["pages_per_sec"] for r in runs if r["cpus"] == hi]
+    lo_runs = [r["pages_per_sec"] for r in runs if r["cpus"] == lo]
+    pair_effs = sorted(
+        round((h / l) / (hi / lo), 3) for h, l in zip(hi_runs, lo_runs)
+    )
+    median_eff = pair_effs[len(pair_effs) // 2] if len(pair_effs) % 2 else round(
+        (pair_effs[len(pair_effs) // 2 - 1] + pair_effs[len(pair_effs) // 2]) / 2, 3
+    )
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": median_eff,
         "unit": "ratio",
+        "best_pair_efficiency": round(best_eff, 3),
+        "pair_efficiencies": pair_effs,
         "lo_cpus": lo,
         "hi_cpus": hi,
         "lo_pages_per_sec": thr_lo,
@@ -260,13 +282,14 @@ def main() -> None:
     ap.add_argument("--one", action="store_true")
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        print(json.dumps(scaling(sf_dir)))
+        print(json.dumps(scaling(sf_dir, reps=args.reps)))
     else:
         print(json.dumps(one(num_cpus, sf_dir, args.crawl_only)))
     import ray

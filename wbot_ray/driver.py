@@ -1,8 +1,10 @@
 """Round driver — the Ray-Data-native replacement for the reference's
 worker loop (``/root/reference/crawler.go:195-291``).
 
-There is no queue object: the depth-``d`` frontier IS a Parquet-checkpointed
-Dataset, and one BFS round is ONE fused streaming pipeline (SURVEY §3.4)::
+There is no per-request queue: the depth-``d`` frontier IS a
+Parquet-checkpointed Dataset (owned by the pluggable
+``wbot_ray.state.frontier.ParquetFrontier`` — the reference's Queue
+seam), and one BFS round is ONE fused streaming pipeline (SURVEY §3.4)::
 
     frontier_d ──map_batches(assign fetch_part)──
       groupby(fetch_part).map_groups(FUSED:                # one task per
@@ -36,7 +38,10 @@ Checkpoint/lineage layout under ``workdir`` (every round resumable)::
 Crash recovery: a round is visible only once MANIFEST.json records it
 (atomic tmp+rename); resume deletes any un-manifested round directories,
 replays seen-set deltas of committed rounds into fresh shard actors, and
-re-runs from the first missing round.
+re-runs from the first missing round. Round ``d``'s commit is deferred
+until the end of round ``d+1`` so the seen-delta checkpoint writes
+overlap the next round's pipeline — a crash costs at most one re-run
+round, and re-runs are deterministic.
 """
 
 from __future__ import annotations

@@ -79,6 +79,10 @@ def cust_order_stats(sf_dir: str):
     seg_ref = ray.put(cust)
 
     def attach(batch: pa.Table) -> pa.Table:
+        """Join + PARTIAL per-batch aggregate: the shuffle carries one
+        row per (segment, custkey) seen in the batch, never raw orders —
+        the combiner-before-groupby pattern that keeps the exchange
+        small at any scale."""
         dim = ray.get(seg_ref)
         j = pa.table(
             {
@@ -86,11 +90,22 @@ def cust_order_stats(sf_dir: str):
                 "price_cents": cents(batch.column("o_totalprice")),
             }
         ).join(dim, keys="o_custkey", right_keys="c_custkey", join_type="left outer")
-        return pa.table(
+        j = pa.table(
             {
                 "c_mktsegment": pc.fill_null(j.column("c_mktsegment"), "UNKNOWN"),
                 "o_custkey": j.column("o_custkey"),
                 "price_cents": j.column("price_cents"),
+            }
+        )
+        part = j.group_by(["c_mktsegment", "o_custkey"]).aggregate(
+            [("price_cents", "sum"), ("o_custkey", "count")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": part.column("c_mktsegment"),
+                "o_custkey": part.column("o_custkey"),
+                "n": part.column("o_custkey_count"),
+                "pc": part.column("price_cents_sum"),
             }
         )
 
@@ -98,7 +113,7 @@ def cust_order_stats(sf_dir: str):
         read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(attach, batch_format="pyarrow")
         .groupby(["c_mktsegment", "o_custkey"])
-        .aggregate(Count(alias_name="n"), Sum("price_cents", alias_name="pc"))
+        .aggregate(Sum("n", alias_name="n"), Sum("pc", alias_name="pc"))
     )
     return per_cust.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_customers"),
