@@ -277,3 +277,65 @@ class TestStoreQueueSeams:
         va = run_a.visited_table().to_pylist()
         vb = run_b.visited_table().to_pylist()
         assert va == vb
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPerSeedParams:
+    def test_per_seed_max_body_size_inherited(self, tmp_root):
+        """Param columns (max_body_size/timeout_ms) ride the frontier and
+        children inherit the parent's values — a seed crawled with a tiny
+        body cap yields truncated text down its whole subtree, while the
+        other seed's subtree is untouched (reference api.Param semantics,
+        crawler.go:174-179, 276-280)."""
+        from wbot_ray.stages.normalize import seeds_to_frontier
+
+        cfg = CrawlConfig(max_depth=2, num_buckets=4, seen_shards=2)
+        pages = gen_pages("tiny")
+        pages_path = str(tmp_root / "param_pages.parquet")
+        pq.write_table(pages, pages_path)
+        seeds = seeds_for_scale("tiny", 2)
+
+        tiny_cap = 64
+        f0 = seeds_to_frontier(
+            seeds, cfg, params=[{"max_body_size": tiny_cap}, {}]
+        )
+        assert f0.column("max_body_size").to_pylist() == [tiny_cap, cfg.max_body_size]
+
+        # drive a crawl with the override by writing round 0 manually
+        crawler = Crawler(cfg, workdir=str(tmp_root / "param_run"))
+        run = crawler.crawl(seeds=seeds, pages_path=pages_path)
+        default_results = {r["url"]: r["text"] for r in run.results_table().to_pylist()}
+
+        from wbot_ray.state.frontier import ParquetFrontier
+
+        wd = str(tmp_root / "param_run2")
+        crawler2 = Crawler(cfg, workdir=wd)
+        run2 = crawler2.crawl(seeds=seeds, pages_path=pages_path)
+        # overwrite round 0 with the per-seed override and resume-style rerun
+        ParquetFrontier(wd).write_table(0, f0)
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(wd, "MANIFEST.json")) as f:
+            m = _json.load(f)
+        m["rounds"], m["done"] = [], False
+        with open(_os.path.join(wd, "MANIFEST.json"), "w") as f:
+            _json.dump(m, f)
+        run2 = crawler2.crawl(resume=True)
+        capped_results = run2.results_table().to_pylist()
+
+        seed0_root = seeds[0].split("://")[1].split("/")[0]
+        saw_capped = saw_default = False
+        for r in capped_results:
+            full = default_results.get(r["url"])
+            if full is None:
+                continue
+            if seed0_root in r["url"]:
+                assert len(r["text"].encode()) <= len(full.encode())
+                if len(full.encode()) > 0 and r["text"] != full:
+                    saw_capped = True
+            else:
+                assert r["text"] == full
+                saw_default = True
+        assert saw_capped, "tiny cap produced no truncated text — param not applied"
+        assert saw_default, "no default-cap page found — fixture degenerate"

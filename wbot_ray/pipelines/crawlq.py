@@ -37,7 +37,7 @@ __all__ = [
 
 # bump when engine semantics or fixture content change — invalidates any
 # cached crawl from an older code version
-_CACHE_VERSION = 3
+_CACHE_VERSION = 4
 _CACHE_ROOT = f"/tmp/wbot_ray_q/v{_CACHE_VERSION}"
 
 # the config every crawl query (and its oracle) runs under

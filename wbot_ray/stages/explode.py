@@ -25,7 +25,10 @@ __all__ = ["make_explode_fn", "CANDIDATE_COLUMNS", "CANDIDATE_SCHEMA", "ORD_LINK
 ORD_LINK_BITS = 20
 
 # columns the explode stage needs from the results parquet (pruned read)
-CANDIDATE_COLUMNS = ["crawl_ord", "depth", "user_agent", "proxy", "referer", "next"]
+CANDIDATE_COLUMNS = [
+    "crawl_ord", "depth", "user_agent", "proxy", "referer",
+    "max_body_size", "timeout_ms", "next",
+]
 
 CANDIDATE_SCHEMA = pa.schema(
     [
@@ -41,6 +44,8 @@ CANDIDATE_SCHEMA = pa.schema(
         ("user_agent", pa.string()),
         ("proxy", pa.string()),
         ("referer", pa.string()),
+        ("max_body_size", pa.int64()),
+        ("timeout_ms", pa.int64()),
     ]
 )
 
@@ -67,6 +72,9 @@ def make_explode_fn(cfg: CrawlConfig):
         ua = pc.take(batch.column("user_agent"), parent_idx)
         proxy = pc.take(batch.column("proxy"), parent_idx)
         referer = pc.take(batch.column("referer"), parent_idx)
+        # children inherit the parent's Param verbatim (crawler.go:276-280)
+        mbs = pc.take(batch.column("max_body_size"), parent_idx)
+        tmo = pc.take(batch.column("timeout_ms"), parent_idx)
 
         link_idx = pc.cast(pc.struct_field(flat, "link_idx"), pa.int64())
         ord64 = pc.add(
@@ -90,6 +98,8 @@ def make_explode_fn(cfg: CrawlConfig):
                 "user_agent": ua,
                 "proxy": proxy,
                 "referer": referer,
+                "max_body_size": mbs,
+                "timeout_ms": tmo,
             },
             schema=CANDIDATE_SCHEMA,
         )

@@ -78,6 +78,8 @@ RESULT_SCHEMA = pa.schema(
         ("user_agent", pa.string()),
         ("proxy", pa.string()),
         ("referer", pa.string()),
+        ("max_body_size", pa.int64()),
+        ("timeout_ms", pa.int64()),
         ("next", NEXT_TYPE),
     ]
 )
@@ -147,7 +149,6 @@ def make_fetch_group_fn(
     aggregate pacing stays at the configured per-root rate instead of
     silently multiplying it by the salt factor."""
     B = cfg.num_buckets
-    max_body = cfg.max_body_size
     max_depth = cfg.max_depth
     mode = cfg.mode
     hot_roots = hot_roots or {}
@@ -182,6 +183,10 @@ def make_fetch_group_fn(
         uas = group.column("user_agent").to_pylist()
         proxies = group.column("proxy").to_pylist()
         referers = group.column("referer").to_pylist()
+        # per-request Param limits (api.Param, crawler.go:174-179);
+        # inherited parent→child, so each row may differ
+        mbs = group.column("max_body_size").to_pylist()
+        tmo = group.column("timeout_ms").to_pylist()
 
         limiters: dict[str, _TokenBucket] = {}
         real_politeness = cfg.politeness == "real"
@@ -210,6 +215,8 @@ def make_fetch_group_fn(
             out["user_agent"].append(uas[i])
             out["proxy"].append(proxies[i])
             out["referer"].append(referers[i])
+            out["max_body_size"].append(mbs[i])
+            out["timeout_ms"].append(tmo[i])
             if page is None:
                 # failed request: counted, url dropped (crawler.go:230-234)
                 out["status"].append(0)
@@ -223,7 +230,7 @@ def make_fetch_group_fn(
                 out["elapsed_ms"].append(int((time.perf_counter() - t0) * 1000))
                 continue
             html, lang, warc_ts = page
-            body = html[:max_body]  # truncate BEFORE extraction (M7)
+            body = html[: mbs[i]]  # per-request truncation BEFORE extraction (M7)
             text = extract_text(body)
             # resolve + re-validate inline; errors silently dropped
             children = []
