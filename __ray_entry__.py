@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_stats": relational.cust_order_stats,
         "events_hourly": relational.events_hourly,
         "sessionize": relational.sessionize,
+        "asof_prior_event": relational.asof_prior_event,
         "topk_users": relational.topk_users,
         "region_acctbal": relational.region_acctbal,
     }
@@ -262,6 +263,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents,
                    CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
             FROM sess GROUP BY user_id, session_id
+        """,
+        "asof_prior_event": """
+            -- DuckDB's native ASOF JOIN is the oracle; rights sharing a
+            -- timestamp are pre-reduced to max(event_id) in BOTH engines
+            -- so the as-of pick is unique
+            WITH p AS (
+              SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                     CAST(MAX(event_id) AS BIGINT) AS click_event_id
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, epoch_us(ts)
+            )
+            SELECT p.event_id, p.user_id, p.ts_us,
+                   c.click_event_id,
+                   c.ts_us AS click_ts_us,
+                   p.ts_us - c.ts_us AS gap_us
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         """,
         "topk_users": f"""
             WITH agg AS (

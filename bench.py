@@ -164,6 +164,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "events_hourly",
         "topk_users",
         "sessionize",
+        "asof_prior_event",
         "corpus_filter",
     ]
     out: dict[str, float] = {}

@@ -333,6 +333,8 @@ class TestOracleParity:
             "doc_fingerprint",
             "corpus_filter",
             "sessionize",
+            "asof_prior_event",
+            "langid",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):

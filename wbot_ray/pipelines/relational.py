@@ -20,7 +20,15 @@ from ray.data.aggregate import Count, Sum
 
 from wbot_ray.pipelines.common import cents, read_table
 
-__all__ = ["q1_pricing", "cust_order_stats", "events_hourly", "topk_users", "sessionize", "region_acctbal"]
+__all__ = [
+    "q1_pricing",
+    "cust_order_stats",
+    "events_hourly",
+    "topk_users",
+    "sessionize",
+    "asof_prior_event",
+    "region_acctbal",
+]
 
 
 def q1_pricing(sf_dir: str):
@@ -230,6 +238,89 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         .map_batches(prep, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(user_sessions, batch_format="pyarrow")
+    )
+
+
+def asof_prior_event(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+):
+    """As-of join (an operator Ray Data lacks natively): each
+    ``left_type`` event is matched to the same user's most recent
+    ``right_type`` event at-or-before it (attribution join). Inner
+    semantics — lefts with no prior right are dropped, exactly like a
+    SQL ``ASOF JOIN``.
+
+    Ray shape: ``groupby(user_id).map_groups`` with an in-group sort +
+    ``np.searchsorted`` merge scan — each task owns one user's full
+    ordered stream, so the join is local state; the shuffle carries only
+    the slim (user, kind, id, ts) rows. Partitioning assumption: one
+    user's events fit one task (same as ``sessionize``); salt by time
+    range if a user's stream outgrows a worker.
+
+    Determinism: rights sharing a timestamp are pre-reduced to the max
+    event_id (both engines apply the identical rule, so the as-of pick
+    is unique)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.equal(batch.column("event_type"), left_type),
+            pc.equal(batch.column("event_type"), right_type),
+        )
+        t = batch.filter(mask)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "is_left": pc.equal(t.column("event_type"), left_type),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("click_event_id", pa.int64()),
+            ("click_ts_us", pa.int64()),
+            ("gap_us", pa.int64()),
+        ]
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        uid = int(group.column("user_id")[0].as_py())
+        is_left = np.asarray(group.column("is_left").to_pylist(), dtype=bool)
+        ids = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
+        ts = np.asarray(group.column("ts_us").to_pylist(), dtype=np.int64)
+        l_ids, l_ts = ids[is_left], ts[is_left]
+        r_ids, r_ts = ids[~is_left], ts[~is_left]
+        if len(l_ids) == 0 or len(r_ids) == 0:
+            return OUT.empty_table()
+        # dedupe rights per ts (keep max event_id), then time-sort
+        order = np.lexsort((r_ids, r_ts))
+        r_ids, r_ts = r_ids[order], r_ts[order]
+        last_of_ts = np.r_[r_ts[1:] != r_ts[:-1], True]
+        r_ids, r_ts = r_ids[last_of_ts], r_ts[last_of_ts]
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        m = idx >= 0
+        l_ids, l_ts, idx = l_ids[m], l_ts[m], idx[m]
+        return pa.table(
+            {
+                "event_id": pa.array(l_ids, pa.int64()),
+                "user_id": pa.array([uid] * len(l_ids), pa.int64()),
+                "ts_us": pa.array(l_ts, pa.int64()),
+                "click_event_id": pa.array(r_ids[idx], pa.int64()),
+                "click_ts_us": pa.array(r_ts[idx], pa.int64()),
+                "gap_us": pa.array(l_ts - r_ts[idx], pa.int64()),
+            },
+            schema=OUT,
+        )
+
+    return (
+        read_table(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(join_group, batch_format="pyarrow")
     )
 
 
