@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": relational.q1_pricing,
         "cust_order_stats": relational.cust_order_stats,
         "events_hourly": relational.events_hourly,
+        "events_sliding": relational.events_sliding,
         "sessionize": relational.sessionize,
         "asof_prior_event": relational.asof_prior_event,
         "topk_users": relational.topk_users,
@@ -263,6 +264,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents,
                    CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
             FROM sess GROUP BY user_id, session_id
+        """,
+        "events_sliding": f"""
+            WITH e AS (
+              SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type,
+                     {cents('value')} AS value_cents
+              FROM events
+            ), w AS (
+              SELECT (e.ts_us // 900000000) * 900000000 - j.j * 900000000
+                       AS window_start_us,
+                     e.event_type, e.value_cents
+              FROM e CROSS JOIN (SELECT UNNEST(range(4)) AS j) j
+            )
+            SELECT window_start_us, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+            FROM w GROUP BY window_start_us, event_type
         """,
         "asof_prior_event": """
             -- DuckDB's native ASOF JOIN is the oracle; rights sharing a

@@ -162,6 +162,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "q1_pricing",
         "cust_order_stats",
         "events_hourly",
+        "events_sliding",
         "topk_users",
         "sessionize",
         "asof_prior_event",

@@ -334,6 +334,7 @@ class TestOracleParity:
             "corpus_filter",
             "sessionize",
             "asof_prior_event",
+            "events_sliding",
             "langid",
         ],
     )

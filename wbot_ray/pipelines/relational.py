@@ -24,6 +24,7 @@ __all__ = [
     "q1_pricing",
     "cust_order_stats",
     "events_hourly",
+    "events_sliding",
     "topk_users",
     "sessionize",
     "asof_prior_event",
@@ -149,6 +150,44 @@ def events_hourly(sf_dir: str):
         read_table(sf_dir, "events", ["ts", "event_type", "value"])
         .map_batches(prep, batch_format="pyarrow")
         .groupby(["hour_key", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 15):
+    """Sliding-window aggregate: per (window_start, event_type) count +
+    exact value cents, windows of ``window_min`` minutes sliding every
+    ``slide_min``. The streaming shape: each event is EXPLODED per batch
+    into the ``window/slide`` windows covering it (here 4 rows/event of
+    3 slim columns), then one small keyed groupby — no sort, no
+    cross-batch state."""
+    win_us = window_min * 60 * 1_000_000
+    slide_us = slide_min * 60 * 1_000_000
+    per_event = win_us // slide_us
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        vals = np.asarray(cents(batch.column("value")))
+        types = batch.column("event_type").to_pylist()
+        # window starts covering ts: every slide-aligned start in
+        # (ts - window, ts]
+        last_start = (ts // slide_us) * slide_us
+        starts = last_start[:, None] - np.arange(per_event)[None, :] * slide_us
+        n = len(ts)
+        return pa.table(
+            {
+                "window_start_us": pa.array(starts.reshape(-1), pa.int64()),
+                "event_type": pa.array(
+                    [t for t in types for _ in range(per_event)], pa.string()
+                ),
+                "value_cents": pa.array(np.repeat(vals, per_event), pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["window_start_us", "event_type"])
         .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
     )
 
