@@ -222,6 +222,11 @@ def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
             # doesn't steal IO from the next timed run
             subprocess.run(["sync"], check=False)
             time.sleep(5)  # previous session teardown must fully drain
+            try:
+                with open("/proc/loadavg") as lf:
+                    load1_before = float(lf.read().split()[0])
+            except OSError:
+                load1_before = None
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", "--cpus", str(n), "--crawl-only"],
                 capture_output=True,
@@ -245,8 +250,16 @@ def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
             # load1 is sampled right after the child exits: external load
             # on this shared box crushes the hi level far more than the
             # lo level, so the context is part of the record
+            # load1_before (sampled after the settle, before launch) is
+            # the EXTERNAL-noise indicator; load1_after mostly reflects
+            # the run's own decaying load
             runs.append(
-                {"cpus": n, "pages_per_sec": r["crawl"]["pages_per_sec"], "load1_after": load1}
+                {
+                    "cpus": n,
+                    "pages_per_sec": r["crawl"]["pages_per_sec"],
+                    "load1_before": load1_before,
+                    "load1_after": load1,
+                }
             )
             if n not in best or r["crawl"]["sec"] < best[n]["crawl"]["sec"]:
                 best[n] = r

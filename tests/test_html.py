@@ -65,3 +65,44 @@ def test_extract_text_whitespace_normalized():
 
 def test_extract_text_entities():
     assert extract_text(b"<p>a &amp; b</p>") == "a & b"
+
+
+class TestParsePage:
+    def test_one_pass_equals_two_passes(self):
+        """parse_page (the fetch hot path) must be byte-identical to the
+        separate find_links + extract_text reference implementations —
+        including truncated input, self-closed skip tags, and nested
+        script/style."""
+        from wbot_ray.html import extract_text, find_links, parse_page
+
+        bodies = [
+            b"<html><body><a href='/x'>A</a><script>var x=1</script>text"
+            b"<img src='i.png'/><style>p{}</style> tail</body></html>",
+            b"<a href='/1'><link href='/2'><script src='/3'></script>"
+            b"<iframe src='/4'></iframe><noscript>hidden</noscript>shown",
+            b"<script/>visible<script>skip<style>nested</style>more</script>out",
+            b"<p>unclosed <a href='/t'>trunc",
+            b"",
+            "<p>unicode é中</p><a href='/u'>x</a>".encode(),
+            b"<p>bad \xff bytes</p><a href='/b'>y</a>",
+        ]
+        from wbot_ray.sources.fixtures import gen_pages
+
+        bodies += [h.encode() if isinstance(h, str) else h
+                   for h in gen_pages("tiny").column("html").to_pylist()[:50]]
+        for body in bodies:
+            if isinstance(body, str):
+                body = body.encode()
+            links, text = parse_page(body)
+            assert links == find_links(body), body[:60]
+            assert text == extract_text(body), body[:60]
+
+    def test_one_pass_on_truncated_prefixes(self):
+        from wbot_ray.html import extract_text, find_links, parse_page
+        from wbot_ray.sources.fixtures import gen_pages
+
+        html = gen_pages("tiny").column("html").to_pylist()[0]
+        body = html.encode() if isinstance(html, str) else html
+        for cut in (0, 1, 7, 63, 128, 1000, len(body)):
+            b = body[:cut]
+            assert parse_page(b) == (find_links(b), extract_text(b)), cut

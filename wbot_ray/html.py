@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from html.parser import HTMLParser
 
-__all__ = ["find_links", "extract_text"]
+__all__ = ["find_links", "extract_text", "parse_page"]
 
 # tag -> attribute, in the reference's selector-group order (wbot.go:171-195)
 _GROUPS: tuple[tuple[str, str], ...] = (
@@ -117,3 +117,65 @@ def extract_text(body: bytes) -> str:
     except Exception:
         pass
     return " ".join(p.chunks)
+
+
+class _PageCollector(HTMLParser):
+    """Links + text in ONE parse (the fetch hot path). Semantically the
+    exact union of ``_LinkCollector`` and ``_TextCollector``: the two
+    callbacks never interact (link collection reads start tags; the text
+    skip-stack reads start/end tags), so one pass produces byte-identical
+    outputs to the two separate passes — pinned by
+    ``tests/test_html.py``. A self-closed skip tag (``<script/>``) is a
+    net no-op on the skip depth, matching ``_TextCollector``'s default
+    ``handle_startendtag`` (+1 then −1)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.groups: list[list[str]] = [[] for _ in _GROUPS]
+        self.chunks: list[str] = []
+        self._skip_depth = 0
+
+    def _collect(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        gi = _GROUP_IDX.get(tag)
+        if gi is None:
+            return
+        want = _GROUPS[gi][1]
+        for name, value in attrs:
+            if name == want:
+                if value is not None:
+                    self.groups[gi].append(value)
+                return
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self._collect(tag, attrs)
+        if tag in _SKIP_TEXT_TAGS and tag not in _VOID:
+            self._skip_depth += 1
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self._collect(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TEXT_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        for piece in data.split():
+            self.chunks.append(piece)
+
+
+def parse_page(body: bytes) -> tuple[list[str], str]:
+    """``(find_links(body), extract_text(body))`` in a single parse +
+    single decode — the fetch stage's hot call. The split functions stay
+    the oracle-side reference implementations."""
+    p = _PageCollector()
+    try:
+        p.feed(body.decode("utf-8", "replace"))
+        p.close()
+    except Exception:
+        pass
+    links: list[str] = []
+    for g in p.groups:
+        links.extend(g)
+    return links, " ".join(p.chunks)

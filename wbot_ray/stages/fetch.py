@@ -40,7 +40,7 @@ import pyarrow as pa
 
 from wbot_ray.config import CrawlConfig
 from wbot_ray.filters import RuleFilter, in_scope
-from wbot_ray.html import extract_text, find_links
+from wbot_ray.html import parse_page
 from wbot_ray.robots import RobotsGate
 from wbot_ray.urlnorm import URLError, parse_url, resolve_url
 from wbot_ray.web_index import bucket_of_root, lookup_pages
@@ -231,10 +231,10 @@ def make_fetch_group_fn(
                 continue
             html, lang, warc_ts = page
             body = html[: mbs[i]]  # per-request truncation BEFORE extraction (M7)
-            text = extract_text(body)
+            hrefs, text = parse_page(body)  # links + text, ONE parse
             # resolve + re-validate inline; errors silently dropped
             children = []
-            for href in find_links(body):
+            for href in hrefs:
                 try:
                     children.append(parse_url(resolve_url(url, href)))
                 except URLError:
