@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "fp_md5"]
         ),
         "langid": textops.langid,
+        "heavy_hitters": textops.heavy_hitters,
         "corpus_filter": textops.corpus_filter,
         # -- deduplication
         "dedup_exact": dedup.dedup_exact,
@@ -160,6 +161,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
                    CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
             FROM g WHERE n_tokens >= 30 AND sc >= 1 GROUP BY fp
+        """,
+        "heavy_hitters": """
+            WITH t AS (
+              SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+            ), tot AS (SELECT COUNT(*) AS n FROM t)
+            SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM t, tot GROUP BY tok, tot.n
+            HAVING COUNT(*) * 50 >= tot.n
         """,
         "dedup_exact": """
             SELECT md5(text) AS fp_md5,

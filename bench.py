@@ -166,6 +166,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "topk_users",
         "sessionize",
         "asof_prior_event",
+        "heavy_hitters",
         "corpus_filter",
     ]
     out: dict[str, float] = {}

@@ -336,6 +336,7 @@ class TestOracleParity:
             "asof_prior_event",
             "events_sliding",
             "langid",
+            "heavy_hitters",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -365,3 +366,32 @@ class TestOracleParity:
         assert list(got.columns) == list(want.columns)
         assert len(got) == len(want)
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+class TestHeavyHitters:
+    def test_planted_threshold_exact(self, tmp_path, ray_session):
+        """Exactness at the threshold: a token at count*k == N is IN, one
+        just below is OUT, regardless of the sketch pass."""
+        from wbot_ray.pipelines import textops
+
+        k = 10
+        # corpus: 100 tokens total; "hot" appears 10x (10*10 == 100: in),
+        # "warm" 9x (90 < 100: out), 81 unique fillers
+        toks = ["hot"] * 10 + ["warm"] * 9 + [f"f{i}" for i in range(81)]
+        docs = [" ".join(toks[i : i + 10]) for i in range(0, 100, 10)]
+        d = tmp_path / "hh"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        out = {r["token"]: r["n_occurrences"]
+               for r in textops.heavy_hitters(str(d), k=k).to_pylist()}
+        assert out.get("hot") == 10
+        assert "warm" not in out
+        assert all(v * k >= 100 for v in out.values())

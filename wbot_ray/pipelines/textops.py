@@ -28,6 +28,7 @@ __all__ = [
     "token_counts",
     "doc_fingerprint",
     "langid",
+    "heavy_hitters",
     "corpus_filter",
 ]
 
@@ -220,6 +221,91 @@ def langid(sf_dir: str):
     rows-only checked (the scorer is not SQL-expressible)."""
     return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _langid_batch, batch_format="pyarrow"
+    )
+
+
+def heavy_hitters(sf_dir: str, k: int = 50):
+    """EXACT corpus heavy hitters — tokens with ``count · k ≥ N`` (N =
+    total whitespace tokens) — via the standard two-pass sketch shape:
+
+    Pass 1: a Misra–Gries summary of capacity ``k`` per batch (bounded
+    memory however long the batch stream). Pigeonhole guarantee: a
+    globally heavy token is batch-heavy in at least one batch, and a
+    batch-heavy token always survives that batch's MG summary — so the
+    union of the per-batch summaries is a ≤ k·batches candidate
+    superset of the true heavy hitters.
+
+    Pass 2: exact counts of the (broadcast) candidate set plus the
+    global token total, one small keyed groupby; the threshold filter
+    restores exactness. Output is tiny (≤ candidates), finished
+    driver-side."""
+    import ray as _ray
+
+    def mg_batch(batch: pa.Table) -> pa.Table:
+        counters: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for tok in t.split(" "):
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        return pa.table({"token": pa.array(sorted(counters), pa.string())})
+
+    candidates = frozenset(
+        r["token"]
+        for r in read_table(sf_dir, "documents", ["text"])
+        .map_batches(mg_batch, batch_format="pyarrow")
+        .take_all()
+    )
+    cand_ref = _ray.put(candidates)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cand = _ray.get(cand_ref)
+        from collections import Counter
+
+        counts: Counter = Counter()
+        total = 0
+        for t in batch.column("text").to_pylist():
+            toks = t.split(" ")
+            total += len(toks)
+            counts.update(tok for tok in toks if tok in cand)
+        kinds = ["t"] * len(counts) + ["N"]
+        toks = sorted(counts)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "token": pa.array(toks + [""], pa.string()),
+                "cnt": pa.array([counts[t] for t in toks] + [total], pa.int64()),
+            }
+        )
+
+    agg = (
+        read_table(sf_dir, "documents", ["text"])
+        .map_batches(exact_counts, batch_format="pyarrow")
+        .groupby(["kind", "token"])
+        .aggregate(Sum("cnt", alias_name="n"))
+        .take_all()
+    )
+    total = sum(r["n"] for r in agg if r["kind"] == "N")
+    rows = sorted(
+        (r["token"], int(r["n"]))
+        for r in agg
+        if r["kind"] == "t" and r["n"] * k >= total
+    )
+    return pa.table(
+        {
+            "token": pa.array([t for t, _ in rows], pa.string()),
+            "n_occurrences": pa.array([n for _, n in rows], pa.int64()),
+        }
     )
 
 
