@@ -182,16 +182,34 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_ivf_scale_bench(sf_dir: str) -> dict:
+    """knn_ivf at scale-path parameters (64 coarse centroids, nprobe 4):
+    the pruned-read accounting proves the inverted layout reads a
+    minority of the corpus while serving the query batch."""
+    from wbot_ray.pipelines import similarity
+
+    t0 = time.perf_counter()
+    ds = similarity.knn_ivf(sf_dir, n_queries=8, k=10, n_centroids=64, nprobe=4)
+    n = sum(b.num_rows for b in ds.iter_batches(batch_format="pyarrow"))
+    return {
+        "sec": round(time.perf_counter() - t0, 3),
+        "result_rows": n,
+        **similarity.LAST_PRUNE_STATS,
+    }
+
+
 def one(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
     _init_ray(num_cpus)
     crawl = run_crawl_bench(num_cpus)
     queries = {} if crawl_only else run_query_bench(sf_dir)
-    total = crawl["sec"] + sum(queries.values())
+    ivf_scale = {} if crawl_only else run_ivf_scale_bench(sf_dir)
+    total = crawl["sec"] + sum(queries.values()) + ivf_scale.get("sec", 0)
     return {
         "metric": "total_bench_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "knn_ivf_scale": ivf_scale,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "crawl": crawl,

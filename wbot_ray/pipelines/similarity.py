@@ -196,6 +196,9 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16) -> str:
 
 _IVF_CACHE_VERSION = 1
 
+# prune accounting of the most recent knn_ivf call (driver-side only)
+LAST_PRUNE_STATS: dict = {}
+
 
 def knn_ivf(
     sf_dir: str,
@@ -246,6 +249,17 @@ def knn_ivf(
     print(
         f"[knn_ivf] probing {len(used)}/{len(rows_of)} buckets = "
         f"{probed_rows}/{total} rows ({frac:.1%} of corpus read)"
+    )
+    # machine-readable prune accounting for bench/BASELINE records
+    LAST_PRUNE_STATS.clear()
+    LAST_PRUNE_STATS.update(
+        {
+            "buckets_probed": len(used),
+            "buckets_total": len(rows_of),
+            "rows_probed": int(probed_rows),
+            "rows_total": int(total),
+            "read_fraction": round(frac, 4),
+        }
     )
 
     bcast = ray.put((q_ids, q_unit, probed))
