@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": similarity.knn_ivf,
         # -- multimodal plumbing
         "payload_features": multimodal.payload_features,
+        "frame_features": lambda sf: multimodal.frame_features(sf).select_columns(
+            ["doc_id", "frame_idx", "frame_bytes"]
+        ),
         # -- relational / windowed analytics
         "q1_pricing": relational.q1_pricing,
         "cust_order_stats": relational.cust_order_stats,
@@ -227,6 +230,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS payload_md5
             FROM documents
+        """,
+        "frame_features": """
+            -- frame geometry is byte-exact in SQL (octet_length /
+            -- strlen); the md5/embedding columns of the full op are not
+            -- SQL-expressible (no md5(BLOB)) and are pytest-pinned
+            WITH d AS (
+              SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb FROM documents
+            ), f AS (
+              SELECT d.doc_id,
+                     CAST(j.j AS INTEGER) AS frame_idx,
+                     CAST(LEAST(128, d.nb - j.j * 128) AS BIGINT) AS frame_bytes
+              FROM d CROSS JOIN (SELECT UNNEST(range(1000)) AS j) j
+              WHERE j.j * 128 < GREATEST(1, d.nb - 127)
+            )
+            SELECT doc_id, frame_idx, frame_bytes FROM f
         """,
         "q1_pricing": f"""
             SELECT l_returnflag, l_linestatus,

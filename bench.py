@@ -159,6 +159,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "knn_brute",
         "knn_ivf",
         "payload_features",
+        "frame_features",
         "q1_pricing",
         "cust_order_stats",
         "events_hourly",

@@ -337,6 +337,7 @@ class TestOracleParity:
             "events_sliding",
             "langid",
             "heavy_hitters",
+            "frame_features",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -395,3 +396,25 @@ class TestHeavyHitters:
         assert out.get("hot") == 10
         assert "warm" not in out
         assert all(v * k >= 100 for v in out.values())
+
+
+class TestFrameSampling:
+    def test_frame_hashes_match_byte_slices(self, ray_session):
+        """The per-frame md5/embedding (not SQL-expressible) against a
+        direct byte-slicing reference over the real documents table."""
+        from wbot_ray.pipelines.multimodal import FrameSampler, frame_features
+
+        rows = frame_features(SF0001).take_all()
+        t = pq.read_table(
+            os.path.join(SF0001, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+        fs = FrameSampler()
+        want = {}
+        for d, txt in texts.items():
+            for fi, frame in enumerate(fs.cut_frames(txt.encode())):
+                want[(d, fi)] = (len(frame), hashlib.md5(frame).hexdigest())
+        assert len(rows) == len(want)
+        for r in rows:
+            nb, md5 = want[(r["doc_id"], r["frame_idx"])]
+            assert r["frame_bytes"] == nb and r["frame_md5"] == md5

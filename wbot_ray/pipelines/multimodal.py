@@ -24,7 +24,15 @@ import pyarrow as pa
 
 from wbot_ray.pipelines.common import read_table
 
-__all__ = ["PAYLOAD_SCHEMA", "ImageDecoder", "FeatureExtractor", "payload_features", "payload_table"]
+__all__ = [
+    "PAYLOAD_SCHEMA",
+    "ImageDecoder",
+    "FeatureExtractor",
+    "FrameSampler",
+    "payload_features",
+    "frame_features",
+    "payload_table",
+]
 
 # canonical multimodal row: opaque bytes + typed metadata
 PAYLOAD_SCHEMA = pa.schema(
@@ -108,6 +116,65 @@ def payload_table(sf_dir: str):
 
     return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         to_payload, batch_format="pyarrow"
+    )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (the video pattern): one payload
+    row explodes into its sampled frames — fixed frame length, fixed
+    stride — each frame hashed and feature-extracted. A real deployment
+    plugs ffmpeg keyframe extraction into ``cut_frames``; the
+    deterministic byte-slicing stand-in keeps the exact plumbing (actor
+    ``__init__``-once setup, row explosion, bounded batch of large
+    payloads, per-frame feature layout) real and testable."""
+
+    def __init__(self, frame_len: int = 128, stride: int = 128, embed_dim: int = 4) -> None:
+        self.frame_len = frame_len
+        self.stride = stride
+        rng = np.random.RandomState(77)
+        self.proj = rng.standard_normal((frame_len, embed_dim))
+
+    def cut_frames(self, payload: bytes) -> list[bytes]:
+        """Deterministic stand-in for a codec's frame extraction: fixed
+        byte windows every ``stride`` bytes (ffmpeg seam)."""
+        n = len(payload)
+        starts = range(0, max(1, n - self.frame_len + 1), self.stride)
+        return [payload[s : s + self.frame_len] for s in starts]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_idx, o_nb, o_md5, o_emb = [], [], [], [], []
+        for d, p in zip(ids, payloads):
+            for fi, frame in enumerate(self.cut_frames(p)):
+                o_id.append(d)
+                o_idx.append(fi)
+                o_nb.append(len(frame))
+                o_md5.append(hashlib.md5(frame).hexdigest())
+                raw = np.zeros(self.frame_len)
+                arr = np.frombuffer(frame, dtype=np.uint8)
+                raw[: len(arr)] = arr
+                o_emb.append((raw @ self.proj).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "frame_idx": pa.array(o_idx, pa.int32()),
+                "frame_bytes": pa.array(o_nb, pa.int64()),
+                "frame_md5": pa.array(o_md5, pa.string()),
+                "frame_embed": pa.array(o_emb, pa.list_(pa.float64())),
+            }
+        )
+
+
+def frame_features(sf_dir: str):
+    """Frame-sampling pipeline: payload → actor-pool frame explode →
+    per-frame hash/embedding (payload dropped at the stage boundary;
+    frames never transit a shuffle)."""
+    return payload_table(sf_dir).map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(2, 8),
     )
 
 
