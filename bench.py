@@ -318,13 +318,15 @@ def main() -> None:
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        print(json.dumps(scaling(sf_dir, reps=args.reps)))
+        print(json.dumps(scaling(sf_dir, lo=args.lo, hi=args.hi, reps=args.reps)))
     else:
         print(json.dumps(one(num_cpus, sf_dir, args.crawl_only)))
     import ray
