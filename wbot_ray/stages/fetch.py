@@ -156,10 +156,14 @@ def make_fetch_group_fn(
     def fetch_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return RESULT_SCHEMA.empty_table()
-        # many fetch tasks run concurrently per node; per-task Arrow IO
-        # fan-out must stay bounded or threads thrash at high concurrency
+        # many fetch tasks run concurrently per node; per-task Arrow
+        # IO/CPU fan-out must stay bounded or threads thrash at high
+        # concurrency (defaults are per-process = all cores; tasks are
+        # the parallelism here)
         if pa.io_thread_count() > 4:
             pa.set_io_thread_count(4)
+        if pa.cpu_count() > 2:
+            pa.set_cpu_count(2)
         rule_filter = RuleFilter(cfg.filter_rules)
         robots = RobotsGate(mode, cfg.robots_bodies)
         bucket = int(group.column("fetch_part")[0].as_py()) % B

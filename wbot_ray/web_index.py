@@ -200,7 +200,11 @@ def lookup_pages(
                 selected.append(rg)
         if not selected:
             continue
-        t = pf.read_row_groups(selected, columns=columns)
+        # use_threads=False: the LOOKUP is already the unit of
+        # parallelism (one fetch task per partition) — letting every
+        # task decompress with the global Arrow pool (defaults to all
+        # cores) oversubscribes the node as tasks × cores threads
+        t = pf.read_row_groups(selected, columns=columns, use_threads=False)
         pieces.append(t.filter(pc.is_in(t.column("url"), value_set=url_set)))
     if not pieces:
         return None
