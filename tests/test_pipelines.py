@@ -418,3 +418,49 @@ class TestFrameSampling:
         for r in rows:
             nb, md5 = want[(r["doc_id"], r["frame_idx"])]
             assert r["frame_bytes"] == nb and r["frame_md5"] == md5
+
+
+class TestAsofProperty:
+    def test_asof_matches_bruteforce_on_random_streams(self, tmp_path, ray_session):
+        """Randomized streams (duplicate timestamps included) vs an
+        O(n²) brute-force as-of reference."""
+        from wbot_ray.pipelines import relational
+
+        rng = np.random.RandomState(99)
+        n = 400
+        uids = rng.randint(0, 12, n)
+        ts = rng.randint(0, 500, n) * 1_000_000  # collisions on purpose
+        types = np.where(rng.rand(n) < 0.5, "purchase", "click")
+        d = tmp_path / "asof"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(n), pa.int64()),
+                    "ts": pa.array(ts.tolist(), pa.timestamp("us")),
+                    "user_id": pa.array(uids.tolist(), pa.int64()),
+                    "event_type": pa.array(types.tolist(), pa.string()),
+                }
+            ),
+            os.path.join(d, "events.parquet"),
+        )
+        got = {
+            (r["event_id"]): (r["click_event_id"], r["click_ts_us"], r["gap_us"])
+            for r in relational.asof_prior_event(str(d)).take_all()
+        }
+        # brute force: per purchase, clicks at-or-before; among ties on
+        # the max ts keep max event_id
+        want = {}
+        for i in range(n):
+            if types[i] != "purchase":
+                continue
+            best = None
+            for j in range(n):
+                if types[j] == "click" and uids[j] == uids[i] and ts[j] <= ts[i]:
+                    key = (ts[j], j)
+                    if best is None or key > best:
+                        best = key
+            if best is not None:
+                bt, bj = best
+                want[i] = (bj, int(bt), int(ts[i] - bt))
+        assert got == want

@@ -94,3 +94,38 @@ class TestShardGrowth:
         mask = ray.get(shard.check_and_set.remote(0, [a, b, a, a, b]))
         assert mask.tolist() == [True, True, False, False, False]
         ray.kill(shard)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupStageRetry:
+    def test_dedup_stage_rerun_returns_identical_survivors(self):
+        """Simulate a Ray task retry at the STAGE level: running the
+        dedup function twice on the same group (same round) must return
+        identical survivors and leave the shard state as after one run —
+        the retried task's frontier contribution is not dropped."""
+        import pyarrow as pa
+        import ray
+
+        from wbot_ray.state.seen import SeenSet
+        from wbot_ray.stages.dedup import make_dedup_fn
+
+        seen = SeenSet(2)
+        try:
+            hashes = [hashlib.sha256(f"u{i}".encode()).hexdigest() for i in range(40)]
+            shard0 = [h for h in hashes if int(h[:8], 16) % 2 == 0][:10]
+            group = pa.table(
+                {
+                    "url_hash": pa.array(shard0 + shard0[:3], pa.string()),
+                    "ord64": pa.array(list(range(13)), pa.int64()),
+                    "root": pa.array(["r.com"] * 13, pa.string()),
+                    "seen_shard": pa.array([0] * 13, pa.int32()),
+                }
+            )
+            fn = make_dedup_fn(seen.shards, round_id=0)
+            out1 = fn(group)
+            out2 = fn(group)  # the retry replay
+            assert out1.column("url_hash").to_pylist() == out2.column("url_hash").to_pylist()
+            assert out1.num_rows == 10  # within-round dups dropped once
+            assert ray.get(seen.shards[0].size.remote()) == 10  # no double insert
+        finally:
+            seen.shutdown()
