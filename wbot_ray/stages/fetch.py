@@ -342,13 +342,17 @@ def make_fused_fetch_fn(
         if group.num_rows == 0:
             return explode(RESULT_SCHEMA.empty_table())
         part = int(group.column("fetch_part")[0].as_py())
+        t0 = time.perf_counter()
         results = fetch_group(group)
         if on_response is not None:  # OnReponse equivalent (§2.10)
             results = on_response(results)
+        t_fetch = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
         tmp = os.path.join(results_dir, f".part-{part:05d}.tmp")
         pq.write_table(results, tmp)
         os.replace(tmp, os.path.join(results_dir, f"part-{part:05d}.parquet"))
+        t_write = time.perf_counter() - t0
 
         ok = pc.sum(pc.cast(pc.equal(results.column("status"), 200), pa.int64())).as_py() or 0
         sidecar = {
@@ -357,6 +361,10 @@ def make_fused_fetch_fn(
             "total_link": int(pc.sum(results.column("n_links_total")).as_py() or 0),
             "skipped": int(pc.sum(results.column("n_skipped")).as_py() or 0),
             "vmax": _group_vmax(group.column("root").to_pylist(), cfg),
+            # per-part phase timings (fetch+extract vs results write) —
+            # the task-level profile for straggler/IO analysis
+            "sec_fetch": round(t_fetch, 4),
+            "sec_write": round(t_write, 4),
         }
         mtmp = os.path.join(metrics_dir, f".part-{part:05d}.tmp")
         with open(mtmp, "w") as f:

@@ -52,6 +52,31 @@ def root_of_url_host(url: str) -> str:
 
 
 INDEX_ROW_GROUP = 64  # rows per row group — the lookup-pruning granule
+INDEX_FORMAT = 2  # bump when the on-disk bucket layout changes
+
+
+def _url_hash64(url: str) -> int:
+    """64-bit membership hash for the per-bucket url filter (blake2b-8;
+    stable across processes — never builtin ``hash``)."""
+    import hashlib
+    import struct
+
+    return struct.unpack("<Q", hashlib.blake2b(url.encode(), digest_size=8).digest())[0]
+
+
+def _write_bucket_urlfilter(dir_: str, urls: list[str]) -> None:
+    """Sorted uint64 url-hash sidecar: a fetch task probes it FIRST so a
+    missing url (a failed request) costs a binary search, not a row-group
+    read+decompress — miss-heavy frontier partitions were the measured
+    stragglers (3s vs 0.3s median at bench scale). ~8 B/url."""
+    import numpy as np
+
+    arr = np.sort(
+        np.fromiter((_url_hash64(u) for u in urls), dtype=np.uint64, count=len(urls))
+    )
+    tmp = os.path.join(dir_, ".urlhash64.tmp.npy")
+    np.save(tmp, arr)
+    os.replace(tmp, os.path.join(dir_, "urlhash64.npy"))
 
 
 def build_web_index(
@@ -67,7 +92,7 @@ def build_web_index(
     rows, not the bucket (``lookup_pages``). Nothing is materialized
     driver-side — scales to any corpus size.
     """
-    if os.path.exists(os.path.join(index_dir, "_DONE")):
+    if os.path.exists(os.path.join(index_dir, f"_DONE-v{INDEX_FORMAT}")):
         return index_dir
     if os.path.isdir(pages_path):
         # sharded corpus (e.g. one file per host): a shard's rows mostly
@@ -97,6 +122,7 @@ def build_web_index(
         tmp = os.path.join(d, ".part-0.tmp")
         pq.write_table(sub, tmp, row_group_size=INDEX_ROW_GROUP)
         os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        _write_bucket_urlfilter(d, sub.column("url").to_pylist())
         return pa.table({"bucket": pa.array([b], pa.int32()), "rows": pa.array([group.num_rows], pa.int64())})
 
     (
@@ -105,7 +131,7 @@ def build_web_index(
         .map_groups(write_bucket, batch_format="pyarrow")
         .materialize()
     )
-    with open(os.path.join(index_dir, "_DONE"), "w") as f:
+    with open(os.path.join(index_dir, f"_DONE-v{INDEX_FORMAT}"), "w") as f:
         f.write("ok")
     return index_dir
 
@@ -155,10 +181,11 @@ def _build_index_from_shards(pages_dir: str, index_dir: str, num_buckets: int) -
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, ".part-0.tmp")
         pq.write_table(tbl, tmp, row_group_size=INDEX_ROW_GROUP)
+        _write_bucket_urlfilter(d, tbl.column("url").to_pylist())
         os.replace(tmp, os.path.join(d, "part-0.parquet"))
 
     ray.get([build_bucket.remote(b, srcs) for b, srcs in sorted(by_bucket.items())])
-    with open(os.path.join(index_dir, "_DONE"), "w") as f:
+    with open(os.path.join(index_dir, f"_DONE-v{INDEX_FORMAT}"), "w") as f:
         f.write("ok")
     return index_dir
 
@@ -179,6 +206,28 @@ def lookup_pages(
     if not files:
         return None
     want = sorted(set(urls))
+    # membership pre-filter: urls absent from the bucket (failed
+    # requests) must not trigger row-group reads — miss-heavy frontier
+    # partitions were the measured stragglers. 64-bit hash false
+    # positives only cost a redundant row-group read; the exact url
+    # filter below keeps correctness.
+    filt_path = os.path.join(bucket_dir, "urlhash64.npy")
+    if os.path.exists(filt_path):
+        import numpy as np
+
+        member = np.load(filt_path)
+        if len(want) and len(member):
+            h = np.fromiter(
+                (_url_hash64(u) for u in want), dtype=np.uint64, count=len(want)
+            )
+            idx = np.searchsorted(member, h)
+            idx[idx >= len(member)] = len(member) - 1
+            present = member[idx] == h
+            want = [u for u, p in zip(want, present) if p]
+        else:
+            want = []
+        if not want:
+            return None
     url_set = pa.array(want, pa.string())
     pieces = []
     for f in files:
