@@ -227,13 +227,23 @@ def scaling(sf_dir: str, lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
     median — the conservative headline). The hi level runs first in
     each rep so cache-warming order favors (conservatively) the lo
     level."""
-    # corpus + index prepared ONCE here so neither timed run pays for them
-    _init_ray(hi)
-    _bench_index(_bench_pages())
-    import ray
+    # corpus + index prepared ONCE here so neither timed run pays for
+    # them — skipped entirely when the cache markers exist (a no-op prep
+    # session still burns ~60 s of 32-CPU churn right before the timed
+    # children, widening the noise-exposure window)
+    from wbot_ray.web_index import INDEX_FORMAT
 
-    ray.shutdown()
-    time.sleep(10)  # let the prep session's raylet fully exit
+    root = _bench_root()
+    cached = os.path.exists(os.path.join(root, "pages", "_DONE")) and os.path.exists(
+        os.path.join(root, "index", f"_DONE-v{INDEX_FORMAT}")
+    )
+    if not cached:
+        _init_ray(hi)
+        _bench_index(_bench_pages())
+        import ray
+
+        ray.shutdown()
+        time.sleep(10)  # let the prep session's raylet fully exit
     best: dict[int, dict] = {}
     runs: list[dict] = []
     for _ in range(reps):
