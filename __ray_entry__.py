@@ -115,6 +115,83 @@ def _langid_oracle_sql() -> str:
     """
 
 
+# Shared shingle CTE body for the sketch oracles: distinct 3-word
+# shingles exactly as wbot_ray.pipelines.common.shingle_hashes builds
+# them (short texts collapse to the single whole-text shingle).
+_SHINGLE_CTE = """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        idx AS (SELECT doc_id, w,
+                       unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+                FROM w),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+               FROM idx)"""
+
+
+def _minhash_oracle_sql(threshold: float = 0.7) -> str:
+    """MinHash-LSH recomputed from scratch in SQL. The engine's hash
+    family (md5_number_lower shingle identity + affine permutations mod
+    the Mersenne prime 2^31-1, fixed seeded constants) was chosen
+    precisely so this oracle is value-exact: no floats, no
+    engine-private hashing — DuckDB derives the identical 64-component
+    signatures, band buckets, and estimated-Jaccard verdicts."""
+    from wbot_ray.pipelines.dedup import MINHASH_P, N_BANDS, N_PERM, PERM_A, PERM_B
+
+    thr_pm = int(threshold * (1 << 20))
+    rows = N_PERM // N_BANDS
+    perms = ",\n               ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
+    )
+    return f"""
+        WITH {_SHINGLE_CTE},
+        base AS (SELECT doc_id, (md5_number_lower(sh) % {MINHASH_P})::BIGINT AS h FROM sh),
+        perm(i, a, b) AS (VALUES {perms}),
+        mins AS (SELECT doc_id, i, MIN((a * h + b) % {MINHASH_P}) AS m
+                 FROM base CROSS JOIN perm GROUP BY doc_id, i),
+        bands AS (SELECT doc_id, i // {rows} AS band,
+                         string_agg(m, ',' ORDER BY i) AS key
+                  FROM mins GROUP BY doc_id, i // {rows}),
+        cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        sim AS (SELECT c.id_a, c.id_b,
+                       CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT) AS matches
+                FROM cand c
+                JOIN mins ma ON ma.doc_id = c.id_a
+                JOIN mins mb ON mb.doc_id = c.id_b AND mb.i = ma.i
+                GROUP BY c.id_a, c.id_b)
+        SELECT id_a, id_b, (matches * 1048576) // {N_PERM} AS sim_pm
+        FROM sim WHERE (matches * 1048576) // {N_PERM} >= {thr_pm}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """SimHash recomputed bit-by-bit in SQL: strict-majority vote over
+    the md5_number_lower shingle hashes, 4×16-bit band blocking, exact
+    Hamming verify — identical rules to dedup_simhash."""
+    return f"""
+        WITH {_SHINGLE_CTE},
+        h AS (SELECT doc_id, md5_number_lower(sh) AS h FROM sh),
+        bits AS (SELECT doc_id, b,
+                        CASE WHEN SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+                             THEN 1 ELSE 0 END AS bit
+                 FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+                 GROUP BY doc_id, b),
+        bands AS (SELECT doc_id, b // 16 AS band,
+                         CAST(SUM(bit << (b % 16)) AS BIGINT) AS key
+                  FROM bits GROUP BY doc_id, b // 16),
+        cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        ham AS (SELECT c.id_a, c.id_b,
+                       CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS sim_pm
+                FROM cand c
+                JOIN bits ba ON ba.doc_id = c.id_a
+                JOIN bits bb ON bb.doc_id = c.id_b AND bb.b = ba.b
+                GROUP BY c.id_a, c.id_b)
+        SELECT id_a, id_b, sim_pm FROM ham WHERE sim_pm <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cents = lambda col: f"CAST(round({col}*100) AS BIGINT)"  # noqa: E731
     # Crawl-core oracles: an independent DuckDB BFS over the fixture link
@@ -126,6 +203,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         **crawl,
         "langid": _langid_oracle_sql(),
+        "dedup_minhash": _minhash_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
         "text_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_uniq, n_bpe, stop_cnt,
                    CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio

@@ -42,16 +42,29 @@ def token_hashes(text: str) -> np.ndarray:
     return np.sort(np.fromiter((hash64(t) for t in toks), dtype=np.uint64, count=len(toks)))
 
 
+def md5_lower64(s: str) -> int:
+    """Unsigned 64-bit hash of a string defined as DuckDB's
+    ``md5_number_lower(s)`` computes it — the LAST 8 bytes of the md5
+    digest, little-endian. This (not blake2b) is the shingle identity for
+    the oracle-checked sketches (minhash / simhash), so a DuckDB SQL
+    oracle can recompute the exact same hashes."""
+    return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:])[0]
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Sorted distinct 64-bit hashes of the k-word shingles of ``text``.
     Shingles (not unigrams) are the MinHash/SimHash feature set: they keep
-    unrelated documents dissimilar even over a small vocabulary."""
+    unrelated documents dissimilar even over a small vocabulary.
+
+    Hash = ``md5_lower64`` so a DuckDB oracle reproduces it verbatim:
+    ``md5_number_lower(array_to_string(list_slice(string_split(text,' '),
+    i, i+k-1), ' '))`` over distinct shingles."""
     toks = text.split(" ")
     if len(toks) < k:
         sh = {" ".join(toks)}
     else:
         sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    return np.sort(np.fromiter((hash64(s) for s in sh), dtype=np.uint64, count=len(sh)))
+    return np.sort(np.fromiter((md5_lower64(s) for s in sh), dtype=np.uint64, count=len(sh)))
 
 
 def cents(values: pa.ChunkedArray | pa.Array) -> pa.Array:

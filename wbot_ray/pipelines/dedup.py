@@ -201,25 +201,24 @@ def dedup_ngram(sf_dir: str, threshold: float = 0.8):
 
 N_PERM = 64
 N_BANDS = 8  # 8 rows per band
-_rng = np.random.RandomState(0xC0FFEE)
-_PERM_A = _rng.randint(1, 1 << 62, size=N_PERM, dtype=np.int64).astype(np.uint64) | np.uint64(1)
-_PERM_B = _rng.randint(0, 1 << 62, size=N_PERM, dtype=np.int64).astype(np.uint64)
-_MIX = np.uint64(0xFF51AFD7ED558CCD)
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne): products fit int64 AND BIGINT
+_rng31 = np.random.RandomState(0xC0FFEE)
+PERM_A = _rng31.randint(1, MINHASH_P, size=N_PERM).astype(np.int64)
+PERM_B = _rng31.randint(0, MINHASH_P, size=N_PERM).astype(np.int64)
 
 
 def _minhash_sig(tok: np.ndarray) -> np.ndarray:
     """64-perm MinHash over the shingle-hash set. The permutation family
-    is wrap-around multiply-add + a splitmix64-style finalizer — fully
-    vectorized in uint64 (one (shingles × 64) matrix op per doc instead
-    of a Python loop), deterministic across processes/nodes (fixed
-    seeds, no Python ``hash``)."""
+    is the classic affine family mod the Mersenne prime 2^31-1:
+    ``h_i(x) = (a_i * (x % P) + b_i) % P``. Both operands are < 2^31 so
+    the product fits int64 — one vectorized (shingles × 64) op per doc —
+    AND fits DuckDB BIGINT, so the SQL oracle (``oracle_sql()['
+    dedup_minhash']``) recomputes the identical signatures from the same
+    fixed (a_i, b_i) constants. Deterministic across processes/nodes."""
     if tok.size == 0:
-        return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        z = tok[:, None] * _PERM_A[None, :] + _PERM_B[None, :]  # (n, 64) wraps
-        z ^= z >> np.uint64(33)
-        z *= _MIX
-        z ^= z >> np.uint64(29)
+        return np.full(N_PERM, MINHASH_P, dtype=np.int64)
+    base = (tok % np.uint64(MINHASH_P)).astype(np.int64)
+    z = (base[:, None] * PERM_A[None, :] + PERM_B[None, :]) % MINHASH_P  # (n, 64)
     return z.min(axis=0)
 
 
@@ -256,7 +255,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7):
                 "doc_id": pa.array(out_id, pa.int64()),
                 "band": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_bhash, pa.uint64()),
-                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
+                "sig": pa.array(out_sig, pa.list_(pa.int64())),
             }
         )
 
@@ -264,7 +263,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7):
         if group.num_rows < 2:
             return PAIR_SCHEMA.empty_table()
         ids = group.column("doc_id").to_pylist()
-        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.uint64)  # (n, 64)
+        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.int64)  # (n, 64)
         order = np.argsort(ids)
         rows, seen = [], set()
         for i in range(len(order)):
@@ -303,7 +302,12 @@ def _simhash64(tok: np.ndarray) -> int:
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup: 4×16-bit band blocking guarantees recall for
-    Hamming ≤ 3 (pigeonhole), in-bucket exact Hamming verify."""
+    Hamming ≤ 3 (pigeonhole), in-bucket exact Hamming verify.
+
+    Shingle hash = DuckDB's ``md5_number_lower`` and the bit rule is a
+    strict-majority vote, so the SQL oracle recomputes the identical
+    64-bit signatures bit by bit — the emitted pairs are value-exact
+    against ``oracle_sql()['dedup_simhash']``."""
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
