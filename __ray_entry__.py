@@ -32,6 +32,27 @@ def entry() -> Any:
     return crawl_visited("/root/testdata/sf0.001")
 
 
+def _pairs_query(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Query-surface adapter for the near-dup pair pipelines: Ray's
+    ``Dataset.to_pandas()`` drops ALL columns when the result is empty
+    (even with a known schema), which would fail the driver's schema
+    gate on a legitimately empty pair set. Pair outputs are tiny by
+    design (the library functions stay streaming Datasets), so the query
+    surface materializes and re-types an empty frame."""
+
+    def run(sf_dir: str):
+        import pandas as pd
+
+        df = fn(sf_dir).to_pandas()
+        if df.shape[1] == 0:
+            df = pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("id_a", "id_b", "sim_pm")}
+            )
+        return df
+
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from wbot_ray.pipelines import crawlq, dedup, multimodal, relational, similarity, textops
 
@@ -50,12 +71,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textops.langid,
         "heavy_hitters": textops.heavy_hitters,
         "corpus_filter": textops.corpus_filter,
-        # -- deduplication
+        # -- deduplication (pair queries via _pairs_query: a legitimately
+        #    empty pair set must still present the PAIR_SCHEMA columns)
         "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram": dedup.dedup_ngram,
-        "dedup_minhash": dedup.dedup_minhash,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_embed": dedup.dedup_embed,
+        "dedup_ngram": _pairs_query(dedup.dedup_ngram),
+        "dedup_minhash": _pairs_query(dedup.dedup_minhash),
+        "dedup_simhash": _pairs_query(dedup.dedup_simhash),
+        "dedup_embed": _pairs_query(dedup.dedup_embed),
         # -- similarity search
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,
@@ -192,6 +214,56 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _embed_oracle_sql(threshold: float = 0.92) -> str:
+    """dedup_embed recomputed from scratch: quantize each component to
+    ``floor(x * 2^20)``, derive the ±1 hyperplanes from md5 (same keys
+    as ``wbot_ray.pipelines.dedup._embed_planes``), bucket by exact
+    integer dot-product signs, and verify with the identical fixed IEEE
+    expression tree ``floor(dot / (sqrt(na)*sqrt(nb)) * 2^20)`` — every
+    op is a correctly-rounded single operation on integer-exact doubles,
+    so the result is bit-equal to the engine's."""
+    from wbot_ray.pipelines.dedup import _N_PLANES, _N_TABLES, EMBED_QUANT
+
+    thr_pm = int(threshold * (1 << 20))
+    return f"""
+        WITH q AS (SELECT vec_id, list_transform(embedding,
+                              x -> CAST(floor(x * {float(EMBED_QUANT)}) AS BIGINT)) AS q
+                   FROM embeddings),
+        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        qv AS (SELECT vec_id, i, q[i] AS qv FROM q CROSS JOIN dims),
+        hp AS (SELECT t, j, i,
+                      CASE WHEN (md5_number_lower('hp:' || t || ':' || j || ':' || i) & 1) = 1
+                           THEN 1 ELSE -1 END AS c
+               FROM (SELECT unnest(generate_series(0, {_N_TABLES - 1})) AS t)
+               CROSS JOIN (SELECT unnest(generate_series(0, {_N_PLANES - 1})) AS j)
+               CROSS JOIN dims),
+        keys AS (SELECT vec_id, t,
+                        SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS bkey
+                 FROM (SELECT v.vec_id, h.t, h.j, SUM(v.qv * h.c) AS d
+                       FROM qv v JOIN hp h ON h.i = v.i
+                       GROUP BY v.vec_id, h.t, h.j)
+                 GROUP BY vec_id, t),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM keys a JOIN keys b
+                   ON a.t = b.t AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        nrm AS (SELECT vec_id, SUM(qv * qv) AS nn FROM qv GROUP BY vec_id),
+        dp AS (SELECT c.id_a, c.id_b, SUM(va.qv * vb.qv) AS dot
+               FROM cand c
+               JOIN qv va ON va.vec_id = c.id_a
+               JOIN qv vb ON vb.vec_id = c.id_b AND vb.i = va.i
+               GROUP BY c.id_a, c.id_b),
+        sim AS (SELECT d.id_a, d.id_b,
+                       CAST(floor((CAST(d.dot AS DOUBLE)
+                                   / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))))
+                                  * 1048576.0) AS BIGINT) AS sim_pm
+                FROM dp d
+                JOIN nrm na ON na.vec_id = d.id_a
+                JOIN nrm nb ON nb.vec_id = d.id_b
+                WHERE na.nn > 0 AND nb.nn > 0)
+        SELECT id_a, id_b, sim_pm FROM sim WHERE sim_pm >= {thr_pm}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cents = lambda col: f"CAST(round({col}*100) AS BIGINT)"  # noqa: E731
     # Crawl-core oracles: an independent DuckDB BFS over the fixture link
@@ -205,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _langid_oracle_sql(),
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
+        "dedup_embed": _embed_oracle_sql(),
         "text_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_uniq, n_bpe, stop_cnt,
                    CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio

@@ -338,6 +338,9 @@ class TestOracleParity:
             "langid",
             "heavy_hitters",
             "frame_features",
+            "dedup_minhash",
+            "dedup_simhash",
+            "dedup_embed",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -366,6 +369,51 @@ class TestOracleParity:
         got, want = canon(got), canon(want)
         assert list(got.columns) == list(want.columns)
         assert len(got) == len(want)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+class TestSketchOracleParity:
+    """The sketch pipelines against their DuckDB SQL twins on the
+    PLANTED corpus — where pairs actually exist. (The sf0.001 parity
+    above also runs them, but near-empty outputs there would make a
+    wrong hash family pass trivially.)"""
+
+    @pytest.mark.parametrize(
+        "fn, osql",
+        [
+            (
+                lambda d: dedup.dedup_minhash(d, threshold=0.5),
+                lambda: entrymod._minhash_oracle_sql(0.5),
+            ),
+            (
+                lambda d: dedup.dedup_simhash(d, max_hamming=10),
+                lambda: entrymod._simhash_oracle_sql(10),
+            ),
+            (
+                lambda d: dedup.dedup_embed(d, threshold=0.95),
+                lambda: entrymod._embed_oracle_sql(0.95),
+            ),
+        ],
+        ids=["minhash", "simhash", "embed"],
+    )
+    def test_sketch_matches_oracle_on_planted(self, planted_dir, fn, osql):
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{planted_dir}/{t}.parquet')"
+            )
+        got = fn(planted_dir).to_pandas()
+        want = con.execute(osql()).df()
+
+        def canon(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[sorted(df.columns)]
+            return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+        got, want = canon(got), canon(want)
+        assert len(got) > 0, "planted corpus must produce pairs"
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 

@@ -19,7 +19,8 @@ dedup technique:
 * ``dedup_simhash``  — 64-bit SimHash, 4×16-bit band blocking, in-bucket
                        Hamming ≤ k verification.
 * ``dedup_embed``    — embedding cosine near-dup via random-hyperplane
-                       LSH buckets + in-bucket exact cosine verify.
+                       LSH buckets + in-bucket cosine verify on a
+                       2^-20 integer grid (oracle-exact, see docstring).
 
 All emit pairs ``(id_a, id_b)`` with ``id_a < id_b``, deduplicated by a
 final ``groupby`` (a pair can surface from several bands).
@@ -27,13 +28,14 @@ final ``groupby`` (a pair can surface from several bands).
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 
 import numpy as np
 import pyarrow as pa
 from ray.data.aggregate import Count, Min
 
-from wbot_ray.pipelines.common import hash64, read_table, shingle_hashes
+from wbot_ray.pipelines.common import hash64, md5_lower64, read_table, shingle_hashes
 
 __all__ = [
     "dedup_exact",
@@ -83,8 +85,13 @@ def _pairs_table(rows: list[tuple[int, int, int]]) -> pa.Table:
 
 def _dedup_pairs(ds):
     """Collapse multi-band duplicates of the same pair (tiny groupby on
-    the pair key)."""
-    return ds.groupby(["id_a", "id_b"]).aggregate(Min("sim_pm", alias_name="sim_pm"))
+    the pair key). Unioned with a typed empty table so an all-empty
+    result keeps the ``PAIR_SCHEMA`` columns (a schemaless empty Dataset
+    would fail any downstream schema comparison)."""
+    import ray.data as rd
+
+    deduped = ds.groupby(["id_a", "id_b"]).aggregate(Min("sim_pm", alias_name="sim_pm"))
+    return rd.from_arrow(PAIR_SCHEMA.empty_table()).union(deduped)
 
 
 def _jaccard_pm(sa: np.ndarray, sb: np.ndarray) -> int:
@@ -358,38 +365,71 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
 
 # -- embedding cosine near-dup ------------------------------------------
 
-_HP_RNG = np.random.RandomState(0xBEEF)
 _N_PLANES = 12  # 2^12 buckets per table
 _N_TABLES = 4
+EMBED_QUANT = 1 << 20  # per-component integer grid: q_i = floor(x_i * 2^20)
 
 
-def dedup_embed(sf_dir: str, threshold: float = 0.92, dim: int = 64):
+@_functools.lru_cache(maxsize=8)
+def _embed_planes(dim: int) -> np.ndarray:
+    """±1 (Rademacher) hyperplanes derived bit-by-bit from md5 — the SQL
+    oracle recomputes the identical coefficients with
+    ``md5_number_lower('hp:'||t||':'||j||':'||i) & 1`` (i is 1-based to
+    match ``generate_series``), so both engines agree on every bucket."""
+    keys = [
+        f"hp:{t}:{j}:{i + 1}"
+        for t in range(_N_TABLES)
+        for j in range(_N_PLANES)
+        for i in range(dim)
+    ]
+    bits = np.fromiter((md5_lower64(k) & 1 for k in keys), dtype=np.int64, count=len(keys))
+    return (2 * bits - 1).reshape(_N_TABLES, _N_PLANES, dim)
+
+
+def dedup_embed(sf_dir: str, threshold: float = 0.92):
     """Embedding-cosine near-dup via random-hyperplane LSH: ``_N_TABLES``
-    independent sign-bucket tables, exact cosine verify in-bucket on the
-    carried (normalized) vectors."""
-    planes = _HP_RNG.standard_normal((_N_TABLES, _N_PLANES, dim))
+    independent sign-bucket tables, cosine verify in-bucket.
+
+    Every value the operator computes is a deterministic function of
+    integers so the DuckDB oracle (``oracle_sql()['dedup_embed']``)
+    reproduces it bit-for-bit:
+
+    * components are quantized ``q_i = floor(x_i * 2^20)`` (one
+      correctly-rounded multiply + floor — identical in numpy and SQL);
+    * bucket bits are signs of **exact integer** dot products against
+      md5-derived ±1 hyperplanes;
+    * the verify cosine is computed on the quantized vectors via the
+      fixed expression tree ``dot / (sqrt(na) * sqrt(nb))`` then
+      ``floor(sim * 2^20)`` — integer inputs < 2^53 and only correctly
+      rounded IEEE-754 ops (sqrt, *, /, *2^20, floor), so both engines
+      produce the same ``sim_pm``. Quantization shifts each cosine by
+      < 2^-18 versus the raw floats — that grid IS the operator's
+      documented semantics.
+
+    The shuffle carries the int32 quantized vector (256 B/doc/table),
+    never raw float embeddings."""
     thr_pm = int(threshold * (1 << 20))
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
+        q = np.floor(vecs * float(EMBED_QUANT)).astype(np.int64)
+        planes = _embed_planes(q.shape[1])
         out_id, out_tab, out_key, out_vec = [], [], [], []
+        ql = q.astype(np.int32).tolist()
         for t in range(_N_TABLES):
-            signs = (unit @ planes[t].T) > 0  # (n, planes)
-            keys = (signs.astype(np.uint32) << np.arange(_N_PLANES, dtype=np.uint32)).sum(axis=1)
+            signs = (q @ planes[t].T) > 0  # exact int64 dots, (n, planes)
+            keys = (signs.astype(np.int64) << np.arange(_N_PLANES, dtype=np.int64)).sum(axis=1)
             out_id.extend(ids.tolist())
             out_tab.extend([t] * len(ids))
             out_key.extend(keys.tolist())
-            out_vec.extend(unit.tolist())
+            out_vec.extend(ql)
         return pa.table(
             {
                 "vec_id": pa.array(out_id, pa.int64()),
                 "tab": pa.array(out_tab, pa.int32()),
                 "bkey": pa.array(out_key, pa.int64()),
-                "unit": pa.array(out_vec, pa.list_(pa.float64())),
+                "q": pa.array(out_vec, pa.list_(pa.int32())),
             }
         )
 
@@ -397,9 +437,10 @@ def dedup_embed(sf_dir: str, threshold: float = 0.92, dim: int = 64):
         if group.num_rows < 2:
             return PAIR_SCHEMA.empty_table()
         ids = group.column("vec_id").to_pylist()
-        unit = np.asarray(group.column("unit").to_pylist(), dtype=np.float64)
+        q = np.asarray(group.column("q").to_pylist(), dtype=np.int64)
+        dots = q @ q.T  # exact: |q_i| <= 2^21, dim <= 2^10 → < 2^53
+        s = np.sqrt(np.diag(dots).astype(np.float64))
         order = np.argsort(ids)
-        sims = unit @ unit.T
         rows, seen = [], set()
         for i in range(len(order)):
             for j in range(i + 1, len(order)):
@@ -408,7 +449,10 @@ def dedup_embed(sf_dir: str, threshold: float = 0.92, dim: int = 64):
                 if ids[a] == ids[b] or key in seen:
                     continue
                 seen.add(key)
-                pm = int(sims[a, b] * (1 << 20))
+                if s[a] == 0.0 or s[b] == 0.0:
+                    continue  # zero vector: cosine undefined, never a dup
+                sim = float(dots[a, b]) / (s[a] * s[b])
+                pm = int(np.floor(sim * float(1 << 20)))
                 if pm >= thr_pm:
                     rows.append((ids[a], ids[b], pm))
         return _pairs_table(rows)
