@@ -32,11 +32,11 @@ def entry() -> Any:
     return crawl_visited("/root/testdata/sf0.001")
 
 
-def _pairs_query(fn: Callable[[str], Any]) -> Callable[[str], Any]:
-    """Query-surface adapter for the near-dup pair pipelines: Ray's
+def _typed_query(fn: Callable[[str], Any], cols: tuple[str, ...]) -> Callable[[str], Any]:
+    """Query-surface adapter for small-output pipelines: Ray's
     ``Dataset.to_pandas()`` drops ALL columns when the result is empty
     (even with a known schema), which would fail the driver's schema
-    gate on a legitimately empty pair set. Pair outputs are tiny by
+    gate on a legitimately empty result. These outputs are tiny by
     design (the library functions stay streaming Datasets), so the query
     surface materializes and re-types an empty frame."""
 
@@ -45,12 +45,14 @@ def _pairs_query(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
         df = fn(sf_dir).to_pandas()
         if df.shape[1] == 0:
-            df = pd.DataFrame(
-                {c: pd.Series(dtype="int64") for c in ("id_a", "id_b", "sim_pm")}
-            )
+            df = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
         return df
 
     return run
+
+
+def _pairs_query(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    return _typed_query(fn, ("id_a", "id_b", "sim_pm"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -78,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _pairs_query(dedup.dedup_minhash),
         "dedup_simhash": _pairs_query(dedup.dedup_simhash),
         "dedup_embed": _pairs_query(dedup.dedup_embed),
+        "dup_clusters": _typed_query(dedup.dup_clusters, ("doc_id", "cluster_id")),
         # -- similarity search
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,
@@ -264,6 +267,27 @@ def _embed_oracle_sql(threshold: float = 0.92) -> str:
     """
 
 
+def _clusters_oracle_sql(threshold: float = 0.7) -> str:
+    """dup_clusters = transitive closure over the SQL-recomputed minhash
+    pair set; the component label (min reachable doc_id) is a unique
+    fixpoint, so the engine's iterative min-label propagation and this
+    recursive CTE agree exactly."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM ({_minhash_oracle_sql(threshold)})
+        ),
+        nodes AS (SELECT id_a AS n FROM pairs UNION SELECT id_b FROM pairs),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+        )
+        SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cents = lambda col: f"CAST(round({col}*100) AS BIGINT)"  # noqa: E731
     # Crawl-core oracles: an independent DuckDB BFS over the fixture link
@@ -278,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_embed": _embed_oracle_sql(),
+        "dup_clusters": _clusters_oracle_sql(),
         "text_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_uniq, n_bpe, stop_cnt,
                    CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio

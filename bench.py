@@ -156,6 +156,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "dedup_minhash",
         "dedup_simhash",
         "dedup_embed",
+        "dup_clusters",
         "knn_brute",
         "knn_ivf",
         "payload_features",

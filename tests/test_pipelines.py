@@ -154,6 +154,35 @@ class TestDedup:
         assert (1, 201) in got  # exact vector copy
         assert (0, 200) in got  # tiny perturbation
 
+    def test_dup_clusters_planted(self, planted_dir):
+        """Exact copies + near-dups collapse to min-id components."""
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(planted_dir, threshold=0.5).take_all()
+        }
+        assert got[0] == got[100] == got[101] == 0
+        assert got[1] == got[102] == 1
+        assert got[2] == got[103] == 2
+
+    def test_dup_clusters_path_graph(self, ray_session, tmp_path):
+        """Multi-hop propagation: a 12-node path (no direct far pairs)
+        must still collapse to ONE component — exercises the iterative
+        rounds, not just single-hop folding."""
+        import ray.data as rd
+
+        n = 12
+        path = pa.table(
+            {
+                "id_a": pa.array(list(range(n - 1)), pa.int64()),
+                "id_b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(str(tmp_path), pairs=rd.from_arrow(path)).take_all()
+        }
+        assert got == {i: 0 for i in range(n)}
+
     def test_minhash_deterministic(self, planted_dir):
         a = sorted(_pairs(dedup.dedup_minhash(planted_dir, threshold=0.5)))
         b = sorted(_pairs(dedup.dedup_minhash(planted_dir, threshold=0.5)))
@@ -341,6 +370,7 @@ class TestOracleParity:
             "dedup_minhash",
             "dedup_simhash",
             "dedup_embed",
+            "dup_clusters",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -393,8 +423,12 @@ class TestSketchOracleParity:
                 lambda d: dedup.dedup_embed(d, threshold=0.95),
                 lambda: entrymod._embed_oracle_sql(0.95),
             ),
+            (
+                lambda d: dedup.dup_clusters(d, threshold=0.5),
+                lambda: entrymod._clusters_oracle_sql(0.5),
+            ),
         ],
-        ids=["minhash", "simhash", "embed"],
+        ids=["minhash", "simhash", "embed", "clusters"],
     )
     def test_sketch_matches_oracle_on_planted(self, planted_dir, fn, osql):
         import duckdb

@@ -21,9 +21,13 @@ dedup technique:
 * ``dedup_embed``    — embedding cosine near-dup via random-hyperplane
                        LSH buckets + in-bucket cosine verify on a
                        2^-20 integer grid (oracle-exact, see docstring).
+* ``dup_clusters``   — connected components over the near-dup pair
+                       graph (iterative min-label propagation), turning
+                       pairwise hits into per-cluster survivor picks.
 
-All emit pairs ``(id_a, id_b)`` with ``id_a < id_b``, deduplicated by a
-final ``groupby`` (a pair can surface from several bands).
+The pair operators emit ``(id_a, id_b)`` with ``id_a < id_b``,
+deduplicated by a final ``groupby`` (a pair can surface from several
+bands).
 """
 
 from __future__ import annotations
@@ -38,6 +42,7 @@ from ray.data.aggregate import Count, Min
 from wbot_ray.pipelines.common import hash64, md5_lower64, read_table, shingle_hashes
 
 __all__ = [
+    "dup_clusters",
     "dedup_exact",
     "dedup_ngram",
     "dedup_minhash",
@@ -464,3 +469,119 @@ def dedup_embed(sf_dir: str, threshold: float = 0.92):
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     return _dedup_pairs(pairs)
+
+
+# -- dup clusters (connected components over the near-dup pair graph) ----
+
+
+def dup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 16, pairs=None):
+    """Connected components over the ``dedup_minhash`` pair graph:
+    ``(doc_id, cluster_id)`` where ``cluster_id`` is the MINIMUM doc_id
+    in the component — the canonical "pick one survivor per duplicate
+    cluster" step that turns pairwise near-dup hits into keep/drop
+    decisions. Only docs that appear in at least one pair are emitted
+    (every other doc is trivially its own singleton).
+
+    Ray-Data-native min-label propagation (the standard MapReduce CC):
+
+    * the symmetric edge list is materialized ONCE (it is the dup graph
+      — ~pairs×2 rows, small relative to the corpus even at 50% dup
+      rates, and never grows);
+    * each round is two keyed shuffles over (edges ∪ labels): a
+      ``groupby(node)`` fan-out that sends the node's current label to
+      every neighbor, then a ``groupby(node).min`` that folds incoming
+      labels — O(log diameter) rounds, and near-dup components are
+      star-shaped in practice (1–2 rounds);
+    * labels only ever DECREASE, so convergence is detected by the
+      (exact, integer) label sum going unchanged — one tiny aggregate
+      per round, no old-vs-new join.
+
+    The fixpoint (min id per component) is unique, so the DuckDB oracle
+    (a recursive-CTE transitive closure over the same SQL-recomputed
+    pair set) agrees exactly regardless of iteration strategy."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").combine_chunks()
+        b = batch.column("id_b").combine_chunks()
+        return pa.table(
+            {
+                "node": pa.chunked_array([a, b]).combine_chunks(),
+                "nbr": pa.chunked_array([b, a]).combine_chunks(),
+            }
+        )
+
+    # ``pairs`` overrides the edge source: any Dataset of (id_a, id_b)
+    # rows can be clustered (e.g. dedup_embed output, or a test graph)
+    src = pairs if pairs is not None else dedup_minhash(sf_dir, threshold)
+    edges = (
+        src.select_columns(["id_a", "id_b"])
+        .map_batches(sym, batch_format="pyarrow")
+        .materialize()
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "lbl": t.column("node")}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("lbl", alias_name="lbl"))
+        .materialize()
+    )
+
+    def fan_out(group: pa.Table) -> pa.Table:
+        """One group per node: its current label (the single non-null
+        ``lbl`` row) goes to every neighbor and back to itself."""
+        lbl = pc.min(group.column("lbl")).as_py()
+        nbrs = group.column("nbr").drop_null()
+        node = group.column("node")[0].as_py()
+        targets = pa.chunked_array([nbrs.combine_chunks(), pa.array([node], pa.int64())])
+        return pa.table(
+            {
+                "node": targets.combine_chunks(),
+                "lbl": pa.array([lbl] * len(targets), pa.int64()),
+            }
+        )
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        tagged_edges = edges.map_batches(
+            lambda t: t.append_column("lbl", pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
+        tagged_labels = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "nbr": pa.nulls(t.num_rows, pa.int64()),
+                    "lbl": t.column("lbl"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            tagged_edges.union(tagged_labels)
+            .groupby("node")
+            .map_groups(fan_out, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        s = labels.sum("lbl")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "cluster_id": t.column("lbl")},
+            schema=out_schema,
+        ),
+        batch_format="pyarrow",
+    )
