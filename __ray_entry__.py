@@ -56,7 +56,15 @@ def _pairs_query(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from wbot_ray.pipelines import crawlq, dedup, multimodal, relational, similarity, textops
+    from wbot_ray.pipelines import (
+        crawlq,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textops,
+        training,
+    )
 
     return {
         # -- crawl core (oracle = sequential reference simulator in tests/)
@@ -81,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _pairs_query(dedup.dedup_simhash),
         "dedup_embed": _pairs_query(dedup.dedup_embed),
         "dup_clusters": _typed_query(dedup.dup_clusters, ("doc_id", "cluster_id")),
+        # -- training-data prep
+        "sample_hash": training.sample_hash,
+        "pack_sequences": training.pack_sequences,
         # -- similarity search
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,
@@ -89,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_features": lambda sf: multimodal.frame_features(sf).select_columns(
             ["doc_id", "frame_idx", "frame_bytes"]
         ),
+        "audio_features": multimodal.audio_features,
         # -- relational / windowed analytics
         "q1_pricing": relational.q1_pricing,
         "cust_order_stats": relational.cust_order_stats,
@@ -97,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "asof_prior_event": relational.asof_prior_event,
         "topk_users": relational.topk_users,
+        "group_topn": relational.group_topn,
+        "price_quantiles": relational.price_quantiles,
         "region_acctbal": relational.region_acctbal,
     }
 
@@ -423,6 +437,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, frame_idx, frame_bytes FROM f
         """,
+        "audio_features": """
+            -- window geometry mirrors frame_features; energy is the
+            -- exact integer sum of squared codepoints per overlapping
+            -- window (win 256, hop 128) — character-based on both
+            -- sides (ord/substr here, codepoint stream in the engine)
+            WITH d AS (
+              SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, text, UNNEST(range(n)) AS j, n FROM d
+            ), v AS (
+              SELECT doc_id, CAST(j AS BIGINT) AS j,
+                     CAST(ord(substr(text, CAST(j + 1 AS INTEGER), 1)) AS BIGINT) AS s
+              FROM pos
+            ), w AS (
+              SELECT d.doc_id, CAST(i.i AS BIGINT) AS chunk_idx,
+                     CAST(i.i * 128 AS BIGINT) AS st, d.n
+              FROM d CROSS JOIN (SELECT UNNEST(range(100000)) AS i) i
+              WHERE i.i * 128 < GREATEST(1, d.n - 255)
+            )
+            SELECT w.doc_id,
+                   CAST(w.chunk_idx AS INTEGER) AS chunk_idx,
+                   CAST(LEAST(256, w.n - w.st) AS BIGINT) AS n_samples,
+                   CAST(SUM(v.s * v.s) AS BIGINT) AS energy
+            FROM w JOIN v ON v.doc_id = w.doc_id
+                 AND v.j >= w.st AND v.j < w.st + 256
+            GROUP BY w.doc_id, w.chunk_idx, w.n, w.st
+        """,
         "q1_pricing": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -515,6 +557,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n_events, sum_value_cents,
                    CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS rank
             FROM agg ORDER BY n_events DESC, user_id LIMIT 10
+        """,
+        "sample_hash": """
+            -- same md5_number_lower identity as the engine's
+            -- md5_lower64 (last 8 digest bytes, little-endian); the
+            -- keep threshold 2^62 is rate 1/4 as an integer compare
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE md5_number_lower('sample:' || CAST(doc_id AS VARCHAR))
+                  < CAST(4611686018427387904 AS UBIGINT)
+        """,
+        "pack_sequences": """
+            -- the packing law: exclusive prefix sum of token counts per
+            -- lang in doc_id order, cut into 2048-token sequences
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) - n_tokens AS cum_prev
+              FROM d)
+            SELECT doc_id, lang, n_tokens,
+                   CAST(cum_prev // 2048 AS BIGINT) AS seq_id,
+                   CAST(cum_prev % 2048 AS BIGINT) AS seq_offset
+            FROM c
+        """,
+        "group_topn": f"""
+            WITH r AS (
+              SELECT o_custkey, o_orderkey,
+                     {cents('o_totalprice')} AS price_cents,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY {cents('o_totalprice')} DESC, o_orderkey
+                     ) AS BIGINT) AS rn
+              FROM orders)
+            SELECT o_custkey, o_orderkey, price_cents, rn FROM r WHERE rn <= 3
+        """,
+        "price_quantiles": f"""
+            WITH p AS (
+              SELECT o_orderpriority, {cents('o_totalprice')} AS price_cents
+              FROM orders)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(quantile_disc(price_cents, 0.25) AS BIGINT) AS p25_cents,
+                   CAST(quantile_disc(price_cents, 0.5) AS BIGINT) AS p50_cents,
+                   CAST(quantile_disc(price_cents, 0.75) AS BIGINT) AS p75_cents,
+                   CAST(quantile_disc(price_cents, 0.95) AS BIGINT) AS p95_cents
+            FROM p GROUP BY o_orderpriority
         """,
         "region_acctbal": f"""
             SELECT r_name,

@@ -358,6 +358,8 @@ class TestOracleParity:
             "events_hourly",
             "topk_users",
             "region_acctbal",
+            "group_topn",
+            "price_quantiles",
             "payload_features",
             "doc_fingerprint",
             "corpus_filter",
@@ -371,6 +373,9 @@ class TestOracleParity:
             "dedup_simhash",
             "dedup_embed",
             "dup_clusters",
+            "sample_hash",
+            "pack_sequences",
+            "audio_features",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -546,3 +551,140 @@ class TestAsofProperty:
                 bt, bj = best
                 want[i] = (bj, int(bt), int(ts[i] - bt))
         assert got == want
+
+
+class TestTrainingOps:
+    def _docs_dir(self, tmp_path, n=120, langs=("en", "de", "fr")):
+        """Tiny documents table with varied token counts per lang."""
+        rng = np.random.RandomState(11)
+        texts, lang_col = [], []
+        for i in range(n):
+            k = int(rng.randint(1, 40))
+            texts.append(" ".join(f"w{i}x{j}" for j in range(k)))
+            lang_col.append(langs[i % len(langs)])
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(lang_col, pa.string()),
+                    "source": pa.array(["t"] * n, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        return str(d), texts, lang_col
+
+    def test_pack_sequences_prefix_law_across_partitions(self, tmp_path, ray_session):
+        """part_size smaller than the corpus forces multi-partition
+        base offsets; the result must equal the sequential single-tape
+        computation per lang."""
+        from wbot_ray.pipelines import training
+
+        d, texts, lang_col = self._docs_dir(tmp_path)
+        got = {
+            r["doc_id"]: (r["lang"], r["n_tokens"], r["seq_id"], r["seq_offset"])
+            for r in training.pack_sequences(d, seq_len=64, part_size=16).take_all()
+        }
+        cum = {}
+        for i, (t, lang) in enumerate(zip(texts, lang_col)):
+            ntok = len(t.split(" "))
+            prev = cum.get(lang, 0)
+            assert got[i] == (lang, ntok, prev // 64, prev % 64), i
+            cum[lang] = prev + ntok
+        assert len(got) == len(texts)
+
+    def test_sample_hash_deterministic_partition(self, tmp_path, ray_session):
+        """Keep-set is a pure function of doc_id: two runs agree, and
+        keep + complement partition the table at the md5 threshold."""
+        from wbot_ray.pipelines import training
+        from wbot_ray.pipelines.common import md5_lower64
+
+        d, texts, _ = self._docs_dir(tmp_path)
+        a = sorted(r["doc_id"] for r in training.sample_hash(d).take_all())
+        b = sorted(r["doc_id"] for r in training.sample_hash(d).take_all())
+        assert a == b
+        want = [
+            i for i in range(len(texts)) if md5_lower64(f"sample:{i}") < (1 << 62)
+        ]
+        assert a == want
+
+    def test_audio_chunker_non_ascii_matches_duckdb(self, ray_session, tmp_path):
+        """The no-ASCII-assumption claim: codepoint energies of a
+        non-ASCII payload match the SQL oracle's ord(substr(...))."""
+        import duckdb
+
+        from wbot_ray.pipelines.multimodal import AudioChunker
+
+        text = "héllo wörld — ünïcode µtest " * 40  # > 1 window, non-ASCII
+        ch = AudioChunker()
+        out = ch(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([text.encode()], pa.binary()),
+                }
+            )
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents AS SELECT 1::BIGINT AS doc_id, ? AS text", [text])
+        want = con.execute(entrymod.oracle_sql()["audio_features"]).df()
+        got = out.to_pandas().sort_values("chunk_idx").reset_index(drop=True)
+        want = want.sort_values("chunk_idx").reset_index(drop=True)
+        assert got["energy"].tolist() == want["energy"].tolist()
+        assert got["n_samples"].tolist() == want["n_samples"].tolist()
+        assert len(got) > 1
+
+    def test_price_quantile_rule_matches_duckdb_all_sizes(self):
+        """The k = ceil(p·n) disc-quantile rule, checked against DuckDB
+        for every group size 1..40 (and the exact fixture p values)."""
+        import math
+
+        import duckdb
+
+        con = duckdb.connect()
+        for n in range(1, 41):
+            vals = list(range(10, 10 + n))
+            for p in (0.25, 0.5, 0.75, 0.95):
+                want = con.execute(
+                    f"SELECT quantile_disc(x, {p}) FROM (SELECT UNNEST({vals}) AS x)"
+                ).fetchone()[0]
+                k = math.ceil(p * n)
+                assert vals[k - 1] == want, (n, p)
+
+    def test_group_topn_partial_stage_is_lossless(self, ray_session, tmp_path):
+        """A batch-local top-n can never evict a global top-n row:
+        verified on a skewed table read in multiple blocks."""
+        from wbot_ray.pipelines import relational
+
+        rng = np.random.RandomState(3)
+        n = 400
+        d = tmp_path / "sf"
+        d.mkdir()
+        ck = rng.randint(0, 12, n)
+        price = (rng.randint(100, 100000, n) / 100.0).round(2)
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(n), pa.int64()),
+                    "o_custkey": pa.array(ck.tolist(), pa.int64()),
+                    "o_totalprice": pa.array(price.tolist(), pa.float64()),
+                }
+            ),
+            os.path.join(d, "orders.parquet"),
+        )
+        got = sorted(
+            (r["o_custkey"], r["rn"], r["o_orderkey"], r["price_cents"])
+            for r in relational.group_topn(str(d), n=2).take_all()
+        )
+        cents_all = np.floor(price * 100 + 0.5).astype(np.int64)
+        want = []
+        for c in np.unique(ck):
+            idx = np.where(ck == c)[0]
+            order = sorted(idx, key=lambda i: (-cents_all[i], i))[:2]
+            for rank, i in enumerate(order, 1):
+                want.append((int(c), rank, int(i), int(cents_all[i])))
+        assert got == sorted(want)

@@ -29,8 +29,10 @@ __all__ = [
     "ImageDecoder",
     "FeatureExtractor",
     "FrameSampler",
+    "AudioChunker",
     "payload_features",
     "frame_features",
+    "audio_features",
     "payload_table",
 ]
 
@@ -164,6 +166,68 @@ class FrameSampler:
                 "frame_embed": pa.array(o_emb, pa.list_(pa.float64())),
             }
         )
+
+
+class AudioChunker:
+    """Actor-pool audio-windowing stage (the audio pattern, complement
+    to ``FrameSampler``'s video pattern): one payload row explodes into
+    OVERLAPPING analysis windows — window ``win`` samples, hop ``hop``
+    — with per-window integer energy. A real deployment plugs an audio
+    codec into ``pcm``; the deterministic stand-in (the payload's
+    Unicode codepoint stream as fake PCM) keeps the plumbing real:
+    actor ``__init__``-once setup, overlapping-window explosion via one
+    cumulative-sum pass (no per-window recompute), bounded batches.
+
+    Energy is an exact integer (sum of squared codepoints < 2^53 per
+    window), so a DuckDB oracle recomputes it bit-for-bit from
+    ``ord(substr(text, j+1, 1))`` — character-based on BOTH sides, no
+    ASCII assumption."""
+
+    def __init__(self, win: int = 256, hop: int = 128) -> None:
+        self.win = win
+        self.hop = hop
+
+    def pcm(self, payload: bytes) -> np.ndarray:
+        """Codec seam: bytes → int64 sample array. Stand-in: the UTF-8
+        payload's codepoints (vectorized via a utf-32 re-encode)."""
+        return np.frombuffer(payload.decode().encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_idx, o_ns, o_en = [], [], [], []
+        for d, p in zip(ids, payloads):
+            v = self.pcm(p)
+            n = len(v)
+            csq = np.concatenate([[0], np.cumsum(v * v)])
+            for ci, s in enumerate(range(0, max(1, n - self.win + 1), self.hop)):
+                e = min(s + self.win, n)
+                o_id.append(d)
+                o_idx.append(ci)
+                o_ns.append(e - s)
+                o_en.append(int(csq[e] - csq[s]))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "chunk_idx": pa.array(o_idx, pa.int32()),
+                "n_samples": pa.array(o_ns, pa.int64()),
+                "energy": pa.array(o_en, pa.int64()),
+            }
+        )
+
+
+def audio_features(sf_dir: str):
+    """Audio-windowing pipeline: payload → actor-pool overlapping-window
+    explode → per-window energy (payload dropped at the stage boundary;
+    samples never transit a shuffle)."""
+    return payload_table(sf_dir).map_batches(
+        AudioChunker,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(2, 8),
+    )
 
 
 def frame_features(sf_dir: str):

@@ -26,6 +26,8 @@ __all__ = [
     "events_hourly",
     "events_sliding",
     "topk_users",
+    "group_topn",
+    "price_quantiles",
     "sessionize",
     "asof_prior_event",
     "region_acctbal",
@@ -223,6 +225,122 @@ def topk_users(sf_dir: str, k: int = 10):
     t = cand.take(pa.array(np.lexsort((uid, -n))[: min(k, cand.num_rows)]))
     t = t.select(["user_id", "n_events", "sum_value_cents"])
     return t.append_column("rank", pa.array(range(1, t.num_rows + 1), pa.int64()))
+
+
+def _topn_per_key(keys: np.ndarray, prio: np.ndarray, tiebreak: np.ndarray, n: int) -> np.ndarray:
+    """Indices of the top-``n`` rows per key, ordered (key, -prio,
+    tiebreak). Vectorized: one lexsort + a run-length rank — no Python
+    loop over keys."""
+    order = np.lexsort((tiebreak, -prio, keys))
+    k_sorted = keys[order]
+    # rank within key run: position - start-of-run position
+    is_start = np.r_[True, k_sorted[1:] != k_sorted[:-1]]
+    run_start = np.maximum.accumulate(np.where(is_start, np.arange(len(order)), 0))
+    rank = np.arange(len(order)) - run_start
+    return order[rank < n]
+
+
+def group_topn(sf_dir: str, n: int = 3):
+    """Top-``n`` orders per customer by price (ties → smaller orderkey),
+    with per-customer rank — the grouped-window / row_number operator.
+
+    Ray shape: a per-BATCH partial top-n first (each batch keeps ≤ n rows
+    per custkey it sees), so the shuffle carries at most n rows per
+    (batch, key) instead of every order; then ``groupby(custkey).
+    map_groups`` finishes the top-n and assigns ranks. Correct because
+    a row outside its batch's per-key top-n can never be in the global
+    top-n. At 100 TB both stages are bounded: the exchange carries
+    ≤ n·|keys-per-batch| slim rows and each final group is ≤ n·#blocks."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "price_cents": cents(batch.column("o_totalprice")),
+            }
+        )
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pcents = t.column("price_cents").to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.sort(_topn_per_key(ck, pcents, ok, n))))
+
+    def finish(group: pa.Table) -> pa.Table:
+        ck = np.asarray(group.column("o_custkey").to_pylist(), dtype=np.int64)
+        ok = np.asarray(group.column("o_orderkey").to_pylist(), dtype=np.int64)
+        pcents = np.asarray(group.column("price_cents").to_pylist(), dtype=np.int64)
+        keep = _topn_per_key(ck, pcents, ok, n)  # already (key,-prio,tie) ordered
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck[keep], pa.int64()),
+                "o_orderkey": pa.array(ok[keep], pa.int64()),
+                "price_cents": pa.array(pcents[keep], pa.int64()),
+                "rn": pa.array(np.arange(1, len(keep) + 1, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def price_quantiles(sf_dir: str, ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
+    """EXACT distributed percentiles of order price per priority —
+    the counting-refine shape, not a sort: per-batch value-count
+    pre-aggregation, a small ``groupby((priority, value))`` exchange
+    (bounded by |distinct values|, not |rows|), then a per-priority
+    cumulative scan over the tiny (value, count) histogram.
+
+    Matches DuckDB ``quantile_disc`` exactly: the k-th smallest with
+    k = ceil(p·n) (both engines evaluate p·n in IEEE double, so the
+    ceil agrees bit-for-bit)."""
+    import math
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "price_cents": cents(batch.column("o_totalprice")),
+            }
+        )
+        part = t.group_by(["o_orderpriority", "price_cents"]).aggregate(
+            [("price_cents", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": part.column("o_orderpriority"),
+                "price_cents": part.column("price_cents"),
+                "n": pc.cast(part.column("price_cents_count"), pa.int64()),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        prio = group.column("o_orderpriority")[0].as_py()
+        vals = np.asarray(group.column("price_cents").to_pylist(), dtype=np.int64)
+        cnts = np.asarray(group.column("n").to_pylist(), dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        out = {"o_orderpriority": pa.array([prio], pa.string()),
+               "n_orders": pa.array([n], pa.int64())}
+        for p in ps:
+            k = math.ceil(p * n)  # same IEEE double product as DuckDB
+            v = int(vals[np.searchsorted(cum, k, side="left")])
+            out[f"p{round(p * 100)}_cents"] = pa.array([v], pa.int64())
+        return pa.table(out)
+
+    return (
+        read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "price_cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("o_orderpriority")
+        .map_groups(finish, batch_format="pyarrow")
+    )
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):

@@ -1,0 +1,130 @@
+"""Training-data preparation operators — the corpus-to-training-run
+steps a 100-TB LLM pipeline needs between "filtered corpus" and
+"token shards": deterministic sampling and sequence packing.
+
+Both are oracle-exact by construction: sampling keys on the DuckDB-
+recomputable ``md5_number_lower`` hash (see ``common.md5_lower64``)
+and packing is a pure integer prefix-sum, so a SQL window function
+reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+from wbot_ray.pipelines.common import md5_lower64, read_table
+
+__all__ = ["sample_hash", "pack_sequences"]
+
+# p = num/2^64: the keep predicate is an integer compare, no float rate
+SAMPLE_SALT = "sample:"
+
+
+def sample_hash(sf_dir: str, num: int = 1 << 62):
+    """Deterministic Bernoulli sample of documents at rate num/2^64
+    (default 1/4): keep doc iff ``md5_lower64("sample:"+doc_id) < num``.
+
+    The canonical reproducible-sampling shape for training sets: the
+    keep decision is a pure function of the stable doc key — stateless,
+    embarrassingly parallel, re-runnable on any subset of shards, and
+    the complement set (the holdout) is exactly the other rows. No RNG
+    state, no seed coordination across workers.
+    """
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (md5_lower64(f"{SAMPLE_SALT}{i}") for i in ids),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        return batch.filter(pa.array(h < np.uint64(num)))
+
+    return read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 2048, part_size: int = 1024):
+    """Sequence packing (the streaming concat-and-chunk used for LLM
+    training): per language, documents are laid out in doc_id order on
+    one virtual token tape, which is cut into fixed ``seq_len`` chunks;
+    each doc gets its (seq_id, seq_offset) placement.
+
+    This is a DISTRIBUTED PREFIX SUM — the one primitive Ray Data has
+    no operator for — built from its own pieces:
+
+    1. a slim pass computes (doc_id, lang, n_tokens, part) where
+       ``part = doc_id // part_size`` (any stable pre-existing shard
+       key works; no shuffle is spent creating it);
+    2. a tiny ``groupby((lang, part)).sum`` yields per-partition token
+       totals — |langs|·|parts| rows, safe to collect and scan on the
+       driver at any corpus size (it is the *partition* count, not the
+       row count);
+    3. the exclusive per-partition base offsets are broadcast once
+       (``ray.put``) and a ``groupby(part).map_groups`` sorts each
+       partition by doc_id and adds its local cumulative sum — every
+       task touches only its own bounded partition.
+
+    The slim dataset is materialized between (2) and (3): three int64
+    columns plus lang, orders of magnitude smaller than the corpus —
+    the re-read it avoids is the full text column.
+    """
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(batch.column("text"), " "))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+                # doc_id >= 0, so integer (trunc) division == floor
+                "part": pc.cast(pc.divide(batch.column("doc_id"), part_size), pa.int64()),
+            }
+        )
+
+    slim = (
+        read_table(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    part_sums = slim.groupby(["lang", "part"]).aggregate(
+        Sum("n_tokens", alias_name="part_tokens")
+    )
+    rows = part_sums.take_all()  # |langs|·|parts| rows — metadata-sized
+    base: dict[tuple[str, int], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(rows, key=lambda r: (r["lang"], r["part"])):
+        base[(r["lang"], int(r["part"]))] = acc.get(r["lang"], 0)
+        acc[r["lang"]] = acc.get(r["lang"], 0) + int(r["part_tokens"])
+    base_ref = ray.put(base)
+
+    def place(group: pa.Table) -> pa.Table:
+        offsets = ray.get(base_ref)
+        part = int(group.column("part")[0].as_py())
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        langs = np.asarray(group.column("lang").to_pylist(), dtype=object)
+        ntok = np.asarray(group.column("n_tokens").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, langs, ntok = ids[order], langs[order], ntok[order]
+        cum_prev = np.empty(len(ids), dtype=np.int64)
+        for lang in np.unique(langs):
+            m = langs == lang
+            local = np.cumsum(ntok[m]) - ntok[m]
+            cum_prev[m] = local + offsets.get((lang, part), 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(list(langs), pa.string()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "seq_id": pa.array(cum_prev // seq_len, pa.int64()),
+                "seq_offset": pa.array(cum_prev % seq_len, pa.int64()),
+            }
+        )
+
+    return slim.groupby("part").map_groups(place, batch_format="pyarrow")
