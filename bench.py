@@ -170,6 +170,11 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "asof_prior_event",
         "heavy_hitters",
         "corpus_filter",
+        "group_topn",
+        "price_quantiles",
+        "sample_hash",
+        "pack_sequences",
+        "audio_features",
     ]
     out: dict[str, float] = {}
     for name in names:
