@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textops.langid,
         "heavy_hitters": textops.heavy_hitters,
         "corpus_filter": textops.corpus_filter,
+        "ngram_counts": _typed_query(textops.ngram_counts, ("ngram", "n_occurrences")),
+        "tfidf_topterms": textops.tfidf_topterms,
         # -- deduplication (pair queries via _pairs_query: a legitimately
         #    empty pair set must still present the PAIR_SCHEMA columns)
         "dedup_exact": dedup.dedup_exact,
@@ -92,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- training-data prep
         "sample_hash": training.sample_hash,
         "pack_sequences": training.pack_sequences,
+        "stratified_sample": training.stratified_sample,
         # -- similarity search
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,
@@ -557,6 +560,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n_events, sum_value_cents,
                    CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS rank
             FROM agg ORDER BY n_events DESC, user_id LIMIT 10
+        """,
+        "ngram_counts": """
+            WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+            i AS (SELECT w, UNNEST(generate_series(1, len(w) - 1)) AS i FROM w),
+            g AS (SELECT array_to_string(list_slice(w, i, i + 1), ' ') AS ngram FROM i)
+            SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM g GROUP BY ngram HAVING COUNT(*) >= 5
+        """,
+        "tfidf_topterms": """
+            -- integer tf-idf ordering: (tf DESC, df ASC, token ASC),
+            -- no float scores — platform-exact ranking
+            WITH tok AS (
+              SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, token
+            ), df AS (
+              SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY token
+            ), r AS (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.token
+                     ) AS BIGINT) AS term_rank
+              FROM tf JOIN df USING (token)
+            )
+            SELECT doc_id, token, tf, df, term_rank FROM r WHERE term_rank <= 5
+        """,
+        "stratified_sample": """
+            WITH h AS (
+              SELECT doc_id, lang, n_chars,
+                     md5_number_lower('strat:' || CAST(doc_id AS VARCHAR)) AS hv
+              FROM documents
+            ), r AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY hv, doc_id
+                     ) AS BIGINT) AS strat_rank
+              FROM h)
+            SELECT doc_id, lang, n_chars, strat_rank FROM r WHERE strat_rank <= 50
         """,
         "sample_hash": """
             -- same md5_number_lower identity as the engine's

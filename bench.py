@@ -175,6 +175,9 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "sample_hash",
         "pack_sequences",
         "audio_features",
+        "ngram_counts",
+        "tfidf_topterms",
+        "stratified_sample",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -376,6 +376,9 @@ class TestOracleParity:
             "sample_hash",
             "pack_sequences",
             "audio_features",
+            "ngram_counts",
+            "tfidf_topterms",
+            "stratified_sample",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -688,3 +691,89 @@ class TestTrainingOps:
             for rank, i in enumerate(order, 1):
                 want.append((int(c), rank, int(i), int(cents_all[i])))
         assert got == sorted(want)
+
+
+class TestTextTrainingOps:
+    def test_tfidf_matches_bruteforce(self, tmp_path, ray_session):
+        from wbot_ray.pipelines import textops
+
+        texts = [
+            "apple banana apple cherry",
+            "banana banana durian",
+            "apple cherry cherry cherry elder",
+            "fig",
+        ]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        got = {
+            (r["doc_id"], r["term_rank"]): (r["token"], r["tf"], r["df"])
+            for r in textops.tfidf_topterms(str(d), k=2).take_all()
+        }
+        from collections import Counter
+
+        df = Counter(tok for t in texts for tok in set(t.split(" ")))
+        want = {}
+        for i, t in enumerate(texts):
+            tf = Counter(t.split(" "))
+            ranked = sorted(tf, key=lambda w: (-tf[w], df[w], w))[:2]
+            for rnk, w in enumerate(ranked, 1):
+                want[(i, rnk)] = (w, tf[w], df[w])
+        assert got == want
+
+    def test_ngram_counts_threshold(self, tmp_path, ray_session):
+        from wbot_ray.pipelines import textops
+
+        # "a b" appears 6x (>=5); every other bigram fewer
+        texts = ["a b c", "a b", "a b a b", "x", ""] + ["a b"] * 2
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        rows = textops.ngram_counts(str(d), min_count=5).take_all()
+        assert {(r["ngram"], r["n_occurrences"]) for r in rows} == {("a b", 6)}
+
+    def test_stratified_sample_exact_k_per_stratum(self, tmp_path, ray_session):
+        from wbot_ray.pipelines import training
+        from wbot_ray.pipelines.common import md5_lower64
+
+        n = 300
+        langs = ["en"] * 200 + ["de"] * 90 + ["xx"] * 10  # xx stratum < k
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "lang": pa.array(langs, pa.string()),
+                    "n_chars": pa.array([7] * n, pa.int64()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        rows = training.stratified_sample(str(d), k=20).take_all()
+        by_lang: dict = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append((r["strat_rank"], r["doc_id"]))
+        assert len(by_lang["en"]) == 20 and len(by_lang["de"]) == 20
+        assert len(by_lang["xx"]) == 10  # whole stratum when smaller than k
+        # rank order == ascending hash order, brute-checked per stratum
+        for lang, got in by_lang.items():
+            ids = [i for i in range(n) if langs[i] == lang]
+            want = sorted(ids, key=lambda i: (md5_lower64(f"strat:{i}"), i))[:20]
+            assert [i for _, i in sorted(got)] == want

@@ -30,6 +30,8 @@ __all__ = [
     "langid",
     "heavy_hitters",
     "corpus_filter",
+    "ngram_counts",
+    "tfidf_topterms",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -347,3 +349,117 @@ def corpus_filter(sf_dir: str, min_tokens: int = 30, min_stopwords: int = 1):
         .aggregate(_Min("doc_id", alias_name="doc_id"), _Min("n_tokens", alias_name="n_tokens"))
     )
     return kept.select_columns(["doc_id", "n_tokens"])
+
+
+def ngram_counts(sf_dir: str, n: int = 2, min_count: int = 5):
+    """Corpus n-gram frequency (default bigrams): per-batch Counter
+    partials (one row per distinct n-gram per batch — the combiner), a
+    ``groupby(ngram)`` sum over the pre-combined rows, then the
+    min-count gate. Documents shorter than n words contribute nothing.
+    At 100 TB the exchange is bounded by batch-count × distinct-ngrams,
+    and the output by the (Zipf-truncated) vocabulary above
+    ``min_count``."""
+    from collections import Counter
+
+    def part(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split(" ")
+            for i in range(len(toks) - n + 1):
+                c[" ".join(toks[i : i + n])] += 1
+        return pa.table(
+            {
+                "ngram": pa.array(list(c.keys()), pa.string()),
+                "n_occurrences": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_occurrences"), min_count))
+
+    return (
+        read_table(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("n_occurrences", alias_name="n_occurrences"))
+        .map_batches(gate, batch_format="pyarrow")
+    )
+
+
+def tfidf_topterms(sf_dir: str, k: int = 5):
+    """Per-document top-k salient terms, ranked (tf DESC, df ASC, token
+    ASC) — a tf-idf ordering expressed entirely in integers (no float
+    scores, so the ranking is platform-exact).
+
+    Two passes over the pruned text column:
+
+    1. exact document frequency: per-batch DISTINCT (doc, token) rows →
+       ``groupby(token).count`` — the one unavoidable exchange, carrying
+       distinct pairs; the resulting vocabulary table is collected and
+       broadcast once (``ray.put``). At web scale the vocabulary above
+       any df floor is millions of rows — still a broadcastable dim
+       (same pattern as ``cust_order_stats``); past that, swap the
+       broadcast for a bucketed join on hash(token).
+    2. per-batch tf + one vectorized Arrow join against the broadcast
+       df table + a batch-local top-k (every token of a doc lives in
+       the doc's own batch, so the ranking needs NO second shuffle).
+    """
+    from collections import Counter
+
+    import ray
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks, n_rows = [], 0
+        for t in batch.column("text").to_pylist():
+            s = set(t.split(" "))
+            toks.append(list(s))
+            n_rows += len(s)
+        flat = [tok for s in toks for tok in s]
+        return pa.table({"token": pa.array(flat, pa.string())})
+
+    df_ds = (
+        read_table(sf_dir, "documents", ["text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+    )
+    df_tbl = pa.Table.from_pylist(df_ds.take_all())
+    if df_tbl.num_rows == 0:
+        df_tbl = pa.table({"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    df_tbl = pa.table(
+        {"token": df_tbl.column("token"), "df": pc.cast(df_tbl.column("df"), pa.int64())}
+    )
+    df_ref = ray.put(df_tbl)
+
+    def topterms(batch: pa.Table) -> pa.Table:
+        dim = ray.get(df_ref)
+        ids, tokens, tfs = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            for tok, cnt in Counter(t.split(" ")).items():
+                ids.append(d)
+                tokens.append(tok)
+                tfs.append(cnt)
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "token": pa.array(tokens, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        ).join(dim, keys="token", join_type="left outer")
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        df = t.column("df").to_numpy(zero_copy_only=False)
+        # token order code: np.unique codes preserve lexicographic order
+        _, code = np.unique(np.asarray(t.column("token").to_pylist(), dtype=object), return_inverse=True)
+        order = np.lexsort((code, df, -tf, doc))
+        d_sorted = doc[order]
+        is_start = np.r_[True, d_sorted[1:] != d_sorted[:-1]]
+        run_start = np.maximum.accumulate(np.where(is_start, np.arange(len(order)), 0))
+        rank = np.arange(len(order)) - run_start
+        keep = rank < k
+        out = t.take(pa.array(order[keep]))
+        return out.append_column("term_rank", pa.array(rank[keep] + 1, pa.int64()))
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        topterms, batch_format="pyarrow"
+    )

@@ -18,7 +18,7 @@ from ray.data.aggregate import Sum
 
 from wbot_ray.pipelines.common import md5_lower64, read_table
 
-__all__ = ["sample_hash", "pack_sequences"]
+__all__ = ["sample_hash", "pack_sequences", "stratified_sample"]
 
 # p = num/2^64: the keep predicate is an integer compare, no float rate
 SAMPLE_SALT = "sample:"
@@ -46,6 +46,63 @@ def sample_hash(sf_dir: str, num: int = 1 << 62):
 
     return read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
         keep, batch_format="pyarrow"
+    )
+
+
+def _bottomk_per_key(keys: np.ndarray, val: np.ndarray, tiebreak: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k smallest (val, tiebreak) rows per key — one
+    lexsort + a run-length rank, no Python loop over keys."""
+    order = np.lexsort((tiebreak, val, keys))
+    k_sorted = keys[order]
+    is_start = np.r_[True, k_sorted[1:] != k_sorted[:-1]]
+    run_start = np.maximum.accumulate(np.where(is_start, np.arange(len(order)), 0))
+    rank = np.arange(len(order)) - run_start
+    return order[rank < k]
+
+
+STRAT_SALT = "strat:"
+
+
+def stratified_sample(sf_dir: str, k: int = 50):
+    """Deterministic per-stratum fixed-count sample: for each lang, the
+    ``k`` documents with the smallest ``md5_lower64("strat:"+doc_id)``
+    — i.e. a uniform random-looking sample of exactly k per stratum
+    that any worker can recompute from the doc key alone.
+
+    Ray shape: per-BATCH partial bottom-k per lang (lossless — a row
+    outside its batch's stratum bottom-k can never be in the global
+    bottom-k), then ``groupby(lang).map_groups`` finishes and ranks.
+    The exchange carries ≤ k rows per (batch, stratum); final groups
+    are ≤ k·#blocks rows regardless of corpus size."""
+
+    def hashes(batch: pa.Table) -> np.ndarray:
+        ids = batch.column("doc_id").to_pylist()
+        return np.fromiter(
+            (md5_lower64(f"{STRAT_SALT}{i}") for i in ids), dtype=np.uint64, count=len(ids)
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        h = hashes(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # factorize lang: np.unique codes preserve lexicographic order
+        _, codes = np.unique(np.asarray(batch.column("lang").to_pylist(), dtype=object), return_inverse=True)
+        keep = np.sort(_bottomk_per_key(codes, h, ids, k))
+        return batch.append_column("h", pa.array(h, pa.uint64())).take(pa.array(keep))
+
+    def finish(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[: min(k, len(ids))]
+        out = group.select(["doc_id", "lang", "n_chars"]).take(pa.array(order))
+        return out.append_column(
+            "strat_rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64())
+        )
+
+    return (
+        read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(finish, batch_format="pyarrow")
     )
 
 
