@@ -95,6 +95,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": training.sample_hash,
         "pack_sequences": training.pack_sequences,
         "stratified_sample": training.stratified_sample,
+        # -- graph analytics over the crawl link graph
+        "link_pagerank": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["link_pagerank"]
+        ).link_pagerank(sf),
         # -- similarity search
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,
@@ -313,8 +317,11 @@ def oracle_sql() -> dict[str, str]:
     from wbot_ray.pipelines.crawlq import oracle_entries
 
     crawl = oracle_entries("small")
+    from wbot_ray.pipelines.graph import _links_path, pagerank_oracle_sql
+
     return {
         **crawl,
+        "link_pagerank": pagerank_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "langid": _langid_oracle_sql(),
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),

@@ -178,6 +178,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "ngram_counts",
         "tfidf_topterms",
         "stratified_sample",
+        "link_pagerank",
     ]
     out: dict[str, float] = {}
     for name in names:

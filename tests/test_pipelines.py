@@ -777,3 +777,56 @@ class TestTextTrainingOps:
             ids = [i for i in range(n) if langs[i] == lang]
             want = sorted(ids, key=lambda i: (md5_lower64(f"strat:{i}"), i))[:20]
             assert [i for _, i in sorted(got)] == want
+
+
+class TestPagerank:
+    def _links(self, tmp_path, rows):
+        p = os.path.join(tmp_path, "links.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": pa.array([a for a, _ in rows], pa.string()),
+                    "dst_url": pa.array([b for _, b in rows], pa.string()),
+                    "gated": pa.array([True] * len(rows), pa.bool_()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    def test_symmetric_cycle_uniform(self, tmp_path, ray_session):
+        """On a 4-cycle every node has in-mass == out-mass, so all
+        ranks stay equal at every iteration."""
+        from wbot_ray.pipelines import graph
+
+        urls = [f"https://s{i}.com/" for i in range(4)]
+        p = self._links(tmp_path, [(urls[i], urls[(i + 1) % 4]) for i in range(4)])
+        rows = link = graph.link_pagerank(tmp_path.as_posix(), links_path=p).take_all()
+        ranks = {r["url"]: r["rank_fp"] for r in rows}
+        assert len(ranks) == 4
+        assert len(set(ranks.values())) == 1
+
+    def test_planted_graph_matches_sql_oracle(self, tmp_path, ray_session):
+        """Cross-engine parity on an asymmetric graph with a hub, a
+        dangling sink, and multi-edges (out-degree counts repeats)."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        A, B, C, D = (f"https://h{i}.net/x" for i in range(4))
+        edges = [(A, B), (A, C), (B, A), (C, A), (C, B), (A, B), (B, D)]
+        p = self._links(tmp_path, edges)
+        got = {
+            r["url"]: r["rank_fp"]
+            for r in graph.link_pagerank(tmp_path.as_posix(), links_path=p).take_all()
+        }
+        want = {
+            u: rf
+            for u, rf in duckdb.connect()
+            .execute(graph.pagerank_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+        # the hub (A: 2 in-sources, one a 2x multi-edge target) outranks
+        # the dangling sink D
+        assert got[A] > got[D]
