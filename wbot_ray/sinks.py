@@ -1,0 +1,119 @@
+"""Resumable partitioned Parquet sink — the generic form of the
+per-round checkpointing the crawl driver does (``driver.py`` writes
+round manifests; this writes per-partition ones).
+
+Contract for 100-TB runs: output is one directory per partition key,
+each committed ATOMICALLY (write to a tmp name, fsync-free rename,
+then a ``_SUCCESS`` marker carrying the row count). A re-run with
+``resume=True`` lists the finished markers FIRST and filters those
+partitions out of the pipeline before any work happens — a failed job
+re-does only the partitions whose markers are missing, and a partial
+(un-renamed / marker-less) directory from a crash is overwritten, so
+the output is exactly-once per partition regardless of retries.
+
+Never one giant file: each partition writes its own parquet, so the
+sink parallelizes with the partition count and a reader can prune by
+partition directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = ["write_partitioned", "finished_partitions", "read_partitioned"]
+
+_MARKER = "_SUCCESS"
+
+
+def _part_dir(out_dir: str, value) -> str:
+    return os.path.join(out_dir, f"part={value}")
+
+
+def finished_partitions(out_dir: str) -> dict[str, int]:
+    """Partition value (as string) → committed row count, read from the
+    ``_SUCCESS`` markers. A directory without a marker is NOT finished
+    (crash leftover) and will be redone."""
+    done: dict[str, int] = {}
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        marker = os.path.join(out_dir, name, _MARKER)
+        if name.startswith("part=") and os.path.exists(marker):
+            with open(marker) as f:
+                done[name[len("part=") :]] = json.load(f)["n_rows"]
+    return done
+
+
+def write_partitioned(ds, out_dir: str, partition_col: str, resume: bool = True) -> dict:
+    """Write ``ds`` as one parquet directory per distinct value of
+    ``partition_col``. Returns ``{partition: n_rows}`` for the FULL
+    output (committed this run + previously committed).
+
+    Ray shape: ``groupby(partition_col).map_groups`` — one task per
+    partition owns its whole directory, writes tmp → rename → marker.
+    With ``resume``, already-committed partitions are filtered out of
+    the stream up front (the filter runs in the first map stage, so
+    their rows never reach the shuffle)."""
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = finished_partitions(out_dir) if resume else {}
+
+    if done:
+        skip = set(done)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            col = batch.column(partition_col)
+            mask = pa.array(
+                [str(v) not in skip for v in col.to_pylist()], pa.bool_()
+            )
+            return batch.filter(mask)
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    def commit_group(group: pa.Table) -> pa.Table:
+        value = group.column(partition_col)[0].as_py()
+        pdir = _part_dir(out_dir, value)
+        tmp = pdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(pdir, ignore_errors=True)  # crash leftover, no marker
+        os.makedirs(tmp)
+        pq.write_table(group, os.path.join(tmp, "data.parquet"))
+        os.replace(tmp, pdir)
+        with open(os.path.join(pdir, _MARKER + ".tmp"), "w") as f:
+            json.dump({"n_rows": group.num_rows}, f)
+        os.replace(os.path.join(pdir, _MARKER + ".tmp"), os.path.join(pdir, _MARKER))
+        return pa.table(
+            {
+                "partition": pa.array([str(value)], pa.string()),
+                "n_rows": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    written = (
+        ds.groupby(partition_col)
+        .map_groups(commit_group, batch_format="pyarrow")
+        .take_all()
+    )
+    out = dict(done)
+    for r in written:
+        out[r["partition"]] = int(r["n_rows"])
+    return out
+
+
+def read_partitioned(out_dir: str, partitions: list[str] | None = None):
+    """Read back committed partitions only (optionally a subset) as a
+    Ray Dataset — unfinished/crashed directories are never read."""
+    import ray.data as rd
+
+    done = finished_partitions(out_dir)
+    names = partitions if partitions is not None else sorted(done)
+    paths = [
+        os.path.join(_part_dir(out_dir, p), "data.parquet") for p in names if p in done
+    ]
+    return rd.read_parquet(paths)
