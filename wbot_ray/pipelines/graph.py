@@ -21,7 +21,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 __all__ = ["link_pagerank", "pagerank_oracle_sql"]
 
@@ -47,17 +46,22 @@ def _links_path(sf_dir: str) -> str:
 
 def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path: str | None = None):
     """Fixed-point PageRank over the gated link graph, ``iters`` power
-    iterations. Ray shape per iteration — the BUCKETED reduce-side
-    join: node ids are hashed once into ``num_buckets`` co-location
-    buckets when the edge list is materialized; each iteration unions
-    the edge list with the current rank vector on the bucket key, and
-    one ``groupby(bucket).map_groups`` task per bucket joins
-    rank-to-edges VECTORIZED (Arrow hash join + numpy integer
-    contribution math) — no per-node Python calls, no broadcast of the
-    rank vector. A second native ``groupby(dst).sum`` folds incoming
-    mass; zero self-contributions keep sink nodes alive through the
-    fold. Both exchanges carry one slim row per edge; bucket count
-    scales with the cluster, not the graph."""
+    iterations. Ray shape — the FUSED bucketed iteration: node ids are
+    hashed once into ``num_buckets`` co-location buckets when the edge
+    list is materialized, and because ``bucket(n)`` is the same hash
+    whether ``n`` arrives as a contribution target or as an edge
+    source, ONE ``groupby(bucket).map_groups`` task per bucket per
+    iteration does the whole round — sums incoming contributions per
+    node (Arrow ``group_by``), applies the damping update, joins the
+    fresh ranks to the bucket's out-edges (Arrow hash join + numpy
+    integer math) and emits next-round contributions keyed by the
+    destination's bucket. Zero self-contributions keep sinks and
+    leaf-only nodes alive, so no separate distinct-nodes pass is
+    needed either: ``iters + 1`` keyed exchanges total (vs ``2·iters
+    + 1`` for the textbook fanout/fold split) — on an iterative tiny-
+    row shuffle the fixed per-exchange latency IS the cost, so halving
+    exchange count halves wall time. Every exchange carries one slim
+    row per edge; bucket count scales with the cluster, not the graph."""
     import zlib
 
     links = rd.read_parquet(
@@ -85,44 +89,30 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
 
     edges = links.map_batches(to_edges, batch_format="pyarrow").materialize()
 
-    def init_nodes(batch: pa.Table) -> pa.Table:
-        both = pa.chunked_array(
-            [batch.column("src").combine_chunks(), batch.column("dst").combine_chunks()]
-        ).combine_chunks()
-        return pa.table({"node": both})
-
-    from ray.data.aggregate import Count, Min
-
-    ranks = (
-        edges.map_batches(init_nodes, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="_n"))  # distinct nodes
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "bucket": bucket_arr(t.column("node").to_pylist()),
-                    "node": t.column("node"),
-                    "r": pa.array([ONE] * t.num_rows, pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+    def _contrib_rows(nodes: pa.Array, buckets, c: pa.Array) -> pa.Table:
+        """Contribution rows in the shared edge schema: dst is null (the
+        edge/contrib discriminator), r carries the int contribution."""
+        n = len(nodes)
+        return pa.table(
+            {
+                "bucket": buckets,
+                "src": nodes,
+                "dst": pa.nulls(n, pa.string()),
+                "dst_bucket": pa.nulls(n, pa.int64()),
+                "r": c,
+            }
         )
-        .materialize()
-    )
 
-    def join_fanout(group: pa.Table) -> pa.Table:
-        """One bucket: join the bucket's rank rows to its out-edges and
-        emit integer contributions — all vectorized."""
-        is_edge = pc.is_valid(group.column("dst"))
-        e = group.filter(is_edge)
-        rk = group.filter(pc.invert(is_edge)).select(["src", "r"])
+    def _fanout(e: pa.Table, rk: pa.Table) -> list[pa.Table]:
+        """Fan a bucket's rank vector ``rk`` (src, r) over its out-edges
+        ``e``: per-edge contribution r // out_degree, keyed by the
+        destination's bucket — plus a zero self-row per ranked node so
+        every node survives the next round's fold. All vectorized."""
         out = [
-            pa.table(  # zero self-rows: every node survives the fold
-                {
-                    "dst": rk.column("src"),
-                    "dst_bucket": group.filter(pc.invert(is_edge)).column("bucket"),
-                    "c": pa.array(np.zeros(rk.num_rows, dtype=np.int64), pa.int64()),
-                }
+            _contrib_rows(
+                rk.column("src"),
+                rk.column("bucket"),
+                pa.array(np.zeros(rk.num_rows, dtype=np.int64), pa.int64()),
             )
         ]
         if e.num_rows:
@@ -130,68 +120,74 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
             j = (
                 e.select(["src", "dst", "dst_bucket"])
                 .join(od, keys="src", join_type="inner")
-                .join(rk, keys="src", join_type="inner")
+                .join(rk.select(["src", "r"]), keys="src", join_type="inner")
             )
             r = j.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
             n_out = j.column("src_count").to_numpy(zero_copy_only=False).astype(np.int64)
             out.append(
-                pa.table(
-                    {
-                        "dst": j.column("dst"),
-                        "dst_bucket": j.column("dst_bucket"),
-                        "c": pa.array(r // n_out, pa.int64()),
-                    }
+                _contrib_rows(
+                    j.column("dst"), j.column("dst_bucket"), pa.array(r // n_out, pa.int64())
                 )
             )
+        return out
+
+    def init_fanout(group: pa.Table) -> pa.Table:
+        """Round 1 from rank_0 = ONE for every node — pure edge input,
+        so the distinct-node set never needs its own exchange: srcs get
+        their zero row here, dsts get one keyed by dst_bucket (dupes
+        across buckets are harmless — they sum to 0)."""
+        rk0 = group.group_by(["src", "bucket"]).aggregate([])  # distinct srcs
+        rk = rk0.append_column("r", pa.array([ONE] * rk0.num_rows, pa.int64()))
+        dsts = group.group_by(["dst", "dst_bucket"]).aggregate([])
+        out = _fanout(group, rk)
+        out.append(
+            _contrib_rows(
+                dsts.column("dst"),
+                dsts.column("dst_bucket"),
+                pa.array(np.zeros(dsts.num_rows, dtype=np.int64), pa.int64()),
+            )
+        )
         return pa.concat_tables(out)
 
-    for _ in range(iters):
-        tagged_ranks = ranks.map_batches(
-            lambda t: pa.table(
-                {
-                    "bucket": t.column("bucket"),
-                    "src": t.column("node"),
-                    "dst": pa.nulls(t.num_rows, pa.string()),
-                    "dst_bucket": t.column("bucket"),
-                    "r": t.column("r"),
-                }
-            ),
-            batch_format="pyarrow",
+    def _ranks(group: pa.Table) -> tuple[pa.Table, pa.Table]:
+        """Split a bucket's rows into (edges, fresh ranks): sum incoming
+        contributions per node, apply the integer damping update."""
+        is_edge = pc.is_valid(group.column("dst"))
+        e = group.filter(is_edge)
+        cr = group.filter(pc.invert(is_edge))
+        s = cr.select(["src", "bucket", "r"]).group_by(["src", "bucket"]).aggregate(
+            [("r", "sum")]
         )
-        sums = (
-            edges.union(tagged_ranks)
-            .groupby("bucket")
-            .map_groups(join_fanout, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="s"), Min("dst_bucket", alias_name="bucket"))
+        mass = s.column("r_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = pa.table(
+            {
+                "src": s.column("src"),
+                "bucket": s.column("bucket"),
+                "r": pa.array(BASE + (DAMP_NUM * mass) // DAMP_DEN, pa.int64()),
+            }
         )
-        ranks = sums.map_batches(
-            lambda t: pa.table(
-                {
-                    "bucket": t.column("bucket"),
-                    "node": t.column("dst"),
-                    "r": pa.array(
-                        BASE
-                        + (
-                            DAMP_NUM
-                            * t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
-                        )
-                        // DAMP_DEN,
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        return e, rk
+
+    def fused_step(group: pa.Table) -> pa.Table:
+        e, rk = _ranks(group)
+        return pa.concat_tables(_fanout(e, rk))
+
+    def final_ranks(group: pa.Table) -> pa.Table:
+        _, rk = _ranks(group)
+        return pa.table({"url": rk.column("src"), "rank_fp": rk.column("r")})
 
     # NO per-iteration materialize: the whole power iteration is ONE
     # lazy DAG — the streaming executor pipelines all rounds without a
     # driver sync per iteration (the edge list, consumed every round,
     # IS materialized above).
-    return ranks.map_batches(
-        lambda t: pa.table({"url": t.column("node"), "rank_fp": t.column("r")}),
-        batch_format="pyarrow",
-    )
+    contribs = edges.groupby("bucket").map_groups(init_fanout, batch_format="pyarrow")
+    for _ in range(iters - 1):
+        contribs = (
+            edges.union(contribs)
+            .groupby("bucket")
+            .map_groups(fused_step, batch_format="pyarrow")
+        )
+    return contribs.groupby("bucket").map_groups(final_ranks, batch_format="pyarrow")
 
 
 def pagerank_oracle_sql(links_path: str, iters: int = 5) -> str:
