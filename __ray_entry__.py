@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topn": relational.group_topn,
         "price_quantiles": relational.price_quantiles,
         "region_acctbal": relational.region_acctbal,
+        "price_band_join": relational.price_band_join,
+        # -- corpus hygiene
+        "decontaminate": textops.decontaminate,
     }
 
 
@@ -238,6 +241,47 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _decontaminate_oracle_sql() -> str:
+    """Benchmark decontamination recomputed in SQL: same 3-word shingle
+    CTE as the sketch oracles, same md5_number_lower identity, same
+    ``doc_id % BENCH_MOD`` holdout rule — n_hits counts the DISTINCT
+    shingle hashes a corpus doc shares with the benchmark set."""
+    from wbot_ray.pipelines.textops import BENCH_MOD
+
+    return f"""
+        WITH {_SHINGLE_CTE},
+        hv AS (SELECT DISTINCT doc_id, md5_number_lower(sh) AS h FROM sh),
+        bh AS (SELECT DISTINCT h FROM hv WHERE doc_id % {BENCH_MOD} = 0),
+        dh AS (SELECT doc_id, h FROM hv WHERE doc_id % {BENCH_MOD} <> 0)
+        SELECT d.doc_id,
+               CAST(COUNT(b.h) AS BIGINT) AS n_hits,
+               COUNT(b.h) > 0 AS contaminated
+        FROM dh d LEFT JOIN bh b ON d.h = b.h
+        GROUP BY d.doc_id
+    """
+
+
+def _price_band_oracle_sql() -> str:
+    """The range join as ANSI SQL: an interval VALUES dimension joined
+    on ``c >= lo AND c < hi`` — bounds generated from the SAME constant
+    the engine broadcasts."""
+    from wbot_ray.pipelines.relational import PRICE_BANDS_LO_CENTS
+
+    los = PRICE_BANDS_LO_CENTS
+    his = list(los[1:]) + [1 << 62]
+    rows = ", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(zip(los, his)))
+    return f"""
+        WITH bands(band, lo, hi) AS (VALUES {rows}),
+        li AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem)
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(lo AS BIGINT) AS lo_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(c) AS BIGINT) AS sum_price_cents
+        FROM li JOIN bands ON c >= lo AND c < hi
+        GROUP BY band, lo
+    """
+
+
 def _embed_oracle_sql(threshold: float = 0.92) -> str:
     """dedup_embed recomputed from scratch: quantize each component to
     ``floor(x * 2^20)``, derive the ±1 hyperplanes from md5 (same keys
@@ -327,6 +371,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_embed": _embed_oracle_sql(),
         "dup_clusters": _clusters_oracle_sql(),
+        "decontaminate": _decontaminate_oracle_sql(),
+        "price_band_join": _price_band_oracle_sql(),
         "text_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_uniq, n_bpe, stop_cnt,
                    CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio

@@ -179,6 +179,8 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "tfidf_topterms",
         "stratified_sample",
         "link_pagerank",
+        "decontaminate",
+        "price_band_join",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -379,6 +379,8 @@ class TestOracleParity:
             "ngram_counts",
             "tfidf_topterms",
             "stratified_sample",
+            "decontaminate",
+            "price_band_join",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -830,3 +832,64 @@ class TestPagerank:
         # the hub (A: 2 in-sources, one a 2x multi-edge target) outranks
         # the dangling sink D
         assert got[A] > got[D]
+
+
+class TestDecontaminate:
+    def test_planted_copy_is_flagged(self, planted_dir, ray_session):
+        """planted_dir's benchmark holdout (doc_id % 50 == 0) is docs
+        {0, 100} — identical texts; doc 101 is an exact copy of doc 0,
+        so every one of its shingles hits the benchmark set. The other
+        docs are independent random soups (no shared 3-grams)."""
+        from wbot_ray.pipelines.textops import decontaminate
+
+        rows = {r["doc_id"]: r for r in decontaminate(planted_dir).take_all()}
+        assert 0 not in rows and 100 not in rows  # holdout never emitted
+        assert rows[101]["contaminated"] and rows[101]["n_hits"] == 38
+        clean = [i for i, r in rows.items() if not r["contaminated"]]
+        assert 5 in clean and rows[5]["n_hits"] == 0
+        assert set(rows) == {i for i in range(20) if i} | {101, 102, 103}
+
+    def test_matches_sql_oracle_on_planted(self, planted_dir, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from wbot_ray.pipelines.textops import decontaminate
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{planted_dir}/documents.parquet')"
+        )
+        got = decontaminate(planted_dir).to_pandas()
+        want = con.execute(entrymod._decontaminate_oracle_sql()).df()
+
+        def canon(df):
+            df = df[sorted(df.columns)]
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(
+            canon(got), canon(want), check_dtype=False, check_exact=True
+        )
+
+
+class TestPriceBandJoin:
+    def test_bands_partition_the_fact_table(self, ray_session):
+        """Every lineitem lands in exactly one band: band counts sum to
+        the table's row count, and each band's bounds contain its rows
+        (brute-checked against the raw column)."""
+        import pyarrow.parquet as pq_
+
+        from wbot_ray.pipelines.relational import PRICE_BANDS_LO_CENTS, price_band_join
+
+        rows = price_band_join(SF0001).take_all()
+        li = pq_.read_table(SF0001 + "/lineitem.parquet", columns=["l_extendedprice"])
+        c = np.floor(
+            li.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        assert sum(r["n_items"] for r in rows) == len(c)
+        bounds = np.asarray(PRICE_BANDS_LO_CENTS + (np.iinfo(np.int64).max,))
+        for r in rows:
+            lo, hi = bounds[r["band"]], bounds[r["band"] + 1]
+            mask = (c >= lo) & (c < hi)
+            assert r["lo_cents"] == lo
+            assert r["n_items"] == int(mask.sum())
+            assert r["sum_price_cents"] == int(c[mask].sum())

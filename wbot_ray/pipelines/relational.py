@@ -31,7 +31,76 @@ __all__ = [
     "sessionize",
     "asof_prior_event",
     "region_acctbal",
+    "price_band_join",
+    "PRICE_BANDS_LO_CENTS",
 ]
+
+# Non-uniform price-band lower bounds (cents) — the range-join dimension.
+# Upper bound of band i is the next lower bound; the last band is open.
+PRICE_BANDS_LO_CENTS = (
+    0,
+    500_000,  # $5k
+    1_000_000,  # $10k
+    2_000_000,  # $20k
+    3_500_000,  # $35k
+    5_500_000,  # $55k
+    8_000_000,  # $80k
+)
+
+
+def price_band_join(sf_dir: str):
+    """Broadcast RANGE join: assign every lineitem to the price band
+    whose ``[lo, hi)`` interval contains its extended price, then
+    aggregate per band — the non-equi-join pattern for joining a fact
+    table against an interval dimension (rate cards, SLA tiers, size
+    buckets).
+
+    Ray shape: the interval dimension is tiny and sorted, so the join is
+    a per-batch ``np.searchsorted`` against the broadcast bound array —
+    a vectorized binary search, no shuffle of the fact side at all (the
+    generalization of the broadcast hash join to ranges; works for any
+    non-overlapping interval set). Per-batch partials pre-combine before
+    the |bands|-key groupby, so the exchange carries O(batches × bands)
+    rows at any corpus size."""
+    bounds = np.asarray(PRICE_BANDS_LO_CENTS, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(cents(batch.column("l_extendedprice")), dtype=np.int64)
+        band = np.searchsorted(bounds, c, side="right") - 1
+        t = pa.table(
+            {"band": pa.array(band, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+        g = t.group_by("band").aggregate([("c", "sum"), ("c", "count")])
+        return pa.table(
+            {
+                "band": g.column("band"),
+                "sum_c": g.column("c_sum"),
+                "n": g.column("c_count"),
+            }
+        )
+
+    agg = (
+        read_table(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            Sum("n", alias_name="n_items"),
+            Sum("sum_c", alias_name="sum_price_cents"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "band": t.column("band"),
+                "lo_cents": pa.array(bounds[band], pa.int64()),
+                "n_items": t.column("n_items"),
+                "sum_price_cents": t.column("sum_price_cents"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q1_pricing(sf_dir: str):

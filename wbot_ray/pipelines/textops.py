@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from wbot_ray.pipelines.common import STOPWORDS, read_table
+from wbot_ray.pipelines.common import STOPWORDS, read_table, shingle_hashes
 
 __all__ = [
     "text_stats",
@@ -32,6 +32,7 @@ __all__ = [
     "corpus_filter",
     "ngram_counts",
     "tfidf_topterms",
+    "decontaminate",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -463,3 +464,75 @@ def tfidf_topterms(sf_dir: str, k: int = 5):
     return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         topterms, batch_format="pyarrow"
     )
+
+
+BENCH_MOD = 50  # doc_id % BENCH_MOD == 0 → "benchmark" holdout member
+
+
+def decontaminate(sf_dir: str, bench_mod: int = BENCH_MOD):
+    """Benchmark decontamination: flag every corpus document that shares
+    at least one 3-word shingle with the (deterministic) benchmark
+    holdout — the pre-training hygiene step that keeps eval sets out of
+    the training corpus.
+
+    The benchmark set here is ``doc_id % bench_mod == 0`` (self-contained
+    and SQL-recomputable); in production it is a separate, *small by
+    definition* table — which is exactly the scale contract this shape
+    relies on: the benchmark's distinct shingle hashes are collected
+    once and BROADCAST (``ray.put`` → read zero-copy in every task),
+    then one streaming ``map_batches`` pass probes each corpus doc's
+    shingles against the sorted hash array via ``np.searchsorted`` —
+    the 100-TB corpus side never shuffles at all. Shingle identity is
+    ``md5_lower64`` (= DuckDB ``md5_number_lower``), so the oracle
+    recomputes identical hashes.
+    """
+    import ray
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        sets = [shingle_hashes(t) for i, t in zip(ids, texts) if i % bench_mod == 0]
+        hs = (
+            np.unique(np.concatenate(sets))
+            if sets
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table({"h": pa.array(hs, pa.uint64())})
+
+    # benchmark side: tiny by definition — per-batch distinct partials,
+    # unioned on the driver into one sorted array, broadcast once
+    parts = [
+        b["h"]
+        for b in docs.map_batches(bench_batch, batch_format="pyarrow").iter_batches(
+            batch_format="numpy"
+        )
+    ]
+    bench_ref = ray.put(
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        keep = ids % bench_mod != 0
+        out_ids, hits = [], []
+        for i, t in zip(ids[keep], np.asarray(texts, dtype=object)[keep]):
+            sh = shingle_hashes(t)
+            pos = np.searchsorted(bench, sh)
+            pos[pos == len(bench)] = 0
+            n = int((bench[pos] == sh).sum()) if len(bench) else 0
+            out_ids.append(int(i))
+            hits.append(n)
+        n_hits = pa.array(hits, pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_hits": n_hits,
+                "contaminated": pc.greater(n_hits, 0),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow")
