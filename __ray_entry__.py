@@ -91,10 +91,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _pairs_query(dedup.dedup_simhash),
         "dedup_embed": _pairs_query(dedup.dedup_embed),
         "dup_clusters": _typed_query(dedup.dup_clusters, ("doc_id", "cluster_id")),
+        "dedup_keep": dedup.dedup_keep,
         # -- training-data prep
         "sample_hash": training.sample_hash,
         "pack_sequences": training.pack_sequences,
         "stratified_sample": training.stratified_sample,
+        "global_shuffle": training.global_shuffle,
         # -- graph analytics over the crawl link graph
         "link_pagerank": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_pagerank"]
@@ -353,6 +355,42 @@ def _clusters_oracle_sql(threshold: float = 0.7) -> str:
     """
 
 
+def _dedup_keep_oracle_sql(threshold: float = 0.7) -> str:
+    """dedup_keep = documents ANTI-JOIN the non-canonical members of the
+    transitive-closure clusters (same closure as dup_clusters)."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM ({_minhash_oracle_sql(threshold)})
+        ),
+        nodes AS (SELECT id_a AS n FROM pairs UNION SELECT id_b FROM pairs),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+        ),
+        cl AS (SELECT n AS doc_id, MIN(m) AS cid FROM reach GROUP BY n)
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cid)
+    """
+
+
+def _global_shuffle_oracle_sql(num_shards: int = 8) -> str:
+    """The dense shuffle rank as a SQL window function over the same
+    salted md5_number_lower key (+ doc_id tie-break)."""
+    return f"""
+        WITH r AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5_number_lower('shuf:' || doc_id), doc_id
+                 ) - 1 AS BIGINT) AS pos
+          FROM documents)
+        SELECT doc_id, pos, CAST(pos % {num_shards} AS BIGINT) AS shard FROM r
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cents = lambda col: f"CAST(round({col}*100) AS BIGINT)"  # noqa: E731
     # Crawl-core oracles: an independent DuckDB BFS over the fixture link
@@ -373,6 +411,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _clusters_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "price_band_join": _price_band_oracle_sql(),
+        "dedup_keep": _dedup_keep_oracle_sql(),
+        "global_shuffle": _global_shuffle_oracle_sql(),
         "text_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_uniq, n_bpe, stop_cnt,
                    CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio

@@ -181,6 +181,8 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "link_pagerank",
         "decontaminate",
         "price_band_join",
+        "dedup_keep",
+        "global_shuffle",
     ]
     out: dict[str, float] = {}
     for name in names:

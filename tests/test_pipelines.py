@@ -381,6 +381,8 @@ class TestOracleParity:
             "stratified_sample",
             "decontaminate",
             "price_band_join",
+            "dedup_keep",
+            "global_shuffle",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -893,3 +895,52 @@ class TestPriceBandJoin:
             assert r["lo_cents"] == lo
             assert r["n_items"] == int(mask.sum())
             assert r["sum_price_cents"] == int(c[mask].sum())
+
+
+class TestDedupKeep:
+    def test_planted_clusters_collapse_to_canonicals(self, planted_dir, ray_session):
+        """Clusters {0,100,101}, {1,102}, {2,103} at threshold 0.5 →
+        only the min-id member of each survives; every singleton stays."""
+        kept = {r["doc_id"] for r in dedup.dedup_keep(planted_dir, threshold=0.5).take_all()}
+        assert kept == set(range(20))  # 100,101,102,103 dropped; 0,1,2 kept
+
+    def test_no_duplicates_passthrough(self, ray_session, tmp_path):
+        """A corpus with no near-dups comes back whole."""
+        d = tmp_path / "clean"
+        d.mkdir()
+        rng = np.random.RandomState(3)
+        texts = [
+            " ".join(f"q{rng.randint(0, 9000)}y{i}" for _ in range(30)) for i in range(12)
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(12), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * 12, pa.string()),
+                    "source": pa.array(["s"] * 12, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        kept = {r["doc_id"] for r in dedup.dedup_keep(str(d)).take_all()}
+        assert kept == set(range(12))
+
+
+class TestGlobalShuffle:
+    def test_dense_permutation_in_hash_order(self, ray_session):
+        """pos is a dense 0..n-1 permutation, ordered exactly by the
+        salted md5 key (brute-recomputed), shard is round-robin."""
+        from wbot_ray.pipelines.common import md5_lower64
+        from wbot_ray.pipelines.training import global_shuffle
+
+        rows = global_shuffle(SF0001, num_shards=4).take_all()
+        n = len(rows)
+        assert sorted(r["pos"] for r in rows) == list(range(n))
+        assert all(r["shard"] == r["pos"] % 4 for r in rows)
+        want_order = sorted(
+            (r["doc_id"] for r in rows), key=lambda i: (md5_lower64(f"shuf:{i}"), i)
+        )
+        got_order = [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])]
+        assert got_order == want_order

@@ -43,6 +43,7 @@ from wbot_ray.pipelines.common import hash64, md5_lower64, read_table, shingle_h
 
 __all__ = [
     "dup_clusters",
+    "dedup_keep",
     "dedup_exact",
     "dedup_ngram",
     "dedup_minhash",
@@ -584,4 +585,81 @@ def dup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 16, pair
             schema=out_schema,
         ),
         batch_format="pyarrow",
+    )
+
+
+def _bucket_col(ids, num_buckets: int) -> pa.Array:
+    """Co-location bucket of non-negative int64 ids."""
+    v = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64)
+    return pa.array(v % num_buckets, pa.int64())
+
+
+def dedup_keep(sf_dir: str, threshold: float = 0.7, num_buckets: int = 32):
+    """The corpus AFTER near-dedup is applied: every cluster's canonical
+    member (min doc_id) plus every singleton survives; non-canonical
+    cluster members drop. This is the step that turns ``dup_clusters``'
+    labels into the clean training corpus.
+
+    Ray shape — hash-partitioned ANTI-JOIN: the drop list (non-canonical
+    members) is small relative to the corpus but unbounded, so it is NOT
+    broadcast; both sides are co-partitioned on ``doc_id % num_buckets``
+    and one ``map_groups`` task per bucket filters with a vectorized
+    sorted-membership probe. Exactly one keyed exchange, carrying slim
+    metadata rows — at 100 TB the text column rides the same exchange
+    (or is re-joined by id from the bucketed corpus layout) and the
+    bucket count scales with the cluster, not the corpus."""
+    import pyarrow.compute as pc
+
+    corpus = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    clusters = dup_clusters(sf_dir, threshold)
+
+    def to_drops(t: pa.Table) -> pa.Table:
+        d = t.filter(pc.not_equal(t.column("doc_id"), t.column("cluster_id")))
+        ids = d.column("doc_id")
+        return pa.table(
+            {
+                "bucket": _bucket_col(ids, num_buckets),
+                "doc_id": ids,
+                "lang": pa.nulls(d.num_rows, pa.string()),
+                "n_chars": pa.nulls(d.num_rows, pa.int64()),
+                "drop": pa.array([True] * d.num_rows, pa.bool_()),
+            }
+        )
+
+    drops = clusters.map_batches(to_drops, batch_format="pyarrow")
+    if drops.count() == 0:
+        return corpus  # no duplicates anywhere — the corpus IS the output
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        return pa.table(
+            {
+                "bucket": _bucket_col(ids, num_buckets),
+                "doc_id": ids,
+                "lang": t.column("lang"),
+                "n_chars": t.column("n_chars"),
+                "drop": pa.array([False] * t.num_rows, pa.bool_()),
+            }
+        )
+
+    def anti(group: pa.Table) -> pa.Table:
+        is_drop = group.column("drop")
+        d_ids = np.sort(
+            group.filter(is_drop).column("doc_id").to_numpy(zero_copy_only=False)
+        )
+        c = group.filter(pc.invert(is_drop))
+        ids = c.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(d_ids):
+            pos = np.searchsorted(d_ids, ids)
+            pos[pos == len(d_ids)] = 0
+            member = d_ids[pos] == ids
+        else:
+            member = np.zeros(len(ids), dtype=bool)
+        return c.filter(pa.array(~member)).select(["doc_id", "lang", "n_chars"])
+
+    return (
+        corpus.map_batches(tag_corpus, batch_format="pyarrow")
+        .union(drops)
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pyarrow")
     )

@@ -18,7 +18,7 @@ from ray.data.aggregate import Sum
 
 from wbot_ray.pipelines.common import md5_lower64, read_table
 
-__all__ = ["sample_hash", "pack_sequences", "stratified_sample"]
+__all__ = ["sample_hash", "pack_sequences", "stratified_sample", "global_shuffle"]
 
 # p = num/2^64: the keep predicate is an integer compare, no float rate
 SAMPLE_SALT = "sample:"
@@ -185,3 +185,49 @@ def pack_sequences(sf_dir: str, seq_len: int = 2048, part_size: int = 1024):
         )
 
     return slim.groupby("part").map_groups(place, batch_format="pyarrow")
+
+
+def global_shuffle(sf_dir: str, num_shards: int = 8):
+    """Deterministic global training shuffle: every document gets a
+    dense position in the order of its salted hash, and a round-robin
+    shard assignment — the "shuffle once, stream shards in order" step
+    that fixes an epoch's data order reproducibly across reruns.
+
+    Ray shape: a DISTRIBUTED SORT on the salted ``md5_lower64`` key
+    (slim rows: doc_id + 8-byte key — the text never moves), then the
+    block-offset dense-rank pattern (``stages.order.assign_crawl_ord``,
+    the same zipWithIndex the crawl frontier uses): per-block row
+    counts come from block metadata, one tiny remote task per block
+    appends ``base + arange`` — no row passes through the driver.
+    Oracle = ``ROW_NUMBER() OVER (ORDER BY md5_number_lower(...))``."""
+    from wbot_ray.stages.order import assign_crawl_ord
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shuf_key": pa.array(
+                    [md5_lower64(f"shuf:{i}") for i in ids], pa.uint64()
+                ),
+            }
+        )
+
+    ds = (
+        read_table(sf_dir, "documents", ["doc_id"])
+        .map_batches(key, batch_format="pyarrow")
+        .sort(["shuf_key", "doc_id"])
+    )
+    ranked, _ = assign_crawl_ord(ds, 0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        pos = np.asarray(t.column("crawl_ord").to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pos": pa.array(pos, pa.int64()),
+                "shard": pa.array(pos % num_shards, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
