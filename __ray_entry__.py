@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_band_join": relational.price_band_join,
         # -- corpus hygiene
         "decontaminate": textops.decontaminate,
+        "quality_score": textops.quality_score,
     }
 
 
@@ -355,6 +356,41 @@ def _clusters_oracle_sql(threshold: float = 0.7) -> str:
     """
 
 
+def _quality_oracle_sql() -> str:
+    """Gopher-style quality rules recomputed in SQL from the SAME
+    thresholds the engine uses — all-integer rule math (mean word
+    length ×100 under floor division), so the bitmask is bit-equal."""
+    from wbot_ray.pipelines.textops import (
+        QUALITY_MAX_MWL_X100,
+        QUALITY_MAX_WORDS,
+        QUALITY_MIN_MWL_X100,
+        QUALITY_MIN_STOP_HITS,
+        QUALITY_MIN_WORDS,
+        QUALITY_SYMBOL_DENOM,
+    )
+
+    mask = f"""(CASE WHEN n_words < {QUALITY_MIN_WORDS} OR n_words > {QUALITY_MAX_WORDS} THEN 1 ELSE 0 END)
+                 + (CASE WHEN mwl_x100 < {QUALITY_MIN_MWL_X100} OR mwl_x100 > {QUALITY_MAX_MWL_X100} THEN 2 ELSE 0 END)
+                 + (CASE WHEN symbol_words * {QUALITY_SYMBOL_DENOM} > n_words THEN 4 ELSE 0 END)
+                 + (CASE WHEN stop_hits < {QUALITY_MIN_STOP_HITS} THEN 8 ELSE 0 END)"""
+    return f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS char_sum,
+                     CAST(len(list_filter(toks, w -> NOT regexp_matches(w, '[a-zA-Z0-9]'))) AS BIGINT) AS symbol_words,
+                     CAST(len(list_filter(toks, w -> w IN {STOP_SQL})) AS BIGINT) AS stop_hits
+              FROM t),
+        r AS (SELECT doc_id, n_words, (char_sum * 100) // n_words AS mwl_x100,
+                     symbol_words, stop_hits
+              FROM s)
+        SELECT doc_id, n_words, mwl_x100, symbol_words, stop_hits,
+               CAST({mask} AS BIGINT) AS rules_failed,
+               ({mask}) = 0 AS passes
+        FROM r
+    """
+
+
 def _dedup_keep_oracle_sql(threshold: float = 0.7) -> str:
     """dedup_keep = documents ANTI-JOIN the non-canonical members of the
     transitive-closure clusters (same closure as dup_clusters)."""
@@ -413,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "price_band_join": _price_band_oracle_sql(),
         "dedup_keep": _dedup_keep_oracle_sql(),
         "global_shuffle": _global_shuffle_oracle_sql(),
+        "quality_score": _quality_oracle_sql(),
         "text_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_uniq, n_bpe, stop_cnt,
                    CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio

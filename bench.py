@@ -183,6 +183,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "price_band_join",
         "dedup_keep",
         "global_shuffle",
+        "quality_score",
     ]
     out: dict[str, float] = {}
     for name in names:

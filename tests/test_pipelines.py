@@ -383,6 +383,7 @@ class TestOracleParity:
             "price_band_join",
             "dedup_keep",
             "global_shuffle",
+            "quality_score",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -944,3 +945,39 @@ class TestGlobalShuffle:
         )
         got_order = [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])]
         assert got_order == want_order
+
+
+class TestQualityScore:
+    def test_rule_bitmask_semantics(self, ray_session, tmp_path):
+        """Hand-built docs hitting each rule in isolation: too short
+        (bit0), long words (bit1), symbol soup (bit2), no stopwords
+        (bit3), and one passing doc."""
+        from wbot_ray.pipelines.textops import quality_score
+
+        docs = {
+            0: " ".join(["the", "of"] + ["word"] * 19 + ["words"] * 19),  # passes: n=40, mwl=440, 2 stops
+            1: "the of in is on a to and",  # 8 words → bit0 (mwl ok: 16*100//8=200→bit1 too)
+            2: " ".join(["the", "of"] + ["extraordinarily"] * 38),  # long words → bit1
+            3: " ".join(["the", "of"] + ["#!"] * 38),  # symbols → bit2 (and bit1: mwl<380? (3+2+38*2)*100//40=207 → bit1 too)
+            4: " ".join(["word"] * 40),  # no stopwords → bit3 (mwl=400 ok)
+        }
+        ids = sorted(docs)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([docs[i] for i in ids], pa.string()),
+                    "lang": pa.array(["en"] * len(ids), pa.string()),
+                    "source": pa.array(["s"] * len(ids), pa.string()),
+                    "n_chars": pa.array([len(docs[i]) for i in ids], pa.int64()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        got = {r["doc_id"]: r for r in quality_score(str(tmp_path)).take_all()}
+        assert got[0]["passes"] and got[0]["rules_failed"] == 0
+        assert got[1]["rules_failed"] & 1  # word count
+        assert got[2]["rules_failed"] == 2  # mean word length only
+        assert got[3]["rules_failed"] & 4  # symbol ratio
+        assert got[4]["rules_failed"] == 8  # stopwords only
+        assert not any(got[i]["passes"] for i in (1, 2, 3, 4))

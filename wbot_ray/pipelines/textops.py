@@ -33,6 +33,7 @@ __all__ = [
     "ngram_counts",
     "tfidf_topterms",
     "decontaminate",
+    "quality_score",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -536,3 +537,67 @@ def decontaminate(sf_dir: str, bench_mod: int = BENCH_MOD):
         )
 
     return docs.map_batches(probe, batch_format="pyarrow")
+
+
+# Gopher-style quality rule thresholds (integers only — the mean word
+# length is carried ×100 so the rule compare is exact in both engines).
+QUALITY_MIN_WORDS, QUALITY_MAX_WORDS = 20, 80
+QUALITY_MIN_MWL_X100, QUALITY_MAX_MWL_X100 = 380, 460
+QUALITY_SYMBOL_DENOM = 10  # fail when symbol_words * 10 > n_words
+QUALITY_MIN_STOP_HITS = 2
+
+_SYMBOL_RE = re.compile(r"[a-zA-Z0-9]")
+
+
+def quality_score(sf_dir: str):
+    """Gopher-style document quality rules — the classic pre-training
+    corpus gate: word-count bounds, mean-word-length band, symbol-word
+    ratio cap, minimum stopword evidence. Emits per-document rule
+    features, a failure BITMASK (bit0 wordcount, bit1 mean-word-length,
+    bit2 symbol ratio, bit3 stopwords) and the pass verdict, so
+    downstream stages can both filter and audit WHY a doc dropped.
+
+    Single streaming ``map_batches`` pass, integer-only rule math
+    (mean word length ×100 under floor division) — bit-identical in
+    the DuckDB oracle."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_words, mwl, sym, stop, mask = [], [], [], [], []
+        for t in texts:
+            toks = t.split(" ")
+            n = len(toks)
+            char_sum = sum(len(w) for w in toks)
+            m = (char_sum * 100) // n
+            sy = sum(1 for w in toks if not _SYMBOL_RE.search(w))
+            st = sum(1 for w in toks if w in STOPWORDS)
+            bits = 0
+            if n < QUALITY_MIN_WORDS or n > QUALITY_MAX_WORDS:
+                bits |= 1
+            if m < QUALITY_MIN_MWL_X100 or m > QUALITY_MAX_MWL_X100:
+                bits |= 2
+            if sy * QUALITY_SYMBOL_DENOM > n:
+                bits |= 4
+            if st < QUALITY_MIN_STOP_HITS:
+                bits |= 8
+            n_words.append(n)
+            mwl.append(m)
+            sym.append(sy)
+            stop.append(st)
+            mask.append(bits)
+        mask_arr = pa.array(mask, pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "mwl_x100": pa.array(mwl, pa.int64()),
+                "symbol_words": pa.array(sym, pa.int64()),
+                "stop_hits": pa.array(stop, pa.int64()),
+                "rules_failed": mask_arr,
+                "passes": pc.equal(mask_arr, 0),
+            }
+        )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
