@@ -475,7 +475,9 @@ def dedup_embed(sf_dir: str, threshold: float = 0.92):
 # -- dup clusters (connected components over the near-dup pair graph) ----
 
 
-def dup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 16, pairs=None):
+def dup_clusters(
+    sf_dir: str, threshold: float = 0.7, max_rounds: int = 16, pairs=None, num_buckets: int = 32
+):
     """Connected components over the ``dedup_minhash`` pair graph:
     ``(doc_id, cluster_id)`` where ``cluster_id`` is the MINIMUM doc_id
     in the component — the canonical "pick one survivor per duplicate
@@ -483,23 +485,31 @@ def dup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 16, pair
     decisions. Only docs that appear in at least one pair are emitted
     (every other doc is trivially its own singleton).
 
-    Ray-Data-native min-label propagation (the standard MapReduce CC):
+    Ray-Data-native min-label propagation (the standard MapReduce CC),
+    with the same FUSED bucketed round as ``graph.link_pagerank``:
 
-    * the symmetric edge list is materialized ONCE (it is the dup graph
-      — ~pairs×2 rows, small relative to the corpus even at 50% dup
-      rates, and never grows);
-    * each round is two keyed shuffles over (edges ∪ labels): a
-      ``groupby(node)`` fan-out that sends the node's current label to
-      every neighbor, then a ``groupby(node).min`` that folds incoming
-      labels — O(log diameter) rounds, and near-dup components are
+    * the symmetric edge list is materialized ONCE with node / neighbor
+      co-location buckets (it is the dup graph — ~pairs×2 rows, small
+      relative to the corpus even at 50% dup rates, and never grows);
+    * each round is ONE keyed exchange: a ``groupby(bucket).map_groups``
+      task folds the node's incoming label messages (Arrow in-group
+      min), joins the fresh labels to the bucket's out-edges (Arrow
+      hash join) and emits next-round messages keyed by the neighbor's
+      bucket — fold and fan-out never split into separate shuffles, and
+      groups are per BUCKET, not per node, so group count scales with
+      the cluster. O(log diameter) rounds, and near-dup components are
       star-shaped in practice (1–2 rounds);
     * labels only ever DECREASE, so convergence is detected by the
-      (exact, integer) label sum going unchanged — one tiny aggregate
-      per round, no old-vs-new join.
+      (exact, integer) sum of the per-node self-messages going
+      unchanged — one tiny per-block aggregate per round, no
+      old-vs-new join.
 
-    The fixpoint (min id per component) is unique, so the DuckDB oracle
-    (a recursive-CTE transitive closure over the same SQL-recomputed
-    pair set) agrees exactly regardless of iteration strategy."""
+    The per-round label values follow the identical recurrence as the
+    textbook fanout/fold split (``lbl_k(n) = min(lbl_{k-1}(n),
+    min_{m∈N(n)} lbl_{k-1}(m))``), and the fixpoint (min id per
+    component) is unique, so the DuckDB oracle (a recursive-CTE
+    transitive closure over the same SQL-recomputed pair set) agrees
+    exactly regardless of iteration strategy."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -508,10 +518,30 @@ def dup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 16, pair
     def sym(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").combine_chunks()
         b = batch.column("id_b").combine_chunks()
+        node = pa.chunked_array([a, b]).combine_chunks()
+        nbr = pa.chunked_array([b, a]).combine_chunks()
+        n = len(node)
         return pa.table(
             {
-                "node": pa.chunked_array([a, b]).combine_chunks(),
-                "nbr": pa.chunked_array([b, a]).combine_chunks(),
+                "bucket": _bucket_col(node, num_buckets),
+                "node": node,
+                "nbr": nbr,
+                "nbr_bucket": _bucket_col(nbr, num_buckets),
+                "lbl": pa.nulls(n, pa.int64()),
+                "is_self": pa.array([False] * n, pa.bool_()),
+            }
+        )
+
+    def _msg_rows(bucket, node, lbl, is_self: bool) -> pa.Table:
+        n = len(node)
+        return pa.table(
+            {
+                "bucket": bucket,
+                "node": node,
+                "nbr": pa.nulls(n, pa.int64()),
+                "nbr_bucket": pa.nulls(n, pa.int64()),
+                "lbl": lbl,
+                "is_self": pa.array([is_self] * n, pa.bool_()),
             }
         )
 
@@ -526,62 +556,56 @@ def dup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 16, pair
     if edges.count() == 0:
         return rd.from_arrow(out_schema.empty_table())
 
-    labels = (
-        edges.map_batches(
-            lambda t: pa.table({"node": t.column("node"), "lbl": t.column("node")}),
-            batch_format="pyarrow",
-        )
-        .groupby("node")
-        .aggregate(Min("lbl", alias_name="lbl"))
-        .materialize()
+    # initial self-messages lbl = node (per-batch dupes across blocks are
+    # harmless: round 1 folds them away before any sum is taken)
+    msgs = edges.map_batches(
+        lambda t: _msg_rows(t.column("bucket"), t.column("node"), t.column("node"), True),
+        batch_format="pyarrow",
     )
 
-    def fan_out(group: pa.Table) -> pa.Table:
-        """One group per node: its current label (the single non-null
-        ``lbl`` row) goes to every neighbor and back to itself."""
-        lbl = pc.min(group.column("lbl")).as_py()
-        nbrs = group.column("nbr").drop_null()
-        node = group.column("node")[0].as_py()
-        targets = pa.chunked_array([nbrs.combine_chunks(), pa.array([node], pa.int64())])
-        return pa.table(
-            {
-                "node": targets.combine_chunks(),
-                "lbl": pa.array([lbl] * len(targets), pa.int64()),
-            }
+    def fused_round(group: pa.Table) -> pa.Table:
+        is_edge = pc.is_valid(group.column("nbr"))
+        e = group.filter(is_edge)
+        m = group.filter(pc.invert(is_edge))
+        f = (
+            m.select(["node", "bucket", "lbl"])
+            .group_by(["node", "bucket"])
+            .aggregate([("lbl", "min")])
         )
+        out = [_msg_rows(f.column("bucket"), f.column("node"), f.column("lbl_min"), True)]
+        if e.num_rows:
+            j = e.select(["node", "nbr", "nbr_bucket"]).join(
+                f.select(["node", "lbl_min"]), keys="node", join_type="inner"
+            )
+            out.append(
+                _msg_rows(j.column("nbr_bucket"), j.column("nbr"), j.column("lbl_min"), False)
+            )
+        return pa.concat_tables(out)
+
+    def self_sum(t: pa.Table) -> pa.Table:
+        v = pc.sum(t.filter(t.column("is_self")).column("lbl")).as_py()
+        return pa.table({"s": pa.array([v if v is not None else 0], pa.int64())})
 
     prev_sum = None
     for _ in range(max_rounds):
-        tagged_edges = edges.map_batches(
-            lambda t: t.append_column("lbl", pa.nulls(t.num_rows, pa.int64())),
-            batch_format="pyarrow",
-        )
-        tagged_labels = labels.map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t.column("node"),
-                    "nbr": pa.nulls(t.num_rows, pa.int64()),
-                    "lbl": t.column("lbl"),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        labels = (
-            tagged_edges.union(tagged_labels)
-            .groupby("node")
-            .map_groups(fan_out, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("lbl", alias_name="lbl"))
+        out = (
+            edges.union(msgs)
+            .groupby("bucket")
+            .map_groups(fused_round, batch_format="pyarrow")
             .materialize()
         )
-        s = labels.sum("lbl")
+        msgs = out
+        s = out.map_batches(self_sum, batch_format="pyarrow").sum("s")
         if s == prev_sum:
             break
         prev_sum = s
 
-    return labels.map_batches(
+    return msgs.map_batches(
         lambda t: pa.table(
-            {"doc_id": t.column("node"), "cluster_id": t.column("lbl")},
+            {
+                "doc_id": t.filter(t.column("is_self")).column("node"),
+                "cluster_id": t.filter(t.column("is_self")).column("lbl"),
+            },
             schema=out_schema,
         ),
         batch_format="pyarrow",
