@@ -335,6 +335,80 @@ def _embed_oracle_sql(threshold: float = 0.92) -> str:
     """
 
 
+def _ivf_oracle_sql() -> str:
+    """knn_ivf recomputed from scratch on the same integer grid as the
+    engine (``wbot_ray.pipelines.similarity.knn_ivf``): components
+    ``floor(x * 2^20)``, every cosine the fixed IEEE tree
+    ``floor(dot / (sqrt(na)*sqrt(nb)) * 2^20)`` over exact integer dots
+    — bit-equal cross-engine. Centroids = the ``n_centroids`` nonzero
+    vectors with smallest ``md5_number_lower('ivfc:'||vec_id)``
+    (tie vec_id); assignment = argmax pm (tie smallest cidx); each
+    query probes its ``nprobe`` best centroids; final rank = pm desc,
+    n_id asc within the probed buckets. Parameters are read from the
+    engine's signature so the two can never drift."""
+    import inspect
+
+    from wbot_ray.pipelines import similarity
+
+    sig = inspect.signature(similarity.knn_ivf)
+    nq = sig.parameters["n_queries"].default
+    k = sig.parameters["k"].default
+    nc = sig.parameters["n_centroids"].default
+    npr = sig.parameters["nprobe"].default
+    quant = float(similarity.IVF_QUANT)
+    return f"""
+        WITH g AS (SELECT vec_id, list_transform(embedding,
+                              x -> CAST(floor(x * {quant}) AS BIGINT)) AS q
+                   FROM embeddings),
+        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        qv AS (SELECT vec_id, i, q[i] AS qv FROM g CROSS JOIN dims),
+        nrm AS (SELECT vec_id, SUM(qv * qv) AS nn FROM qv GROUP BY vec_id),
+        cent AS (SELECT c_id, cn, row_number() OVER (ORDER BY ck, c_id) - 1 AS cidx
+                 FROM (SELECT vec_id AS c_id, nn AS cn,
+                              md5_number_lower('ivfc:' || vec_id) AS ck
+                       FROM nrm WHERE nn > 0
+                       ORDER BY ck, vec_id LIMIT {nc})),
+        cdot AS (SELECT v.vec_id, c.cidx, c.cn, SUM(v.qv * w.qv) AS dot
+                 FROM cent c
+                 JOIN qv w ON w.vec_id = c.c_id
+                 JOIN qv v ON v.i = w.i
+                 GROUP BY v.vec_id, c.cidx, c.cn),
+        csim AS (SELECT d.vec_id, d.cidx,
+                        CAST(floor((CAST(d.dot AS DOUBLE)
+                                    / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(d.cn AS DOUBLE))))
+                                   * {quant}) AS BIGINT) AS pm
+                 FROM cdot d JOIN nrm n ON n.vec_id = d.vec_id
+                 WHERE n.nn > 0),
+        assign AS (SELECT vec_id, cidx AS bucket FROM (
+                     SELECT vec_id, cidx,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY pm DESC, cidx) AS r
+                     FROM csim) WHERE r = 1),
+        probe AS (SELECT vec_id AS q_id, cidx AS bucket FROM (
+                     SELECT vec_id, cidx,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY pm DESC, cidx) AS r
+                     FROM csim WHERE vec_id < {nq}) WHERE r <= {npr}),
+        cand AS (SELECT p.q_id, a.vec_id AS n_id
+                 FROM probe p JOIN assign a ON a.bucket = p.bucket
+                 WHERE a.vec_id <> p.q_id),
+        ndot AS (SELECT c.q_id, c.n_id, SUM(va.qv * vb.qv) AS dot
+                 FROM cand c
+                 JOIN qv va ON va.vec_id = c.q_id
+                 JOIN qv vb ON vb.vec_id = c.n_id AND vb.i = va.i
+                 GROUP BY c.q_id, c.n_id),
+        nsim AS (SELECT d.q_id, d.n_id,
+                        CAST(floor((CAST(d.dot AS DOUBLE)
+                                    / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))))
+                                   * {quant}) AS BIGINT) AS pm
+                 FROM ndot d
+                 JOIN nrm na ON na.vec_id = d.q_id
+                 JOIN nrm nb ON nb.vec_id = d.n_id),
+        r AS (SELECT q_id, n_id,
+                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY pm DESC, n_id) AS BIGINT) AS knn_rank
+              FROM nsim)
+        SELECT q_id, n_id, knn_rank FROM r WHERE knn_rank <= {k}
+    """
+
+
 def _clusters_oracle_sql(threshold: float = 0.7) -> str:
     """dup_clusters = transitive closure over the SQL-recomputed minhash
     pair set; the component label (min reachable doc_id) is a unique
@@ -444,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_embed": _embed_oracle_sql(),
+        "knn_ivf": _ivf_oracle_sql(),
         "dup_clusters": _clusters_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "price_band_join": _price_band_oracle_sql(),

@@ -244,31 +244,39 @@ class TestSimilarity:
                 planted_dir, n_queries=4, k=5, n_centroids=4, nprobe=2
             ).take_all()
         }
-        # reference: assign every corpus vector to its centroid with the
-        # saved centroids, mask by each query's probe set, rank
+        # reference: recompute the whole quantized-grid IVF in plain
+        # numpy — md5-sampled centroids, fixed-tree pm cosine,
+        # argmax assignment, probe mask, (pm desc, n_id) ranking
+        from wbot_ray.pipelines.common import md5_lower64
+
         t = pq.read_table(os.path.join(planted_dir, "embeddings.parquet"))
         ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
         vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        src = os.path.join(planted_dir, "embeddings.parquet")
-        st = os.stat(src)
-        fp = hashlib.md5(
-            f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
-        ).hexdigest()[:12]
-        cents = np.load(
-            f"/tmp/wbot_ray_ivf/v{similarity._IVF_CACHE_VERSION}/{fp}/c4/centroids.npy"
-        )
-        assign = np.argmax(unit @ cents.T, axis=1)
+        q = np.floor(vecs * float(similarity.IVF_QUANT)).astype(np.int64)
+        nn = (q * q).sum(axis=1)
+
+        def pm(dots, na, nb):
+            return np.floor(
+                dots / (np.sqrt(na.astype(float)) * np.sqrt(nb.astype(float)))
+                * float(similarity.IVF_QUANT)
+            ).astype(np.int64)
+
+        nz = np.nonzero(nn > 0)[0]
+        order = sorted(nz, key=lambda j: (md5_lower64(f"ivfc:{int(ids[j])}"), int(ids[j])))
+        cent = q[order[:4]]
+        cn = (cent * cent).sum(axis=1)
+        c_pm = pm(q @ cent.T, nn[:, None], cn[None, :])
+        assign = np.argmax(c_pm, axis=1)
         want = set()
         for qi in range(4):
             q_idx = int(np.nonzero(ids == qi)[0][0])
-            sims = unit[q_idx] @ unit.T
-            pr = set(np.argsort(-(unit[q_idx] @ cents.T))[:2])
+            pms = pm(q[q_idx] @ q.T, np.asarray(nn[q_idx]), nn)
+            pr = set(np.lexsort((np.arange(4), -c_pm[q_idx]))[:2])
             cand = [
                 j for j in range(len(ids))
-                if ids[j] != qi and int(assign[j]) in pr
+                if ids[j] != qi and nn[j] > 0 and int(assign[j]) in pr
             ]
-            cand.sort(key=lambda j: (-round(sims[j] * 1e6), ids[j]))
+            cand.sort(key=lambda j: (-pms[j], ids[j]))
             for rank, j in enumerate(cand[:5], 1):
                 want.add((qi, int(ids[j]), rank))
         assert got == want
@@ -373,6 +381,7 @@ class TestOracleParity:
             "dedup_simhash",
             "dedup_embed",
             "dup_clusters",
+            "knn_ivf",
             "sample_hash",
             "pack_sequences",
             "audio_features",
