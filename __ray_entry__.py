@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embed": _pairs_query(dedup.dedup_embed),
         "dup_clusters": _typed_query(dedup.dup_clusters, ("doc_id", "cluster_id")),
         "dedup_keep": dedup.dedup_keep,
+        "dedup_segments": dedup.dedup_segments,
         # -- training-data prep
         "sample_hash": training.sample_hash,
         "pack_sequences": training.pack_sequences,
@@ -409,6 +410,35 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+def _segments_oracle_sql() -> str:
+    """dedup_segments recomputed from scratch: cut every document's
+    single-space token stream into consecutive ``SEG_WORDS``-token
+    segments, keep only the lexicographically-first ``(doc_id,
+    seg_idx)`` occurrence of each exact segment text (identity =
+    ``md5(seg)``, same as the engine), rebuild the text from kept
+    segments. ``string_agg`` over zero kept segments is NULL →
+    ``''``, matching the engine's empty join."""
+    from wbot_ray.pipelines.dedup import SEG_WORDS as w
+
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        seg AS (SELECT doc_id, unnest(idxs) AS seg_idx,
+                       unnest(list_transform(idxs,
+                          i -> array_to_string(list_slice(toks, (i-1)*{w}+1, i*{w}), ' '))) AS seg
+                FROM (SELECT doc_id, toks,
+                             generate_series(1, CAST(ceil(len(toks) / {float(w)}) AS BIGINT)) AS idxs
+                      FROM d)),
+        r AS (SELECT doc_id, seg_idx, seg,
+                     row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+              FROM seg)
+        SELECT doc_id,
+               COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS text_clean,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+        FROM r GROUP BY doc_id
+    """
+
+
 def _clusters_oracle_sql(threshold: float = 0.7) -> str:
     """dup_clusters = transitive closure over the SQL-recomputed minhash
     pair set; the component label (min reachable doc_id) is a unique
@@ -523,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle_sql(),
         "price_band_join": _price_band_oracle_sql(),
         "dedup_keep": _dedup_keep_oracle_sql(),
+        "dedup_segments": _segments_oracle_sql(),
         "global_shuffle": _global_shuffle_oracle_sql(),
         "quality_score": _quality_oracle_sql(),
         "text_stats": f"""

@@ -182,6 +182,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "decontaminate",
         "price_band_join",
         "dedup_keep",
+        "dedup_segments",
         "global_shuffle",
         "quality_score",
     ]

@@ -183,6 +183,30 @@ class TestDedup:
         }
         assert got == {i: 0 for i in range(n)}
 
+    def test_dedup_segments_drops_later_copies(self, ray_session, tmp_path):
+        """Keep-first segment dedup: later exact copies of an aligned
+        16-token segment drop anywhere in the corpus; a fully-duplicated
+        doc rebuilds to the empty string."""
+        W = dedup.SEG_WORDS
+        seg_a = " ".join(f"a{i}" for i in range(W))
+        seg_b = " ".join(f"b{i}" for i in range(W))
+        seg_c = " ".join(f"c{i}" for i in range(W))
+        rows = {0: seg_a + " " + seg_b, 1: seg_c + " " + seg_a, 2: seg_a}
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(rows), pa.int64()),
+                    "text": pa.array(list(rows.values()), pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        got = {r["doc_id"]: r for r in dedup.dedup_segments(str(tmp_path)).take_all()}
+        assert got[0]["text_clean"] == rows[0] and got[0]["n_dropped"] == 0
+        assert got[1]["text_clean"] == seg_c and got[1]["n_dropped"] == 1
+        assert got[2]["text_clean"] == "" and got[2]["n_segs"] == 1
+        assert got[2]["n_dropped"] == 1
+
     def test_minhash_deterministic(self, planted_dir):
         a = sorted(_pairs(dedup.dedup_minhash(planted_dir, threshold=0.5)))
         b = sorted(_pairs(dedup.dedup_minhash(planted_dir, threshold=0.5)))
@@ -382,6 +406,7 @@ class TestOracleParity:
             "dedup_embed",
             "dup_clusters",
             "knn_ivf",
+            "dedup_segments",
             "sample_hash",
             "pack_sequences",
             "audio_features",

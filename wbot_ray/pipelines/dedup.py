@@ -44,6 +44,7 @@ from wbot_ray.pipelines.common import hash64, md5_lower64, read_table, shingle_h
 __all__ = [
     "dup_clusters",
     "dedup_keep",
+    "dedup_segments",
     "dedup_exact",
     "dedup_ngram",
     "dedup_minhash",
@@ -686,4 +687,169 @@ def dedup_keep(sf_dir: str, threshold: float = 0.7, num_buckets: int = 32):
         .union(drops)
         .groupby("bucket")
         .map_groups(anti, batch_format="pyarrow")
+    )
+
+
+# -- segment-level exact dedup (duplicated-chunk removal) -----------------
+
+SEG_WORDS = 16  # segment = 16 consecutive single-space tokens
+
+
+def dedup_segments(sf_dir: str, seg_words: int = SEG_WORDS, num_buckets: int = 64):
+    """Corpus-wide duplicated-SEGMENT removal (the line-dedup step of
+    CCNet/RefinedWeb-style pipelines, adapted to this corpus's
+    single-line documents): each document's token stream is cut into
+    consecutive ``seg_words``-token segments, every segment occurrence
+    whose exact text appeared earlier anywhere in the corpus (first =
+    lexicographically smallest ``(doc_id, seg_idx)``) is dropped, and
+    the document is rebuilt from its surviving segments.
+
+    Identity = md5 of the segment text (128-bit — collision-free at any
+    realistic corpus size; both engines compare md5, so the rule is
+    identical even in principle). Output per doc: ``text_clean`` (may
+    be ``''`` if everything was duplicated), ``n_segs``, ``n_dropped``.
+
+    Ray shape — two keyed exchanges, both slim:
+
+    1. explode → ``(hash-bucket, h0, h1, doc_id, seg_idx)`` 36-byte rows
+       (never segment text), ``groupby(hb)`` → one vectorized
+       first-occurrence pass per bucket emits the DROP coordinates;
+    2. drops + corpus co-partitioned on ``doc_id % num_buckets``
+       (the ``dedup_keep`` anti-join pattern) → one task per bucket
+       rebuilds its documents. Untouched documents take a fast path
+       (``text_clean = text`` — a segment join is the identity on the
+       original token stream).
+
+    Both bucket counts scale with the cluster, not the corpus.
+    """
+    import struct
+
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_hb, o_h0, o_h1, o_id, o_ix = [], [], [], [], []
+        for did, txt in zip(ids, texts):
+            toks = txt.split(" ")
+            nseg = -(-len(toks) // seg_words)  # ceil; len >= 1 always
+            for i in range(nseg):
+                seg = " ".join(toks[i * seg_words : (i + 1) * seg_words])
+                dg = hashlib.md5(seg.encode()).digest()
+                h0u, h1 = struct.unpack("<Qq", dg)
+                o_hb.append(h0u % num_buckets)
+                o_h0.append(h0u - (1 << 64) if h0u >= 1 << 63 else h0u)
+                o_h1.append(h1)
+                o_id.append(did)
+                o_ix.append(i + 1)  # 1-based, matches SQL list indexing
+        return pa.table(
+            {
+                "hb": pa.array(o_hb, pa.int64()),
+                "h0": pa.array(o_h0, pa.int64()),
+                "h1": pa.array(o_h1, pa.int64()),
+                "doc_id": pa.array(o_id, pa.int64()),
+                "seg_idx": pa.array(o_ix, pa.int64()),
+            }
+        )
+
+    def to_drops(group: pa.Table) -> pa.Table:
+        h0 = group.column("h0").to_numpy(zero_copy_only=False)
+        h1 = group.column("h1").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        six = group.column("seg_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((six, did, h1, h0))
+        h0s, h1s = h0[order], h1[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (h0s[1:] != h0s[:-1]) | (h1s[1:] != h1s[:-1])
+        drop = order[~first]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[drop], pa.int64()),
+                "seg_idx": pa.array(six[drop], pa.int64()),
+            }
+        )
+
+    drops = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(to_drops, batch_format="pyarrow")
+    )
+
+    def tag_drops(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        return pa.table(
+            {
+                "bucket": _bucket_col(ids, num_buckets),
+                "doc_id": ids,
+                "text": pa.nulls(t.num_rows, pa.string()),
+                "seg_idx": t.column("seg_idx"),
+            }
+        )
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        return pa.table(
+            {
+                "bucket": _bucket_col(ids, num_buckets),
+                "doc_id": ids,
+                "text": t.column("text"),
+                "seg_idx": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text_clean", pa.string()),
+            ("n_segs", pa.int64()),
+            ("n_dropped", pa.int64()),
+        ]
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        is_doc = pc.invert(pc.is_null(group.column("text")))
+        d = group.filter(pc.invert(is_doc))
+        dropped: dict[int, set[int]] = {}
+        for did, six in zip(
+            d.column("doc_id").to_pylist(), d.column("seg_idx").to_pylist()
+        ):
+            dropped.setdefault(did, set()).add(six)
+        docs = group.filter(is_doc)
+        o_id, o_txt, o_ns, o_nd = [], [], [], []
+        for did, txt in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        ):
+            toks = txt.split(" ")
+            nseg = -(-len(toks) // seg_words)
+            dset = dropped.get(did)
+            if not dset:
+                o_txt.append(txt)  # join of all segments == original text
+                o_nd.append(0)
+            else:
+                kept = [
+                    " ".join(toks[(i - 1) * seg_words : i * seg_words])
+                    for i in range(1, nseg + 1)
+                    if i not in dset
+                ]
+                o_txt.append(" ".join(kept))
+                o_nd.append(len(dset))
+            o_id.append(did)
+            o_ns.append(nseg)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "text_clean": pa.array(o_txt, pa.string()),
+                "n_segs": pa.array(o_ns, pa.int64()),
+                "n_dropped": pa.array(o_nd, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    corpus = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        corpus.map_batches(tag_corpus, batch_format="pyarrow")
+        .union(drops.map_batches(tag_drops, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(rebuild, batch_format="pyarrow")
     )
