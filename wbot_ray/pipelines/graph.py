@@ -60,34 +60,63 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
     needed either: ``iters + 1`` keyed exchanges total (vs ``2·iters
     + 1`` for the textbook fanout/fold split) — on an iterative tiny-
     row shuffle the fixed per-exchange latency IS the cost, so halving
-    exchange count halves wall time. Every exchange carries one slim
-    row per edge; bucket count scales with the cluster, not the graph."""
-    import zlib
+    exchange count halves wall time. Bucket count scales with the
+    cluster, not the graph.
+
+    URL strings never enter the iteration: nodes are hashed ONCE to
+    64-bit ids (birthday-safe far past 10^9 nodes) when the edge list
+    is materialized, every per-round exchange carries pure int64 rows
+    (~56 B/edge vs ~300 B with URL keys — at web scale the iteration
+    is exchange-bandwidth-bound, so this is the dominant cost), and
+    one final keyed join maps ids back to URLs."""
+    from wbot_ray.pipelines.common import hash64
 
     links = rd.read_parquet(
         links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
     )
 
-    def bucket_arr(urls: list) -> pa.Array:
-        return pa.array(
-            [zlib.crc32(u.encode()) % num_buckets for u in urls], pa.int64()
+    M = (1 << 63) - 1  # keep ids non-negative int64 (bucketing uses %)
+
+    def hash_arr(urls: list) -> np.ndarray:
+        return np.fromiter(
+            (hash64(u) & M for u in urls), dtype=np.int64, count=len(urls)
         )
 
     def to_edges(batch: pa.Table) -> pa.Table:
         t = batch.filter(batch.column("gated"))
-        srcs = t.column("src_url").to_pylist()
-        dsts = t.column("dst_url").to_pylist()
+        sh = hash_arr(t.column("src_url").to_pylist())
+        dh = hash_arr(t.column("dst_url").to_pylist())
         return pa.table(
             {
-                "bucket": bucket_arr(srcs),
-                "src": t.column("src_url"),
-                "dst": t.column("dst_url"),
-                "dst_bucket": bucket_arr(dsts),
-                "r": pa.nulls(t.num_rows, pa.int64()),
+                "bucket": pa.array(sh % num_buckets, pa.int64()),
+                "src": pa.array(sh, pa.int64()),
+                "dst": pa.array(dh, pa.int64()),
+                "dst_bucket": pa.array(dh % num_buckets, pa.int64()),
+                "r": pa.nulls(len(sh), pa.int64()),
+            }
+        )
+
+    def to_nodemap(batch: pa.Table) -> pa.Table:
+        """(id, url) rows for BOTH endpoints — the only place URL strings
+        survive; joined back to the final ranks by id bucket."""
+        t = batch.filter(batch.column("gated"))
+        urls = list(
+            dict.fromkeys(
+                t.column("src_url").to_pylist() + t.column("dst_url").to_pylist()
+            )
+        )  # per-batch distinct: a url rides the final exchange once per
+        # batch (O(V)) instead of once per edge endpoint (O(2E))
+        h = hash_arr(urls)
+        return pa.table(
+            {
+                "bucket": pa.array(h % num_buckets, pa.int64()),
+                "node": pa.array(h, pa.int64()),
+                "url": pa.array(urls, pa.string()),
             }
         )
 
     edges = links.map_batches(to_edges, batch_format="pyarrow").materialize()
+    nodemap = links.map_batches(to_nodemap, batch_format="pyarrow")
 
     def _contrib_rows(nodes: pa.Array, buckets, c: pa.Array) -> pa.Table:
         """Contribution rows in the shared edge schema: dst is null (the
@@ -97,7 +126,7 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
             {
                 "bucket": buckets,
                 "src": nodes,
-                "dst": pa.nulls(n, pa.string()),
+                "dst": pa.nulls(n, pa.int64()),
                 "dst_bucket": pa.nulls(n, pa.int64()),
                 "r": c,
             }
@@ -173,8 +202,40 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
         return pa.concat_tables(_fanout(e, rk))
 
     def final_ranks(group: pa.Table) -> pa.Table:
+        """Last fold, emitted in the nodemap-join schema."""
         _, rk = _ranks(group)
-        return pa.table({"url": rk.column("src"), "rank_fp": rk.column("r")})
+        return pa.table(
+            {
+                "bucket": rk.column("bucket"),
+                "node": rk.column("src"),
+                "url": pa.nulls(rk.num_rows, pa.string()),
+                "rank_fp": rk.column("r"),
+            }
+        )
+
+    def tag_nodemap(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": t.column("bucket"),
+                "node": t.column("node"),
+                "url": t.column("url"),
+                "rank_fp": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def join_urls(group: pa.Table) -> pa.Table:
+        """Map the bucket's final int ranks back to URL strings (the one
+        place strings re-enter; co-partitioned by node-id bucket)."""
+        has_rank = pc.is_valid(group.column("rank_fp"))
+        rk = group.filter(has_rank).select(["node", "rank_fp"])
+        nm = (
+            group.filter(pc.invert(has_rank))
+            .select(["node", "url"])
+            .group_by(["node", "url"])
+            .aggregate([])
+        )
+        j = rk.join(nm, keys="node", join_type="inner")
+        return j.select(["url", "rank_fp"])
 
     # NO per-iteration materialize: the whole power iteration is ONE
     # lazy DAG — the streaming executor pipelines all rounds without a
@@ -187,7 +248,12 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
             .groupby("bucket")
             .map_groups(fused_step, batch_format="pyarrow")
         )
-    return contribs.groupby("bucket").map_groups(final_ranks, batch_format="pyarrow")
+    ranks = contribs.groupby("bucket").map_groups(final_ranks, batch_format="pyarrow")
+    return (
+        ranks.union(nodemap.map_batches(tag_nodemap, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_urls, batch_format="pyarrow")
+    )
 
 
 def pagerank_oracle_sql(links_path: str, iters: int = 5) -> str:
