@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         multimodal,
         relational,
+        search,
         similarity,
         textops,
         training,
@@ -105,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,
+        "term_search": search.term_search,
+        "freq_quality": textops.freq_quality,
         # -- multimodal plumbing
         "payload_features": multimodal.payload_features,
         "frame_features": lambda sf: multimodal.frame_features(sf).select_columns(
@@ -410,6 +413,49 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+def _freq_quality_oracle_sql() -> str:
+    """freq_quality recomputed from scratch: global token counts, the
+    top-``top_v`` vocabulary ranked ``(count desc, token asc)``, OOV
+    rank ``top_v+1``, and the all-integer per-doc score — parameters
+    read from the engine's signature."""
+    import inspect
+
+    from wbot_ray.pipelines import textops
+
+    v = inspect.signature(textops.freq_quality).parameters["top_v"].default
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        vocab AS (SELECT tok, rnk FROM (
+                    SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM cnt)
+                  WHERE rnk <= {v}),
+        sc AS (SELECT t.doc_id, COALESCE(vv.rnk, {v + 1}) AS rnk
+               FROM tok t LEFT JOIN vocab vv ON vv.tok = t.tok)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE rnk = {v + 1}) AS BIGINT) AS oov_cnt,
+               CAST((SUM(rnk) * 100) // COUNT(*) AS BIGINT) AS mean_rank_x100
+        FROM sc GROUP BY doc_id
+    """
+
+
+def _term_search_oracle_sql() -> str:
+    """term_search recomputed from the raw text: identical single-space
+    tokenization, conjunctive match over the engine's default query
+    terms, tf_total = summed query-term occurrences."""
+    from wbot_ray.pipelines.search import DEFAULT_TERMS
+
+    terms = sorted(set(DEFAULT_TERMS))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        m AS (SELECT doc_id, tok, COUNT(*) AS tf
+              FROM tok WHERE tok IN ({in_list}) GROUP BY doc_id, tok)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_total
+        FROM m GROUP BY doc_id HAVING COUNT(*) = {len(terms)}
+    """
+
+
 def _segments_oracle_sql() -> str:
     """dedup_segments recomputed from scratch: cut every document's
     single-space token stream into consecutive ``SEG_WORDS``-token
@@ -554,6 +600,8 @@ def oracle_sql() -> dict[str, str]:
         "price_band_join": _price_band_oracle_sql(),
         "dedup_keep": _dedup_keep_oracle_sql(),
         "dedup_segments": _segments_oracle_sql(),
+        "freq_quality": _freq_quality_oracle_sql(),
+        "term_search": _term_search_oracle_sql(),
         "global_shuffle": _global_shuffle_oracle_sql(),
         "quality_score": _quality_oracle_sql(),
         "text_stats": f"""

@@ -185,6 +185,8 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "dedup_segments",
         "global_shuffle",
         "quality_score",
+        "freq_quality",
+        "term_search",
     ]
     out: dict[str, float] = {}
     for name in names:

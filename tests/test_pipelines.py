@@ -306,6 +306,32 @@ class TestSimilarity:
         assert got == want
 
 
+class TestSearch:
+    def test_term_search_prunes_and_intersects(self, ray_session, capsys):
+        """The posting layout must make a query read only its terms'
+        buckets, and conjunctive semantics must match a direct scan."""
+        import re
+
+        from wbot_ray.pipelines import search
+
+        got = {
+            r["doc_id"]: r["tf_total"]
+            for r in search.term_search(SF0001, terms=("join", "filter")).take_all()
+        }
+        out = capsys.readouterr().out
+        m = re.search(r"\[term_search\] probing (\d+)/(\d+) buckets = (\d+)/(\d+)", out)
+        assert m, out
+        assert 0 < int(m.group(3)) < int(m.group(4)) / 2  # reads a minority
+        t = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["doc_id", "text"])
+        want = {}
+        for did, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = txt.split(" ")
+            nj, nf = toks.count("join"), toks.count("filter")
+            if nj and nf:
+                want[did] = nj + nf
+        assert got == want
+
+
 class TestTextops:
     def test_fingerprint_rolling(self, ray_session):
         rows = textops.doc_fingerprint(SF0001).take_all()
@@ -407,6 +433,8 @@ class TestOracleParity:
             "dup_clusters",
             "knn_ivf",
             "dedup_segments",
+            "freq_quality",
+            "term_search",
             "sample_hash",
             "pack_sequences",
             "audio_features",

@@ -34,6 +34,7 @@ __all__ = [
     "tfidf_topterms",
     "decontaminate",
     "quality_score",
+    "freq_quality",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -595,6 +596,94 @@ def quality_score(sf_dir: str):
                 "stop_hits": pa.array(stop, pa.int64()),
                 "rules_failed": mask_arr,
                 "passes": pc.equal(mask_arr, 0),
+            }
+        )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# -- frequency-model quality score (the CCNet perplexity-filter shape) ----
+
+
+def freq_quality(sf_dir: str, top_v: int = 16):
+    """Model-based quality scoring with a corpus-derived frequency model
+    — the deterministic analog of CCNet's KenLM perplexity filter: pass
+    1 learns the model (global token counts → the ``top_v`` vocabulary
+    ranked by ``(count desc, token asc)``), pass 2 scores every
+    document against it. Rare/unknown-heavy documents score HIGH mean
+    rank (an out-of-vocabulary token costs rank ``top_v + 1``) — the
+    filterable signal. All-integer outputs per doc: ``n_tokens``,
+    ``oov_cnt``, ``mean_rank_x100 = (Σ rank · 100) // n_tokens``.
+
+    Ray shape — learn-broadcast-score:
+
+    * pass 1 pre-aggregates counts INSIDE each batch (31–10^6 distinct
+      tokens per batch, not one row per token occurrence), one keyed
+      exchange sums them, a per-block partial top-``top_v`` + driver
+      merge extracts the vocabulary (O(top_v × blocks) driver rows);
+    * the vocabulary is broadcast ONCE (``ray.put``) and pass 2 is a
+      stateless ``map_batches`` scorer — no second exchange.
+    """
+    import ray
+
+    from collections import Counter
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in batch.column("text").to_pylist():
+            c.update(txt.split(" "))
+        toks = sorted(c)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "cnt": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    def block_topv(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("sum(cnt)").to_pylist(), dtype=np.int64)
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        order = np.lexsort((toks, -n))[:top_v]
+        return pa.table(
+            {
+                "token": pa.array(toks[order], pa.string()),
+                "cnt": pa.array(n[order], pa.int64()),
+            }
+        )
+
+    counted = (
+        read_table(sf_dir, "documents", ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt"))
+        .map_batches(block_topv, batch_format="pyarrow")
+        .take_all()
+    )
+    counted.sort(key=lambda r: (-r["cnt"], r["token"]))
+    rank_of = {r["token"]: i + 1 for i, r in enumerate(counted[:top_v])}
+    oov_rank = top_v + 1
+    v_ref = ray.put(rank_of)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(v_ref)
+        o_id, o_n, o_oov, o_mr = [], [], [], []
+        for did, txt in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = txt.split(" ")
+            rs = [ranks.get(t, oov_rank) for t in toks]
+            o_id.append(did)
+            o_n.append(len(toks))
+            o_oov.append(sum(1 for r in rs if r == oov_rank))
+            o_mr.append(sum(rs) * 100 // len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "n_tokens": pa.array(o_n, pa.int64()),
+                "oov_cnt": pa.array(o_oov, pa.int64()),
+                "mean_rank_x100": pa.array(o_mr, pa.int64()),
             }
         )
 
