@@ -69,8 +69,6 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
     (~56 B/edge vs ~300 B with URL keys — at web scale the iteration
     is exchange-bandwidth-bound, so this is the dominant cost), and
     one final keyed join maps ids back to URLs."""
-    from wbot_ray.pipelines.common import hash64
-
     links = rd.read_parquet(
         links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
     )
@@ -78,9 +76,14 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
     M = (1 << 63) - 1  # keep ids non-negative int64 (bucketing uses %)
 
     def hash_arr(urls: list) -> np.ndarray:
-        return np.fromiter(
-            (hash64(u) & M for u in urls), dtype=np.int64, count=len(urls)
-        )
+        """Vectorized 63-bit url ids (polars xxhash). Ids are INTERNAL —
+        only equality matters (outputs re-join the url strings), so any
+        collision-safe 64-bit hash works; vectorization keeps the
+        one-time hashing pass off the Python interpreter."""
+        import polars as pl
+
+        h = pl.Series(urls, dtype=pl.String).hash(seed=0).to_numpy()
+        return (h & np.uint64(M)).astype(np.int64)
 
     def to_edges(batch: pa.Table) -> pa.Table:
         t = batch.filter(batch.column("gated"))
@@ -93,24 +96,30 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
                 "dst": pa.array(dh, pa.int64()),
                 "dst_bucket": pa.array(dh % num_buckets, pa.int64()),
                 "r": pa.nulls(len(sh), pa.int64()),
+                "url": pa.nulls(len(sh), pa.string()),
             }
         )
 
     def to_nodemap(batch: pa.Table) -> pa.Table:
-        """(id, url) rows for BOTH endpoints — the only place URL strings
-        survive; joined back to the final ranks by id bucket."""
+        """(id, url) rows in the shared iteration schema (url valid is
+        the discriminator) — the only place URL strings survive. These
+        rows ride ONLY the final exchange, so strings cross the wire
+        once per distinct-url-per-batch (O(V)), not once per edge
+        endpoint per round (O(rounds × 2E))."""
         t = batch.filter(batch.column("gated"))
         urls = list(
             dict.fromkeys(
                 t.column("src_url").to_pylist() + t.column("dst_url").to_pylist()
             )
-        )  # per-batch distinct: a url rides the final exchange once per
-        # batch (O(V)) instead of once per edge endpoint (O(2E))
+        )
         h = hash_arr(urls)
         return pa.table(
             {
                 "bucket": pa.array(h % num_buckets, pa.int64()),
-                "node": pa.array(h, pa.int64()),
+                "src": pa.array(h, pa.int64()),
+                "dst": pa.nulls(len(h), pa.int64()),
+                "dst_bucket": pa.nulls(len(h), pa.int64()),
+                "r": pa.nulls(len(h), pa.int64()),
                 "url": pa.array(urls, pa.string()),
             }
         )
@@ -129,6 +138,7 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
                 "dst": pa.nulls(n, pa.int64()),
                 "dst_bucket": pa.nulls(n, pa.int64()),
                 "r": c,
+                "url": pa.nulls(n, pa.string()),
             }
         )
 
@@ -202,45 +212,25 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
         return pa.concat_tables(_fanout(e, rk))
 
     def final_ranks(group: pa.Table) -> pa.Table:
-        """Last fold, emitted in the nodemap-join schema."""
-        _, rk = _ranks(group)
-        return pa.table(
-            {
-                "bucket": rk.column("bucket"),
-                "node": rk.column("src"),
-                "url": pa.nulls(rk.num_rows, pa.string()),
-                "rank_fp": rk.column("r"),
-            }
-        )
-
-    def tag_nodemap(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "bucket": t.column("bucket"),
-                "node": t.column("node"),
-                "url": t.column("url"),
-                "rank_fp": pa.nulls(t.num_rows, pa.int64()),
-            }
-        )
-
-    def join_urls(group: pa.Table) -> pa.Table:
-        """Map the bucket's final int ranks back to URL strings (the one
-        place strings re-enter; co-partitioned by node-id bucket)."""
-        has_rank = pc.is_valid(group.column("rank_fp"))
-        rk = group.filter(has_rank).select(["node", "rank_fp"])
+        """Last fold + the url join in ONE task: the group holds the
+        bucket's final contributions AND its nodemap rows (url valid),
+        co-partitioned by node-id bucket — no extra exchange."""
+        has_url = pc.is_valid(group.column("url"))
         nm = (
-            group.filter(pc.invert(has_rank))
-            .select(["node", "url"])
-            .group_by(["node", "url"])
+            group.filter(has_url)
+            .select(["src", "url"])
+            .group_by(["src", "url"])
             .aggregate([])
         )
-        j = rk.join(nm, keys="node", join_type="inner")
-        return j.select(["url", "rank_fp"])
+        _, rk = _ranks(group.filter(pc.invert(has_url)))
+        j = rk.select(["src", "r"]).join(nm, keys="src", join_type="inner")
+        return pa.table({"url": j.column("url"), "rank_fp": j.column("r")})
 
     # NO per-iteration materialize: the whole power iteration is ONE
     # lazy DAG — the streaming executor pipelines all rounds without a
     # driver sync per iteration (the edge list, consumed every round,
-    # IS materialized above).
+    # IS materialized above). Exchange count: iters + 1, same as the
+    # textbook-fused form — the nodemap union rides the LAST exchange.
     contribs = edges.groupby("bucket").map_groups(init_fanout, batch_format="pyarrow")
     for _ in range(iters - 1):
         contribs = (
@@ -248,11 +238,10 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
             .groupby("bucket")
             .map_groups(fused_step, batch_format="pyarrow")
         )
-    ranks = contribs.groupby("bucket").map_groups(final_ranks, batch_format="pyarrow")
     return (
-        ranks.union(nodemap.map_batches(tag_nodemap, batch_format="pyarrow"))
+        contribs.union(nodemap)
         .groupby("bucket")
-        .map_groups(join_urls, batch_format="pyarrow")
+        .map_groups(final_ranks, batch_format="pyarrow")
     )
 
 
