@@ -103,6 +103,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_pagerank"]
         ).link_pagerank(sf),
+        "link_degrees": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["link_degrees"]
+        ).link_degrees(sf),
+        # -- model inference (actor-pool batched encoder)
+        "embed_docs": lambda sf: __import__(
+            "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
+        ).embed_docs(sf),
         # -- similarity search
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,
@@ -413,6 +420,45 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+def _embed_docs_oracle_sql() -> str:
+    """embed_docs recomputed from scratch: the identical feature-hash
+    projection (dim = md5_number_lower('emb:'||tok) % dim, sign = bit
+    32), summed per (doc, dim) over token term frequencies — all
+    integers, bit-equal to the engine."""
+    import inspect
+
+    from wbot_ray.pipelines import inference
+
+    dim = inspect.signature(inference.embed_docs).parameters["dim"].default
+    return f"""
+        WITH tok AS (SELECT doc_id, tok, COUNT(*) AS tf
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                           FROM documents)
+                     GROUP BY doc_id, tok),
+        m AS (SELECT doc_id,
+                     CAST(md5_number_lower('emb:' || tok) % {dim} AS BIGINT) AS dim_i,
+                     (CASE WHEN (md5_number_lower('emb:' || tok) >> 32) & 1 = 1
+                           THEN 1 ELSE -1 END) * tf AS v
+              FROM tok)
+        SELECT doc_id, dim_i, CAST(SUM(v) AS BIGINT) AS val
+        FROM m GROUP BY doc_id, dim_i
+    """
+
+
+def _degrees_oracle_sql(links_path: str) -> str:
+    """link_degrees recomputed from the raw links parquet."""
+    return f"""
+        WITH e AS (SELECT src_url, dst_url
+                   FROM read_parquet('{links_path}') WHERE gated),
+        u AS (SELECT src_url AS url, 1 AS o, 0 AS i FROM e
+              UNION ALL
+              SELECT dst_url, 0, 1 FROM e)
+        SELECT url, CAST(SUM(o) AS BIGINT) AS out_deg,
+                    CAST(SUM(i) AS BIGINT) AS in_deg
+        FROM u GROUP BY url
+    """
+
+
 def _freq_quality_oracle_sql() -> str:
     """freq_quality recomputed from scratch: global token counts, the
     top-``top_v`` vocabulary ranked ``(count desc, token asc)``, OOV
@@ -590,6 +636,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         **crawl,
         "link_pagerank": pagerank_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "link_degrees": _degrees_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "embed_docs": _embed_docs_oracle_sql(),
         "langid": _langid_oracle_sql(),
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),

@@ -187,6 +187,8 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "quality_score",
         "freq_quality",
         "term_search",
+        "embed_docs",
+        "link_degrees",
     ]
     out: dict[str, float] = {}
     for name in names:

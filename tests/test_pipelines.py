@@ -435,6 +435,7 @@ class TestOracleParity:
             "dedup_segments",
             "freq_quality",
             "term_search",
+            "embed_docs",
             "sample_hash",
             "pack_sequences",
             "audio_features",
@@ -897,6 +898,29 @@ class TestPagerank:
         # the hub (A: 2 in-sources, one a 2x multi-edge target) outranks
         # the dangling sink D
         assert got[A] > got[D]
+
+
+    def test_link_degrees_matches_sql_oracle(self, tmp_path, ray_session):
+        """Degree counts on a multi-edge graph with a source-only and a
+        sink-only node, against the SQL twin."""
+        import duckdb
+
+        import __ray_entry__ as em
+        from wbot_ray.pipelines import graph
+
+        A, B, C, D = (f"https://h{i}.net/x" for i in range(4))
+        edges = [(A, B), (A, C), (B, A), (C, A), (C, B), (A, B), (B, D)]
+        p = self._links(tmp_path, edges)
+        got = {
+            r["url"]: (r["out_deg"], r["in_deg"])
+            for r in graph.link_degrees(tmp_path.as_posix(), links_path=p).take_all()
+        }
+        want = {
+            u: (o, i)
+            for u, o, i in duckdb.connect().execute(em._degrees_oracle_sql(p)).fetchall()
+        }
+        assert got == want
+        assert got[A] == (3, 2) and got[D] == (0, 1)
 
 
 class TestDecontaminate:

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["link_pagerank", "pagerank_oracle_sql"]
+__all__ = ["link_pagerank", "link_degrees", "pagerank_oracle_sql"]
 
 ONE = 1 << 20  # fixed-point unit
 DAMP_NUM, DAMP_DEN = 85, 100
@@ -273,4 +273,41 @@ def pagerank_oracle_sql(links_path: str, iters: int = 5) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT n AS url, r AS rank_fp FROM r{iters}"
+    )
+
+
+def link_degrees(sf_dir: str, links_path: str | None = None):
+    """Per-url in/out degree over the gated link graph — the degree
+    table every graph pipeline starts from (out_degree feeds PageRank
+    mass splitting; in_degree is the simplest page-authority signal).
+
+    Ray shape — pre-aggregated keyed exchange: each batch folds its
+    edges into per-url partial (out, in) counts BEFORE the shuffle, so
+    the ``groupby(url)`` exchange carries one row per (batch × url),
+    never one per edge."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    links = rd.read_parquet(
+        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("gated"))
+        out_c = Counter(t.column("src_url").to_pylist())
+        in_c = Counter(t.column("dst_url").to_pylist())
+        urls = sorted(out_c.keys() | in_c.keys())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "out_c": pa.array([out_c.get(u, 0) for u in urls], pa.int64()),
+                "in_c": pa.array([in_c.get(u, 0) for u in urls], pa.int64()),
+            }
+        )
+
+    return (
+        links.map_batches(partial, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Sum("out_c", alias_name="out_deg"), Sum("in_c", alias_name="in_deg"))
     )
