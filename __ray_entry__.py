@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": relational.price_quantiles,
         "region_acctbal": relational.region_acctbal,
         "price_band_join": relational.price_band_join,
+        "order_priority_revenue": lambda sf: __import__(
+            "wbot_ray.pipelines.join", fromlist=["order_priority_revenue"]
+        ).order_priority_revenue(sf),
         # -- corpus hygiene
         "decontaminate": textops.decontaminate,
         "quality_score": textops.quality_score,
@@ -646,6 +649,22 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _clusters_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "price_band_join": _price_band_oracle_sql(),
+        "order_priority_revenue": f"""
+            -- large-large join: per-order lineitem revenue in exact
+            -- centi-cents, joined to orders, rolled up per priority
+            WITH li AS (
+              SELECT l_orderkey,
+                     CAST(SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS BIGINT) AS rev,
+                     CAST(COUNT(*) AS BIGINT) AS items
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(items) AS BIGINT) AS n_items,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_centi
+            FROM orders JOIN li ON li.l_orderkey = orders.o_orderkey
+            GROUP BY o_orderpriority
+        """,
         "dedup_keep": _dedup_keep_oracle_sql(),
         "dedup_segments": _segments_oracle_sql(),
         "freq_quality": _freq_quality_oracle_sql(),

@@ -447,6 +447,7 @@ class TestOracleParity:
             "dedup_keep",
             "global_shuffle",
             "quality_score",
+            "order_priority_revenue",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -1067,3 +1068,107 @@ class TestQualityScore:
         assert got[3]["rules_failed"] & 4  # symbol ratio
         assert got[4]["rules_failed"] == 8  # stopwords only
         assert not any(got[i]["passes"] for i in (1, 2, 3, 4))
+
+
+class TestHashJoin:
+    """The generic large-large shuffle join (wbot_ray.pipelines.join)."""
+
+    def _write(self, d, name, table):
+        pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+
+    def test_inner_join_planted(self, tmp_path, ray_session):
+        """Keys on one side only drop; multi-match keys fan out; values
+        land next to the right key — checked against a dict-built truth."""
+        import ray.data
+
+        from wbot_ray.pipelines.join import hash_join
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 2, 2, 3, 99], pa.int64()),
+                "lv": pa.array(["a", "b", "c", "d", "z"], pa.string()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([2, 3, 3, 4], pa.int64()),
+                "rv": pa.array([20, 30, 31, 40], pa.int64()),
+            }
+        )
+        got = hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), key="k", num_buckets=4
+        ).to_pandas()
+        rows = sorted(map(tuple, got[["k", "lv", "rv"]].itertuples(index=False)))
+        assert rows == [
+            (2, "b", 20),
+            (2, "c", 20),
+            (3, "d", 30),
+            (3, "d", 31),
+        ]
+
+    def test_string_key_and_collision_error(self, ray_session):
+        import ray.data
+
+        from wbot_ray.pipelines.join import hash_join
+
+        left = ray.data.from_arrow(
+            pa.table({"k": pa.array(["x", "y"]), "v": pa.array([1, 2], pa.int64())})
+        )
+        right = ray.data.from_arrow(
+            pa.table({"k": pa.array(["y", "z"]), "w": pa.array([7, 8], pa.int64())})
+        )
+        got = hash_join(left, right, key="k", num_buckets=3).to_pandas()
+        assert list(map(tuple, got[["k", "v", "w"]].itertuples(index=False))) == [
+            ("y", 2, 7)
+        ]
+        bad = ray.data.from_arrow(
+            pa.table({"k": pa.array(["y"]), "v": pa.array([9], pa.int64())})
+        )
+        with pytest.raises(ValueError, match="collide"):
+            hash_join(left, bad, key="k")
+
+    def test_hot_key_combine_bounds_exchange(self, tmp_path, ray_session):
+        """Planted skew: ONE orderkey owns 90% of lineitem rows across
+        many input row groups. The map-side combine must collapse it to
+        ~one partial per batch (so the exchange stays O(batches), not
+        O(rows)) and the final sums must still be exact."""
+        from wbot_ray.pipelines.join import order_priority_revenue
+
+        n_hot, n_cold = 9_000, 1_000
+        ok = np.concatenate([np.full(n_hot, 7, np.int64), np.arange(100, 100 + n_cold)])
+        price = np.full(len(ok), 10.00)
+        disc = np.zeros(len(ok))
+        self._write(
+            str(tmp_path),
+            "lineitem",
+            pa.table(
+                {
+                    "l_orderkey": pa.array(ok, pa.int64()),
+                    "l_extendedprice": pa.array(price, pa.float64()),
+                    "l_discount": pa.array(disc, pa.float64()),
+                }
+            ),
+        )
+        okeys = np.concatenate([[7], np.arange(100, 100 + n_cold)])
+        self._write(
+            str(tmp_path),
+            "orders",
+            pa.table(
+                {
+                    "o_orderkey": pa.array(okeys, pa.int64()),
+                    "o_orderpriority": pa.array(
+                        ["1-URGENT"] + ["5-LOW"] * n_cold, pa.string()
+                    ),
+                }
+            ),
+        )
+        got = {
+            r["o_orderpriority"]: r
+            for r in order_priority_revenue(str(tmp_path), num_buckets=8).take_all()
+        }
+        # 1000 cents * 100 (no discount) = 100_000 centi-cents per item
+        assert got["1-URGENT"]["n_orders"] == 1
+        assert got["1-URGENT"]["n_items"] == n_hot
+        assert got["1-URGENT"]["revenue_centi"] == n_hot * 100_000
+        assert got["5-LOW"]["n_orders"] == n_cold
+        assert got["5-LOW"]["revenue_centi"] == n_cold * 100_000

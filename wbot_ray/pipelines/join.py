@@ -1,0 +1,231 @@
+"""Distributed large-large hash join — the shuffle join the broadcast
+pattern cannot cover.
+
+Every other join in this repo broadcasts a small side (``relational``
+dimension joins, ``price_band_join``) or co-partitions a slim drop list
+(``dedup.dedup_keep``). When BOTH sides are fact-scale (lineitem ⋈
+orders: neither fits one worker's heap at 100 TB), the only shape that
+works is the classic partitioned hash join:
+
+1. each side gets a ``jb = hash(key) % num_buckets`` column (one
+   vectorized batch pass, no driver work),
+2. both sides ride ONE keyed exchange (``union`` → ``groupby("jb")``) —
+   Ray Data shuffles each block to its bucket's reducer,
+3. one ``map_groups`` task per bucket splits its rows back into the two
+   sides and joins them with ``pyarrow.Table.join`` (Acero's vectorized
+   hash join) — every key lives in exactly one bucket, so bucket-local
+   joins compose to the global join.
+
+``num_buckets`` scales with the cluster, not the data: each reducer
+holds |data| / num_buckets rows. Map-side combiners (``left_prepare`` /
+``right_prepare``, run per bucket BEFORE the join) let aggregate-after-
+join queries shrink the exchange: ship per-batch partials, finish them
+per bucket where the key is complete, then join — the join output never
+exceeds the post-aggregation cardinality.
+
+Skew note: one pathological key cannot be salted here without
+replicating the other side's matching rows across salts; for the
+aggregate-after-join pattern the map-side combiner already collapses a
+hot key to ~one row per batch, which is the cheaper fix. A planted-skew
+test pins this behavior (``tests/test_pipelines.py``).
+
+The reference has no joins at all (SURVEY §2.5) — this operator exists
+for the training-data side of the engine, same role as the fetch-join
+in ``wbot_ray/web_index.py`` but with both sides unbounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+from wbot_ray.pipelines.common import cents, read_table
+
+__all__ = ["hash_join", "order_priority_revenue"]
+
+
+def _bucket_of(arr: pa.ChunkedArray, num_buckets: int) -> pa.Array:
+    """Vectorized bucket id of a join-key column. Integer keys go through
+    a splitmix64 finalizer first — raw ``key % B`` would correlate with
+    any range partitioning already on the data (e.g. sequential
+    orderkeys land range-clustered per input file; the mix decorrelates
+    bucket from block so every reducer sees every file's share)."""
+    t = arr.type
+    if pa.types.is_integer(t):
+        x = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+        return pa.array((x % np.uint64(num_buckets)).astype(np.int64), pa.int64())
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        import zlib
+
+        return pa.array(
+            [zlib.crc32(s.encode()) % num_buckets for s in arr.to_pylist()],
+            pa.int64(),
+        )
+    raise TypeError(f"unsupported join-key type {t}")
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    num_buckets: int = 64,
+    join_type: str = "inner",
+    left_prepare: Callable[[pa.Table], pa.Table] | None = None,
+    right_prepare: Callable[[pa.Table], pa.Table] | None = None,
+) -> "ray.data.Dataset":
+    """Partitioned hash join of two Datasets on ``key`` (same name and
+    type both sides; non-key column names must not collide).
+
+    ``left_prepare`` / ``right_prepare``: optional per-bucket finisher
+    run on that side's complete bucket slice before the join (the
+    reduce-side half of a map-side combine). Must preserve the side's
+    schema key column; may change row count.
+
+    Output columns: ``key``, then left non-key columns, then right
+    non-key columns (inner/left-outer/right-outer per ``join_type``,
+    Acero semantics)."""
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = [f for f in lschema if f.name != key]
+    rcols = [f for f in rschema if f.name != key]
+    overlap = {f.name for f in lcols} & {f.name for f in rcols}
+    if overlap:
+        raise ValueError(f"non-key columns collide across sides: {sorted(overlap)}")
+    key_type = lschema.field(key).type
+    names = ["jb", key, "side_l"] + [f.name for f in lcols] + [f.name for f in rcols]
+    types = [pa.int64(), key_type, pa.bool_()] + [f.type for f in lcols] + [
+        f.type for f in rcols
+    ]
+    union_schema = pa.schema(list(zip(names, types)))
+    lnames = [f.name for f in lcols]
+    rnames = [f.name for f in rcols]
+
+    def tag(is_left: bool):
+        own = lnames if is_left else rnames
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {
+                "jb": _bucket_of(t.column(key), num_buckets),
+                key: t.column(key),
+                "side_l": pa.array(np.full(n, is_left), pa.bool_()),
+            }
+            for name, typ in zip(names[3:], types[3:]):
+                cols[name] = t.column(name) if name in own else pa.nulls(n, typ)
+            return pa.table({nm: cols[nm] for nm in names}, schema=union_schema)
+
+        return fn
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        is_l = g.column("side_l")
+        lt = g.filter(is_l).select([key] + lnames).combine_chunks()
+        rt = g.filter(pc.invert(is_l)).select([key] + rnames).combine_chunks()
+        if left_prepare is not None:
+            lt = left_prepare(lt)
+        if right_prepare is not None:
+            rt = right_prepare(rt)
+        j = lt.join(rt, keys=key, join_type=join_type)
+        return j.select([key] + lnames + rnames)
+
+    return (
+        left.map_batches(tag(True), batch_format="pyarrow")
+        .union(right.map_batches(tag(False), batch_format="pyarrow"))
+        .groupby("jb")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
+def _combine_order_partials(t: pa.Table) -> pa.Table:
+    """Exact per-orderkey sums from (possibly partial) rows — int64
+    throughout (sorted ``np.add.reduceat``, no float accumulation)."""
+    ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    rev = t.column("rev_centi").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = t.column("n_items").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ok, kind="stable")
+    ok, rev, cnt = ok[order], rev[order], cnt[order]
+    uk, starts = np.unique(ok, return_index=True)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(uk, pa.int64()),
+            "rev_centi": pa.array(np.add.reduceat(rev, starts), pa.int64()),
+            "n_items": pa.array(np.add.reduceat(cnt, starts), pa.int64()),
+        }
+    )
+
+
+def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
+    """Revenue per order priority — the lineitem ⋈ orders LARGE-LARGE
+    join (both sides fact-scale; nothing is broadcast).
+
+    Ray shape: per-batch map-side combine collapses lineitem to one
+    partial row per orderkey per batch (revenue in exact centi-cents,
+    ``cents(price) × (100 − cents(discount))``); the partials and the
+    orders rows co-partition through ONE keyed exchange
+    (``hash_join(..., left_prepare=...)``), each bucket finishes its
+    orderkeys' sums and joins them against its orders slice with Acero;
+    per-batch partials then feed the final tiny |priorities|-key
+    groupby. The exchange carries ~|orders| slim rows per side
+    regardless of lineitem fan-out, and no stage ever holds more than
+    one bucket."""
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = np.asarray(cents(batch.column("l_extendedprice")), dtype=np.int64)
+        disc = np.asarray(cents(batch.column("l_discount")), dtype=np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "rev_centi": pa.array(price * (100 - disc), pa.int64()),
+                "n_items": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+        return _combine_order_partials(t)
+
+    lineitem = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).rename_columns(
+        {"o_orderkey": "l_orderkey"}
+    )
+    joined = hash_join(
+        lineitem,
+        orders,
+        key="l_orderkey",
+        num_buckets=num_buckets,
+        left_prepare=_combine_order_partials,
+    )
+
+    def pri_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["o_orderpriority", "rev_centi", "n_items"])
+            .group_by("o_orderpriority")
+            .aggregate(
+                [("rev_centi", "sum"), ("n_items", "sum"), ("o_orderpriority", "count")]
+            )
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "rev": g.column("rev_centi_sum"),
+                "items": g.column("n_items_sum"),
+                "orders": g.column("o_orderpriority_count"),
+            }
+        )
+
+    return (
+        joined.map_batches(pri_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("orders", alias_name="n_orders"),
+            Sum("items", alias_name="n_items"),
+            Sum("rev", alias_name="revenue_centi"),
+        )
+    )
