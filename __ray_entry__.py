@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_stats": relational.cust_order_stats,
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
+        "daily_active_users": relational.daily_active_users,
         "sessionize": relational.sessionize,
         "asof_prior_event": relational.asof_prior_event,
         "topk_users": relational.topk_users,
@@ -841,6 +842,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM({cents('value')}) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "daily_active_users": """
+            -- exact distinct count: the engine's two-level pair dedup
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_key,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
         """,
         "sessionize": f"""
             WITH e AS (

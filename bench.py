@@ -189,6 +189,8 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "term_search",
         "embed_docs",
         "link_degrees",
+        "order_priority_revenue",
+        "daily_active_users",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -448,6 +448,7 @@ class TestOracleParity:
             "global_shuffle",
             "quality_score",
             "order_priority_revenue",
+            "daily_active_users",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -1172,3 +1173,32 @@ class TestHashJoin:
         assert got["1-URGENT"]["revenue_centi"] == n_hot * 100_000
         assert got["5-LOW"]["n_orders"] == n_cold
         assert got["5-LOW"]["revenue_centi"] == n_cold * 100_000
+
+
+class TestDailyActiveUsers:
+    def test_planted_distincts(self, tmp_path, ray_session):
+        """A user appearing 5× in one day counts once that day; the same
+        user on another day counts again there."""
+        import datetime as dt
+
+        from wbot_ray.pipelines.relational import daily_active_users
+
+        d0 = dt.datetime(2025, 3, 1, 10, 0)
+        d1 = dt.datetime(2025, 3, 2, 10, 0)
+        ts = [d0] * 5 + [d0.replace(hour=23)] + [d1] * 2
+        users = [7, 7, 7, 7, 7, 8, 7, 9]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(ts)), pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array(users, pa.int64()),
+                }
+            ),
+            os.path.join(tmp_path, "events.parquet"),
+        )
+        got = {r["day_key"]: r for r in daily_active_users(str(tmp_path)).take_all()}
+        assert got["2025-03-01"]["n_active"] == 2  # users 7, 8
+        assert got["2025-03-01"]["n_events"] == 6
+        assert got["2025-03-02"]["n_active"] == 2  # users 7, 9
+        assert got["2025-03-02"]["n_events"] == 2

@@ -25,6 +25,7 @@ __all__ = [
     "cust_order_stats",
     "events_hourly",
     "events_sliding",
+    "daily_active_users",
     "topk_users",
     "group_topn",
     "price_quantiles",
@@ -222,6 +223,58 @@ def events_hourly(sf_dir: str):
         .map_batches(prep, batch_format="pyarrow")
         .groupby(["hour_key", "event_type"])
         .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+def daily_active_users(sf_dir: str):
+    """Exact ``COUNT(DISTINCT user_id)`` per day — the two-level
+    distinct aggregate. Per-batch, (day, user) pairs collapse to one
+    partial row each (map-side combine); ONE keyed groupby on the pair
+    key finishes the global dedup; per-batch partials then feed the
+    tiny |days|-key rollup. The wide exchange carries distinct pairs
+    only — bounded by |users| × |days|, not |events| — and no stage
+    ever holds a driver-side set (the anti-pattern this replaces)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        days = pc.strftime(
+            pc.floor_temporal(batch.column("ts"), unit="day"), format="%Y-%m-%d"
+        )
+        t = pa.table(
+            {
+                "day_key": days,
+                "user_id": batch.column("user_id"),
+                "_n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["day_key", "user_id"]).aggregate([("_n", "sum")])
+        return g.rename_columns(["day_key", "user_id", "_n"])
+
+    pairs = (
+        read_table(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["day_key", "user_id"])
+        .aggregate(Sum("_n", alias_name="pair_events"))
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("day_key").aggregate(
+            [("user_id", "count"), ("pair_events", "sum")]
+        )
+        return pa.table(
+            {
+                "day_key": g.column("day_key"),
+                "users": g.column("user_id_count"),
+                "events": g.column("pair_events_sum"),
+            }
+        )
+
+    return (
+        pairs.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day_key")
+        .aggregate(
+            Sum("users", alias_name="n_active"),
+            Sum("events", alias_name="n_events"),
+        )
     )
 
 
