@@ -191,3 +191,30 @@ class TestRegistrableDomain:
         # correctly-extracted bbc.co.uk is rejected (wbot.go:149-152)
         with pytest.raises(URLError):
             registrable_domain("www.bbc.co.uk")
+
+
+class TestDisplayUrl:
+    """M6 — 64-byte display truncation (``ParsedURL.String``,
+    ``/root/reference/pkg/api/wbot.go:124-130``)."""
+
+    def test_short_and_exact_unchanged(self):
+        from wbot_ray.urlnorm import display_url
+
+        assert display_url("https://a.com/x") == "https://a.com/x"
+        exact = "https://example.com/" + "a" * 44  # 64 chars
+        assert len(exact) == 64 and display_url(exact) == exact
+
+    def test_long_truncates_to_64_bytes(self):
+        from wbot_ray.urlnorm import display_url
+
+        long = "https://example.com/" + "b" * 100
+        got = display_url(long)
+        assert got == long[:64] and len(got.encode()) == 64
+
+    def test_multibyte_split_dropped(self):
+        from wbot_ray.urlnorm import display_url
+
+        # 63 ASCII bytes then a 2-byte codepoint straddling the cut:
+        # Go would emit an invalid byte; we drop the split codepoint
+        link = "x" * 63 + "é" + "tail"
+        assert display_url(link) == "x" * 63

@@ -44,7 +44,21 @@ __all__ = [
     "resolve_url",
     "go_url_string",
     "tld_allowlist",
+    "display_url",
 ]
+
+
+def display_url(link: str) -> str:
+    """Log-display form of a URL: truncated to 64 BYTES (M6 — the
+    reference's ``ParsedURL.String``, ``pkg/api/wbot.go:124-130``,
+    slices the Go string, i.e. bytes). Canonical URLs here are
+    %-escaped ASCII (``go_url_string``), so byte and character
+    truncation coincide; non-ASCII input still truncates on the byte
+    boundary like Go, dropping any split codepoint."""
+    b = link.encode("utf-8")
+    if len(b) <= 64:
+        return link
+    return b[:64].decode("utf-8", "ignore")
 
 
 class URLError(ValueError):
