@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "daily_active_users": relational.daily_active_users,
+        "approx_distinct_users": relational.approx_distinct_users,
         "sessionize": relational.sessionize,
         "asof_prior_event": relational.asof_prior_event,
         "topk_users": relational.topk_users,
@@ -849,6 +850,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1
+        """,
+        "approx_distinct_users": """
+            -- HyperLogLog registers recomputed from scratch: same md5
+            -- hash, same idx/rho split, exact integer bit length via
+            -- bin() (float log2 would mis-round near powers of two)
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            h AS (SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS h FROM u),
+            r AS (
+              SELECT CAST(h & 255 AS BIGINT) AS register_idx,
+                     CAST(CASE WHEN (h >> 8) = 0 THEN 57
+                          ELSE 57 - length(bin(h >> 8)) END AS BIGINT) AS rho
+              FROM h
+            )
+            SELECT register_idx, CAST(MAX(rho) AS BIGINT) AS max_rho
+            FROM r GROUP BY register_idx
         """,
         "sessionize": f"""
             WITH e AS (

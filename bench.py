@@ -191,6 +191,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "link_degrees",
         "order_priority_revenue",
         "daily_active_users",
+        "approx_distinct_users",
     ]
     out: dict[str, float] = {}
     for name in names:

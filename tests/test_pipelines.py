@@ -449,6 +449,7 @@ class TestOracleParity:
             "quality_score",
             "order_priority_revenue",
             "daily_active_users",
+            "approx_distinct_users",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -1202,3 +1203,41 @@ class TestDailyActiveUsers:
         assert got["2025-03-01"]["n_events"] == 6
         assert got["2025-03-02"]["n_active"] == 2  # users 7, 9
         assert got["2025-03-02"]["n_events"] == 2
+
+
+class TestHyperLogLog:
+    def test_estimate_accuracy_planted(self, tmp_path, ray_session):
+        """20k planted distinct users (each appearing twice): the raw
+        HLL regime for m=256 has ~6.5% standard error — assert < 20%."""
+        from wbot_ray.pipelines.relational import hll_estimate
+
+        n = 20_000
+        uid = np.concatenate([np.arange(n), np.arange(n)])
+        pq.write_table(
+            pa.table({"user_id": pa.array(uid, pa.int64())}),
+            os.path.join(tmp_path, "events.parquet"),
+        )
+        est = hll_estimate(str(tmp_path))
+        assert abs(est - n) / n < 0.20, f"estimate {est} vs exact {n}"
+
+    def test_registers_merge_invariant(self, tmp_path, ray_session):
+        """Registers are duplication-invariant: the sketch of the data
+        repeated 3× equals the sketch of the data once (mergeability —
+        what makes the partial/max shape correct at any partitioning)."""
+        from wbot_ray.pipelines.relational import approx_distinct_users
+
+        uid = np.arange(500, dtype=np.int64)
+        one = tmp_path / "one"
+        three = tmp_path / "three"
+        one.mkdir(), three.mkdir()
+        pq.write_table(
+            pa.table({"user_id": pa.array(uid, pa.int64())}),
+            os.path.join(one, "events.parquet"),
+        )
+        pq.write_table(
+            pa.table({"user_id": pa.array(np.tile(uid, 3), pa.int64())}),
+            os.path.join(three, "events.parquet"),
+        )
+        r1 = {r["register_idx"]: r["max_rho"] for r in approx_distinct_users(str(one)).take_all()}
+        r3 = {r["register_idx"]: r["max_rho"] for r in approx_distinct_users(str(three)).take_all()}
+        assert r1 == r3

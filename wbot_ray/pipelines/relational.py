@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from wbot_ray.pipelines.common import cents, read_table
 
@@ -26,6 +26,8 @@ __all__ = [
     "events_hourly",
     "events_sliding",
     "daily_active_users",
+    "approx_distinct_users",
+    "hll_estimate",
     "topk_users",
     "group_topn",
     "price_quantiles",
@@ -276,6 +278,81 @@ def daily_active_users(sf_dir: str):
             Sum("events", alias_name="n_events"),
         )
     )
+
+
+HLL_M = 256  # registers; index = low 8 bits of the 64-bit md5 hash
+
+
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized integer bit length of uint64 values (binary-
+    search shifts — float log2 would mis-round near powers of two and
+    break oracle exactness)."""
+    w = w.copy()
+    bl = np.zeros(len(w), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = w >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        w[m] >>= np.uint64(s)
+    return bl + (w > 0)
+
+
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog registers over ``user_id`` — the SKETCH path next to
+    ``daily_active_users``' exact two-level distinct. The exact pair
+    exchange carries |distinct| rows; this carries ≤ ``HLL_M`` rows per
+    batch at ANY cardinality, and registers merge by max (the classic
+    mergeable sketch — same partial/merge shape as the metrics
+    sidecars).
+
+    Output = the registers themselves: ``(register_idx, max_rho)``,
+    empty registers absent. Hash = ``md5_lower64(str(user_id))`` with
+    ``idx = h & (m-1)``, ``rho = 57 − bitlen(h >> 8)`` — all integer
+    and md5-derived, so the DuckDB oracle recomputes every register
+    value-exactly. The float estimator (with small-range linear
+    counting) is ``hll_estimate``, pytest-pinned for accuracy."""
+    from wbot_ray.pipelines.common import md5_lower64
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = np.unique(batch.column("user_id").to_numpy(zero_copy_only=False))
+        h = np.fromiter(
+            (md5_lower64(str(int(u))) for u in uid), dtype=np.uint64, count=len(uid)
+        )
+        idx = (h & np.uint64(HLL_M - 1)).astype(np.int64)
+        rho = 57 - _bitlen_u64(h >> np.uint64(8))
+        regs = np.zeros(HLL_M, np.int64)
+        np.maximum.at(regs, idx, rho)
+        nz = np.nonzero(regs)[0]
+        return pa.table(
+            {
+                "register_idx": pa.array(nz, pa.int64()),
+                "rho": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "events", ["user_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("register_idx")
+        .aggregate(Max("rho", alias_name="max_rho"))
+    )
+
+
+def hll_estimate(sf_dir: str) -> int:
+    """Cardinality estimate from the ``approx_distinct_users`` registers
+    (Flajolet et al. 2007): raw harmonic-mean estimate in exact bigint
+    math, linear counting when the sketch is in the small-range regime."""
+    import math
+
+    regs = {r["register_idx"]: r["max_rho"] for r in approx_distinct_users(sf_dir).take_all()}
+    m = HLL_M
+    # S = sum over ALL m registers of 2^(64 - rho); empty register rho=0
+    s = sum(1 << (64 - regs.get(i, 0)) for i in range(m))
+    # alpha_m = 0.7213 / (1 + 1.079/m) as an exact rational
+    raw = (7213 * m * m * m * (1 << 64)) // ((10000 * m + 10790) * s)
+    zeros = m - len(regs)
+    if raw <= 5 * m // 2 and zeros:
+        return round(m * math.log(m / zeros))
+    return int(raw)
 
 
 def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 15):
