@@ -110,7 +110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
         ).embed_docs(sf),
-        # -- similarity search
+        # -- similarity search / clustering
+        "kmeans_clusters": lambda sf: __import__(
+            "wbot_ray.pipelines.clustering", fromlist=["kmeans_clusters"]
+        ).kmeans_clusters(sf),
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,
         "term_search": search.term_search,
@@ -648,6 +651,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_embed": _embed_oracle_sql(),
         "knn_ivf": _ivf_oracle_sql(),
+        "kmeans_clusters": __import__(
+            "wbot_ray.pipelines.clustering", fromlist=["kmeans_oracle_sql"]
+        ).kmeans_oracle_sql(),
         "dup_clusters": _clusters_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "price_band_join": _price_band_oracle_sql(),

@@ -192,6 +192,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "order_priority_revenue",
         "daily_active_users",
         "approx_distinct_users",
+        "kmeans_clusters",
     ]
     out: dict[str, float] = {}
     for name in names:

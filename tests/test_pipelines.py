@@ -450,6 +450,7 @@ class TestOracleParity:
             "order_priority_revenue",
             "daily_active_users",
             "approx_distinct_users",
+            "kmeans_clusters",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -1241,3 +1242,44 @@ class TestHyperLogLog:
         r1 = {r["register_idx"]: r["max_rho"] for r in approx_distinct_users(str(one)).take_all()}
         r3 = {r["register_idx"]: r["max_rho"] for r in approx_distinct_users(str(three)).take_all()}
         assert r1 == r3
+
+
+class TestKmeans:
+    def test_recovers_planted_clusters(self, tmp_path, ray_session):
+        """3 well-separated Gaussian blobs → after 2 Lloyd rounds every
+        blob lands in one k-means cluster (purity 1.0 for separation ≫
+        within-blob spread), regardless of which seed ids were drawn."""
+        from wbot_ray.pipelines.clustering import kmeans_clusters
+
+        rng = np.random.RandomState(3)
+        blobs, truth = [], []
+        for b, center in enumerate((-5.0, 0.0, 5.0)):
+            v = center + rng.standard_normal((50, 64)) * 0.05
+            blobs.append(v)
+            truth += [b] * 50
+        vecs = np.vstack(blobs)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                    "embedding": pa.array(
+                        [r.tolist() for r in vecs], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            os.path.join(tmp_path, "embeddings.parquet"),
+        )
+        rows = kmeans_clusters(str(tmp_path), k=3, iters=2).take_all()
+        got = {r["vec_id"]: r["cluster_id"] for r in rows}
+        for b in range(3):
+            members = {got[i] for i in range(b * 50, (b + 1) * 50)}
+            assert len(members) == 1, f"blob {b} split across {members}"
+        assert len({got[b * 50] for b in range(3)}) == 3  # blobs not merged
+        assert all(r["dist_q"] >= 0 for r in rows)
+
+    def test_deterministic_across_runs(self, ray_session):
+        from wbot_ray.pipelines.clustering import kmeans_clusters
+
+        a = sorted(map(tuple, kmeans_clusters(SF0001).to_pandas().itertuples(index=False)))
+        b = sorted(map(tuple, kmeans_clusters(SF0001).to_pandas().itertuples(index=False)))
+        assert a == b
