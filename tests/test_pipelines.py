@@ -1283,3 +1283,46 @@ class TestKmeans:
         a = sorted(map(tuple, kmeans_clusters(SF0001).to_pandas().itertuples(index=False)))
         b = sorted(map(tuple, kmeans_clusters(SF0001).to_pandas().itertuples(index=False)))
         assert a == b
+
+
+class TestHashJoinVariants:
+    def _pair(self, ray_session):
+        import ray.data
+
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 2, 3], pa.int64()),
+                    "lv": pa.array(["a", "b", "c"], pa.string()),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([2, 2, 4], pa.int64()),
+                    "rv": pa.array([20, 21, 40], pa.int64()),
+                }
+            )
+        )
+        return left, right
+
+    def test_semi_and_anti(self, ray_session):
+        from wbot_ray.pipelines.join import hash_join
+
+        left, right = self._pair(ray_session)
+        semi = hash_join(left, right, key="k", num_buckets=4, join_type="left semi").to_pandas()
+        assert sorted(map(tuple, semi.itertuples(index=False))) == [(2, "b")]
+        anti = hash_join(left, right, key="k", num_buckets=4, join_type="left anti").to_pandas()
+        assert sorted(map(tuple, anti.itertuples(index=False))) == [(1, "a"), (3, "c")]
+
+    def test_left_outer(self, ray_session):
+        from wbot_ray.pipelines.join import hash_join
+
+        left, right = self._pair(ray_session)
+        out = hash_join(left, right, key="k", num_buckets=4, join_type="left outer").to_pandas()
+        rows = sorted(
+            (int(k), lv, None if rv != rv else int(rv))  # NaN-safe
+            for k, lv, rv in out.itertuples(index=False)
+        )
+        assert rows == [(1, "a", None), (2, "b", 20), (2, "b", 21), (3, "c", None)]

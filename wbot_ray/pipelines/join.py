@@ -125,6 +125,9 @@ def hash_join(
 
         return fn
 
+    # semi/anti joins emit only the left side's columns
+    out_names = [key] + lnames + ([] if join_type.endswith(("semi", "anti")) else rnames)
+
     def join_bucket(g: pa.Table) -> pa.Table:
         is_l = g.column("side_l")
         lt = g.filter(is_l).select([key] + lnames).combine_chunks()
@@ -134,7 +137,7 @@ def hash_join(
         if right_prepare is not None:
             rt = right_prepare(rt)
         j = lt.join(rt, keys=key, join_type=join_type)
-        return j.select([key] + lnames + rnames)
+        return j.select(out_names)
 
     return (
         left.map_batches(tag(True), batch_format="pyarrow")
