@@ -1326,3 +1326,48 @@ class TestHashJoinVariants:
             for k, lv, rv in out.itertuples(index=False)
         )
         assert rows == [(1, "a", None), (2, "b", 20), (2, "b", 21), (3, "c", None)]
+
+
+class TestHashJoinHotKeys:
+    def test_salted_hot_key_matches_unsalted(self, ray_session):
+        """Result with hot_keys must be row-identical to the plain join,
+        and the hot key's rows must actually spread across >1 bucket."""
+        import ray.data
+
+        from wbot_ray.pipelines.join import hash_join
+
+        rng = np.random.RandomState(5)
+        lk = np.concatenate([np.full(500, 7, np.int64), rng.randint(100, 150, 100)])
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(lk, pa.int64()),
+                    "lv": pa.array(np.arange(len(lk)), pa.int64()),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([7] + list(range(100, 150)), pa.int64()),
+                    "rv": pa.array(range(51), pa.int64()),
+                }
+            )
+        )
+
+        def rows(ds):
+            return sorted(map(tuple, ds.to_pandas()[["k", "lv", "rv"]].itertuples(index=False)))
+
+        plain = rows(hash_join(left, right, key="k", num_buckets=8))
+        salted = rows(hash_join(left, right, key="k", num_buckets=8, hot_keys={7: 4}))
+        assert salted == plain and len(plain) == 600
+
+    def test_hot_keys_rejected_for_right_outer(self, ray_session):
+        import ray.data
+
+        from wbot_ray.pipelines.join import hash_join
+
+        t = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())}))
+        u = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "w": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError, match="hot_keys"):
+            hash_join(t, u, key="k", join_type="right outer", hot_keys={1: 2})

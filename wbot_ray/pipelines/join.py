@@ -23,11 +23,16 @@ join queries shrink the exchange: ship per-batch partials, finish them
 per bucket where the key is complete, then join — the join output never
 exceeds the post-aggregation cardinality.
 
-Skew note: one pathological key cannot be salted here without
-replicating the other side's matching rows across salts; for the
-aggregate-after-join pattern the map-side combiner already collapses a
-hot key to ~one row per batch, which is the cheaper fix. A planted-skew
-test pins this behavior (``tests/test_pipelines.py``).
+Skew: for the aggregate-after-join pattern the map-side combiner
+already collapses a hot key to ~one row per batch (the cheaper fix —
+see ``order_priority_revenue``). For a pure row-level join with a
+pathological key, pass ``hot_keys={key_value: salt_count}``: the LEFT
+side's hot rows spread across ``salt_count`` dedicated buckets and the
+RIGHT side's matching rows replicate into each of them — bucket-local
+joins still compose exactly, and no single reducer owns the whole hot
+key. (Replication duplicates unmatched right rows, so hot_keys is
+limited to inner / left-side join types.) Planted tests pin both paths
+(``tests/test_pipelines.py``).
 
 The reference has no joins at all (SURVEY §2.5) — this operator exists
 for the training-data side of the engine, same role as the fetch-join
@@ -81,6 +86,7 @@ def hash_join(
     join_type: str = "inner",
     left_prepare: Callable[[pa.Table], pa.Table] | None = None,
     right_prepare: Callable[[pa.Table], pa.Table] | None = None,
+    hot_keys: dict | None = None,
 ) -> "ray.data.Dataset":
     """Partitioned hash join of two Datasets on ``key`` (same name and
     type both sides; non-key column names must not collide).
@@ -93,6 +99,16 @@ def hash_join(
     Output columns: ``key``, then left non-key columns, then right
     non-key columns (inner/left-outer/right-outer per ``join_type``,
     Acero semantics)."""
+    if hot_keys and join_type not in ("inner", "left outer", "left semi", "left anti"):
+        raise ValueError(
+            "hot_keys replicates right-side rows per salt — only inner/"
+            f"left-side join types are exact under it, not {join_type!r}"
+        )
+    hot_base = {}  # key value -> (first dedicated bucket, salt count)
+    base = num_buckets
+    for kv, kcnt in (hot_keys or {}).items():
+        hot_base[kv] = (base, max(2, int(kcnt)))
+        base += hot_base[kv][1]
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     lcols = [f for f in lschema if f.name != key]
@@ -113,9 +129,45 @@ def hash_join(
         own = lnames if is_left else rnames
 
         def fn(t: pa.Table) -> pa.Table:
+            if hot_base and not is_left:
+                # replicate the right side's hot-key rows into every salt
+                # bucket of their key; non-hot rows pass through once
+                kvals = t.column(key).to_pylist()
+                hot_rows = [i for i, v in enumerate(kvals) if v in hot_base]
+                if hot_rows:
+                    keep = np.ones(len(kvals), dtype=bool)
+                    keep[hot_rows] = False
+                    cold = t.filter(pa.array(keep))
+                    rep_tables, jbs = [], []
+                    for i in hot_rows:
+                        b0, kcnt = hot_base[kvals[i]]
+                        rep_tables.extend([t.slice(i, 1)] * kcnt)
+                        jbs.extend(range(b0, b0 + kcnt))
+                    hot_tagged = _finish(
+                        pa.concat_tables(rep_tables), pa.array(jbs, pa.int64())
+                    )
+                    return pa.concat_tables([_finish(cold, None), hot_tagged])
+            return _finish(t, None)
+
+        def _finish(t: pa.Table, jb_override) -> pa.Table:
             n = t.num_rows
+            if jb_override is not None:
+                jb = jb_override
+            else:
+                jb = _bucket_of(t.column(key), num_buckets)
+                if hot_base and is_left:
+                    kvals = t.column(key).to_pylist()
+                    jb_np = np.array(jb, dtype=np.int64)
+                    salt = 0
+                    for i, v in enumerate(kvals):
+                        hb = hot_base.get(v)
+                        if hb is not None:
+                            b0, kcnt = hb
+                            jb_np[i] = b0 + salt % kcnt  # cycle hot rows
+                            salt += 1
+                    jb = pa.array(jb_np, pa.int64())
             cols: dict[str, pa.Array | pa.ChunkedArray] = {
-                "jb": _bucket_of(t.column(key), num_buckets),
+                "jb": jb,
                 key: t.column(key),
                 "side_l": pa.array(np.full(n, is_left), pa.bool_()),
             }
