@@ -116,6 +116,16 @@ class CrawlConfig:
 
     # -- user-extension surface (reference option.go:14-63 + OnReponse,
     #    crawler.go:148-165, re-expressed Ray-Data-first) -------------
+    # priority_fn: frontier-scheduling priority — the north rule's
+    # "priority queue" seam made explicit. Given a candidate-frontier
+    # Arrow table (FRONTIER_SCHEMA columns incl. ord64), returns an
+    # orderable array: LOWER fires first within the round (ties broken
+    # by ord64, the BFS rank). Depth ordering always dominates — rounds
+    # stay strictly by depth ("depth-prioritized frontier"), and the
+    # visited SET is unaffected (dedup precedes ordering); only the
+    # within-round fetch order / crawl_ord change. None = pure BFS
+    # (the reference's FIFO order, crawler.go:195-291).
+    priority_fn: object | None = None
     # on_response: batch UDF applied to each fetch group's RESULT table
     # (the Response stream equivalent) before it is written — must return
     # a table with at least the RESULT_SCHEMA columns. Runs inside the

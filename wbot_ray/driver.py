@@ -287,8 +287,19 @@ class Crawler:
         ]
         survivors = ray.get(shard_refs)
         if not survivors:
-            return cand.drop_columns(["seen_shard"]).sort_by("ord64")
-        return pa.concat_tables(survivors).combine_chunks().sort_by("ord64")
+            return self._order_table(cand.drop_columns(["seen_shard"]))
+        return self._order_table(pa.concat_tables(survivors).combine_chunks())
+
+    def _order_table(self, tbl: pa.Table) -> pa.Table:
+        """Next-frontier scheduling order: BFS rank (``ord64``), or the
+        pluggable ``cfg.priority_fn`` with ord64 as tie-break (the
+        priority-queue seam — see ``CrawlConfig``)."""
+        if self.cfg.priority_fn is None:
+            return tbl.sort_by("ord64")
+        tbl = tbl.append_column("_prio", self.cfg.priority_fn(tbl))
+        return tbl.sort_by(
+            [("_prio", "ascending"), ("ord64", "ascending")]
+        ).drop_columns(["_prio"])
 
     def _round_metrics(self, metrics_parts_dir: str, n_frontier: int) -> tuple[dict[str, int], float]:
         """Sum the per-group metric sidecars the fused fetch stage wrote
@@ -508,7 +519,7 @@ class Crawler:
                             b for b in ray.get(deduped.to_arrow_refs()) if b.num_rows > 0
                         ]
                         tbl = pa.concat_tables(blocks).combine_chunks()
-                        tbl = tbl.sort_by("ord64")
+                        tbl = self._order_table(tbl)
                         tbl = tbl.append_column(
                             "crawl_ord",
                             pa.array(
@@ -518,9 +529,15 @@ class Crawler:
                         )
                         frontier.write_table(d + 1, tbl.select(cols))
                     else:
-                        ordered, _ = assign_crawl_ord(
-                            deduped.sort("ord64"), ord_base + n_d
-                        )
+                        if cfg.priority_fn is None:
+                            sorted_ds = deduped.sort("ord64")
+                        else:
+                            pf = cfg.priority_fn
+                            sorted_ds = deduped.map_batches(
+                                lambda t: t.append_column("_prio", pf(t)),
+                                batch_format="pyarrow",
+                            ).sort(["_prio", "ord64"])
+                        ordered, _ = assign_crawl_ord(sorted_ds, ord_base + n_d)
                         ordered.map_batches(
                             lambda t: t.select(cols), batch_format="pyarrow"
                         ).write_parquet(frontier.prepare_round_dir(d + 1))
