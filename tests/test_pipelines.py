@@ -1371,3 +1371,102 @@ class TestHashJoinHotKeys:
         u = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "w": pa.array([1], pa.int64())}))
         with pytest.raises(ValueError, match="hot_keys"):
             hash_join(t, u, key="k", join_type="right outer", hot_keys={1: 2})
+
+
+class TestHashJoinRandomized:
+    """Randomized cross-engine property: hash_join == DuckDB JOIN on
+    arbitrary key distributions (dup keys, one-sided keys, hot keys)."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_duckdb_inner(self, seed, ray_session):
+        import duckdb
+        import ray.data
+
+        from wbot_ray.pipelines.join import hash_join
+
+        rng = np.random.RandomState(seed)
+        nl, nr = rng.randint(50, 400), rng.randint(50, 400)
+        lt = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 60, nl), pa.int64()),
+                "lv": pa.array(rng.randint(0, 10_000, nl), pa.int64()),
+            }
+        )
+        rt = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 60, nr), pa.int64()),
+                "rv": pa.array(rng.randint(0, 10_000, nr), pa.int64()),
+            }
+        )
+        hot = {int(lt.column("k")[0].as_py()): 3} if seed % 2 else None
+        got = hash_join(
+            ray.data.from_arrow(lt),
+            ray.data.from_arrow(rt),
+            key="k",
+            num_buckets=7,
+            hot_keys=hot,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("lt", lt.to_pandas())
+        con.register("rt", rt.to_pandas())
+        want = con.execute(
+            "SELECT lt.k, lv, rv FROM lt JOIN rt ON lt.k = rt.k"
+        ).df()
+        assert sorted(map(tuple, got[["k", "lv", "rv"]].itertuples(index=False))) == sorted(
+            map(tuple, want.itertuples(index=False))
+        )
+
+
+class TestKmeansRandomized:
+    """The distributed k-means vs an independent single-process NumPy
+    reference of the same quantized algorithm (written here, not shared
+    with the engine) — guards the partitioned partial/fold path."""
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_reference_lloyd(self, seed, tmp_path, ray_session):
+        from wbot_ray.pipelines.clustering import KM_QUANT, kmeans_clusters
+        from wbot_ray.pipelines.common import md5_lower64
+
+        rng = np.random.RandomState(seed)
+        n, k, iters = 120, 5, 2
+        vecs = rng.standard_normal((n, 64)).astype(np.float32)
+        d = tmp_path / f"km{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                }
+            ),
+            os.path.join(d, "embeddings.parquet"),
+        )
+
+        # independent reference: same spec, plain loops
+        q = np.floor(vecs.astype(np.float64) * float(KM_QUANT)).astype(np.int64)
+        keys = sorted((md5_lower64(f"kmc:{i}"), i) for i in range(n))
+        cents = q[[i for _, i in keys[:k]]].copy()
+
+        def assign(qm, cm):
+            out = []
+            for row in qm:
+                dists = [int(((row - c) ** 2).sum()) for c in cm]
+                best = min(range(len(cm)), key=lambda j: (dists[j], j))
+                out.append((best, dists[best]))
+            return out
+
+        for _ in range(iters):
+            a = assign(q, cents)
+            nxt = cents.copy()
+            for cl in range(k):
+                members = [i for i, (c, _) in enumerate(a) if c == cl]
+                if members:
+                    nxt[cl] = q[members].sum(axis=0) // len(members)
+            cents = nxt
+        want = {i: a_d for i, a_d in enumerate(assign(q, cents))}
+
+        got = {
+            r["vec_id"]: (r["cluster_id"], r["dist_q"])
+            for r in kmeans_clusters(str(d), k=k, iters=iters).take_all()
+        }
+        assert got == want
