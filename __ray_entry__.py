@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": training.pack_sequences,
         "stratified_sample": training.stratified_sample,
         "global_shuffle": training.global_shuffle,
+        "prepare_corpus": training.prepare_corpus,
         # -- graph analytics over the crawl link graph
         "link_pagerank": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_pagerank"]
@@ -674,6 +675,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         "dedup_keep": _dedup_keep_oracle_sql(),
+        "prepare_corpus": f"""
+            -- the composed pipeline: dedup_keep survivors ∧ quality pass
+            WITH keepq AS (SELECT * FROM ({_dedup_keep_oracle_sql()})),
+            qual AS (SELECT * FROM ({_quality_oracle_sql()}))
+            SELECT k.doc_id, k.lang, k.n_chars, q.n_words
+            FROM keepq k JOIN qual q ON q.doc_id = k.doc_id
+            WHERE q.passes
+        """,
         "dedup_segments": _segments_oracle_sql(),
         "freq_quality": _freq_quality_oracle_sql(),
         "term_search": _term_search_oracle_sql(),

@@ -193,6 +193,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "daily_active_users",
         "approx_distinct_users",
         "kmeans_clusters",
+        "prepare_corpus",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -451,6 +451,7 @@ class TestOracleParity:
             "daily_active_users",
             "approx_distinct_users",
             "kmeans_clusters",
+            "prepare_corpus",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -1470,3 +1471,38 @@ class TestKmeansRandomized:
             for r in kmeans_clusters(str(d), k=k, iters=iters).take_all()
         }
         assert got == want
+
+
+class TestPrepareCorpus:
+    def test_planted_composition(self, tmp_path, ray_session):
+        """Composition semantics: a near-dup's non-canonical member
+        drops even if it passes quality; a quality-failing doc drops
+        even if it is its cluster's canonical member."""
+        from wbot_ray.pipelines.training import prepare_corpus
+
+        def good(i, seed):
+            rng = np.random.RandomState(seed)
+            # 60 words, 4-char body words (mwl_x100 ≈ 395, inside the
+            # 380–460 band), stopwords present → passes the Gopher gate
+            return "the of " + " ".join(f"w{rng.randint(100, 999)}" for _ in range(58))
+
+        texts = {i: good(i, i) for i in range(8)}
+        texts[100] = texts[1]          # exact near-dup of 1 → drops (non-canonical)
+        texts[6] = "the of " + " ".join(["#!"] * 58)  # symbol soup → fails quality
+        ids = sorted(texts)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([texts[i] for i in ids], pa.string()),
+                    "lang": pa.array(["en"] * len(ids), pa.string()),
+                    "source": pa.array(["s"] * len(ids), pa.string()),
+                    "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        kept = {r["doc_id"] for r in prepare_corpus(str(tmp_path)).take_all()}
+        assert 100 not in kept  # deduped away
+        assert 6 not in kept  # quality-failed
+        assert 1 in kept and 0 in kept and 7 in kept

@@ -18,7 +18,37 @@ from ray.data.aggregate import Sum
 
 from wbot_ray.pipelines.common import md5_lower64, read_table
 
-__all__ = ["sample_hash", "pack_sequences", "stratified_sample", "global_shuffle"]
+__all__ = [
+    "sample_hash",
+    "pack_sequences",
+    "stratified_sample",
+    "global_shuffle",
+    "prepare_corpus",
+]
+
+
+def prepare_corpus(sf_dir: str, threshold: float = 0.7):
+    """The composed end-to-end corpus-preparation pipeline — what a user
+    actually runs before training: near-dedup APPLY ∧ Gopher quality
+    gate, as ONE streaming DAG. Every stage is the same operator users
+    call individually (``dedup.dedup_keep``, ``textops.quality_score``,
+    ``join.hash_join``); nothing materializes between them — the
+    composition is pure Dataset-lazy, so the streaming executor
+    pipelines the dedup exchanges with the quality scan.
+
+    Output: one row per surviving document —
+    ``(doc_id, lang, n_chars, n_words)``."""
+    from wbot_ray.pipelines.dedup import dedup_keep
+    from wbot_ray.pipelines.join import hash_join
+    from wbot_ray.pipelines.textops import quality_score
+
+    keep = dedup_keep(sf_dir, threshold)  # (doc_id, lang, n_chars)
+
+    def pass_only(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("passes")).select(["doc_id", "n_words"])
+
+    passing = quality_score(sf_dir).map_batches(pass_only, batch_format="pyarrow")
+    return hash_join(keep, passing, key="doc_id", num_buckets=32)
 
 # p = num/2^64: the keep predicate is an integer compare, no float rate
 SAMPLE_SALT = "sample:"
