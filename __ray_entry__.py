@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_visited": crawlq.crawl_visited,
         "crawl_results": crawlq.crawl_results,
         "crawl_metrics": crawlq.crawl_metrics,
+        "crawl_text_stats": crawlq.crawl_text_stats,
         # -- text analysis
         "text_stats": lambda sf: textops.text_stats(sf),
         "lang_dist": textops.lang_dist,

@@ -194,6 +194,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "approx_distinct_users",
         "kmeans_clusters",
         "prepare_corpus",
+        "crawl_text_stats",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -28,7 +28,9 @@ def oracle_sqls(ray_session):
     return oracle_entries("tiny")
 
 
-@pytest.mark.parametrize("name", ["crawl_visited", "crawl_results", "crawl_metrics"])
+@pytest.mark.parametrize(
+    "name", ["crawl_visited", "crawl_results", "crawl_metrics", "crawl_text_stats"]
+)
 def test_crawl_query_matches_duckdb_bfs(name, oracle_sqls, ray_session):
     from wbot_ray.pipelines import crawlq
 

@@ -32,6 +32,7 @@ __all__ = [
     "crawl_visited",
     "crawl_results",
     "crawl_metrics",
+    "crawl_text_stats",
     "oracle_entries",
 ]
 
@@ -118,13 +119,65 @@ def crawl_metrics(sf_dir: str):
     return pa.table(cols)
 
 
+def crawl_text_stats(sf_dir: str):
+    """Cross-domain composition: per-document text statistics (the SAME
+    vectorized kernel ``textops.text_stats`` uses) over the corpus THE
+    CRAWL ITSELF fetched, streamed straight off the results parquet —
+    the crawl core and the training-data ops share one data plane, no
+    export step in between. One row per successful fetch, keyed by url
+    (a seed revisited via the reference's seed-revisit quirk appears
+    twice, exactly as it is fetched twice)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wbot_ray.pipelines.textops import _stats_batch
+
+    run = crawl_run_for(sf_dir)
+    ds = run.results_dataset(columns=["url", "status", "text", "lang"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(pc.equal(batch.column("status"), 200))
+        s = _stats_batch(
+            pa.table(
+                {
+                    "doc_id": ok.column("url"),
+                    "text": ok.column("text"),
+                    "lang": ok.column("lang"),
+                }
+            )
+        )
+        return s.drop_columns(["lang"]).rename_columns(
+            ["url", "n_chars", "n_tokens", "n_uniq", "n_bpe", "stop_cnt", "stopword_ratio"]
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def oracle_entries(scale: str = "small") -> dict[str, str]:
-    """DuckDB oracle SQL for the three crawl queries at ``scale`` (the
-    driver compares at sf0.01 → "small"). Ensures the fixture corpus and
-    the link-graph side tables exist first; both are deterministic pure
+    """DuckDB oracle SQL for the crawl queries at ``scale`` (the driver
+    compares at sf0.01 → "small"). Ensures the fixture corpus and the
+    link-graph side tables exist first; both are deterministic pure
     functions of the scale, so this is idempotent and cached."""
+    from wbot_ray.pipelines.common import STOPWORDS
+    from wbot_ray.pipelines.textops import TOKEN_PATTERN
+
     pages = _pages_path(scale)
     cfg = _query_cfg()
     oracle_dir = os.path.join(_CACHE_ROOT, scale, "oracle")
     pages_oracle, links = write_crawl_oracle_tables(pages, oracle_dir, cfg)
-    return crawl_oracle_sqls(seeds_for_scale(scale), cfg, pages_oracle, links)
+    sqls = crawl_oracle_sqls(seeds_for_scale(scale), cfg, pages_oracle, links)
+    stop_sql = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+    # stats over the independently-derived BFS fetch set: the results
+    # oracle as a subquery, the text_stats expressions on top
+    sqls["crawl_text_stats"] = f"""
+        SELECT url,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+               CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_bpe,
+               CAST(len(list_filter(string_split(text, ' '), w -> w IN {stop_sql})) AS BIGINT) AS stop_cnt,
+               CAST(len(list_filter(string_split(text, ' '), w -> w IN {stop_sql})) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+        FROM ({sqls['crawl_results']})
+    """
+    return sqls
