@@ -1506,3 +1506,62 @@ class TestPrepareCorpus:
         assert 100 not in kept  # deduped away
         assert 6 not in kept  # quality-failed
         assert 1 in kept and 0 in kept and 7 in kept
+
+
+class TestHashJoinEdgeCases:
+    def test_right_semi_and_anti(self, ray_session):
+        import ray.data
+
+        from wbot_ray.pipelines.join import hash_join
+
+        left = ray.data.from_arrow(
+            pa.table({"k": pa.array([1, 2], pa.int64()), "lv": pa.array(["a", "b"], pa.string())})
+        )
+        right = ray.data.from_arrow(
+            pa.table({"k": pa.array([2, 3], pa.int64()), "rv": pa.array([20, 30], pa.int64())})
+        )
+        semi = hash_join(left, right, key="k", num_buckets=4, join_type="right semi").to_pandas()
+        assert sorted(map(tuple, semi.itertuples(index=False))) == [(2, 20)]
+        anti = hash_join(left, right, key="k", num_buckets=4, join_type="right anti").to_pandas()
+        assert sorted(map(tuple, anti.itertuples(index=False))) == [(3, 30)]
+
+    def test_null_keys_left_outer(self, ray_session):
+        """Null keys must not crash bucketing; Acero semantics apply
+        (null never matches; left outer preserves the null-keyed row)."""
+        import ray.data
+
+        from wbot_ray.pipelines.join import hash_join
+
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(["x", None, "y"], pa.string()),
+                    "lv": pa.array([1, 2, 3], pa.int64()),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(["y", None], pa.string()),
+                    "rv": pa.array([30, 99], pa.int64()),
+                }
+            )
+        )
+        out = hash_join(left, right, key="k", num_buckets=3, join_type="left outer").to_pandas()
+        rows = {
+            (None if k != k and not isinstance(k, str) else k, int(lv),
+             None if rv != rv else int(rv))
+            for k, lv, rv in out.itertuples(index=False)
+        }
+        assert rows == {(None, 2, None), ("x", 1, None), ("y", 3, 30)}
+
+    def test_hot_keys_with_prepare_rejected(self, ray_session):
+        import ray.data
+
+        from wbot_ray.pipelines.join import hash_join
+
+        t = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())}))
+        u = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "w": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError, match="prepare"):
+            hash_join(t, u, key="k", hot_keys={1: 2}, left_prepare=lambda x: x)

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import glob
 import json
+import logging
 import math
 import os
 import shutil
@@ -57,6 +58,9 @@ import pyarrow.parquet as pq
 import ray.data
 
 from wbot_ray.config import CrawlConfig
+from wbot_ray.urlnorm import display_url
+
+logger = logging.getLogger("wbot_ray.driver")
 from wbot_ray.stages.dedup import make_dedup_fn
 from wbot_ray.stages.fetch import make_assign_fetch_part, make_fused_fetch_fn
 from wbot_ray.stages.normalize import FRONTIER_SCHEMA, seeds_to_frontier
@@ -357,6 +361,13 @@ class Crawler:
             for sub in ("results", "seen", "metrics"):
                 _clean(os.path.join(wd, sub))
             build_web_index(pages_path, index_dir, cfg.num_buckets)
+            # M6 display truncation: URLs in logs go through the same
+            # 64-byte form as the reference's ParsedURL.String()
+            logger.info(
+                "crawl start: %d seeds, first %s",
+                len(seeds),
+                display_url(seeds[0]),
+            )
             frontier.write_table(0, seeds_to_frontier(seeds, cfg))
             manifest = {
                 "pages_path": pages_path,

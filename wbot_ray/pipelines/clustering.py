@@ -17,9 +17,10 @@ iteration:
    clusters keep their previous centroid.
 
 After ``iters`` updates, one final assignment pass emits
-``(vec_id, cluster_id, dist_q)``. The corpus is re-read per iteration
-(streaming; nothing materializes) — ``iters + 1`` read passes total,
-each a single narrow scan.
+``(vec_id, cluster_id, dist_q)``. The corpus is re-read per pass
+(streaming) — ``iters + 2`` narrow scans total: one seed-selection
+pass (per-batch bottom-k candidates, a tiny driver merge), ``iters``
+update passes, one final assignment pass.
 
 Bit-determinism (the repo's oracle contract): components live on the
 ``floor(x · 2^20)`` integer grid (same as ``dedup_embed`` / ``knn_ivf``),

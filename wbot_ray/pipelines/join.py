@@ -61,6 +61,11 @@ def _bucket_of(arr: pa.ChunkedArray, num_buckets: int) -> pa.Array:
     orderkeys land range-clustered per input file; the mix decorrelates
     bucket from block so every reducer sees every file's share)."""
     t = arr.type
+    if arr.null_count:
+        # null keys never match in Acero; they only need SOME
+        # deterministic bucket. Fill for hashing only — the key column
+        # itself keeps its nulls.
+        arr = pc.fill_null(arr, 0 if pa.types.is_integer(t) else "")
     if pa.types.is_integer(t):
         x = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
@@ -104,6 +109,13 @@ def hash_join(
             "hot_keys replicates right-side rows per salt — only inner/"
             f"left-side join types are exact under it, not {join_type!r}"
         )
+    if hot_keys and (left_prepare or right_prepare):
+        # a hot key's left rows are SPLIT across salt buckets, so a
+        # per-key-finishing prepare would emit one "complete" row per
+        # salt — silently multiplying the key's contribution. For
+        # aggregate-after-join the map-side combiner already collapses
+        # hot keys; use that instead of salting.
+        raise ValueError("hot_keys cannot be combined with left/right_prepare")
     hot_base = {}  # key value -> (first dedicated bucket, salt count)
     base = num_buckets
     for kv, kcnt in (hot_keys or {}).items():
@@ -177,8 +189,13 @@ def hash_join(
 
         return fn
 
-    # semi/anti joins emit only the left side's columns
-    out_names = [key] + lnames + ([] if join_type.endswith(("semi", "anti")) else rnames)
+    # semi/anti joins emit only the probe side's columns
+    if join_type in ("left semi", "left anti"):
+        out_names = [key] + lnames
+    elif join_type in ("right semi", "right anti"):
+        out_names = [key] + rnames
+    else:
+        out_names = [key] + lnames + rnames
 
     def join_bucket(g: pa.Table) -> pa.Table:
         is_l = g.column("side_l")

@@ -249,7 +249,15 @@ def daily_active_users(sf_dir: str):
             }
         )
         g = t.group_by(["day_key", "user_id"]).aggregate([("_n", "sum")])
-        return g.rename_columns(["day_key", "user_id", "_n"])
+        # by-name selection — group_by output column ORDER varies across
+        # pyarrow versions (keys-first vs aggregates-first)
+        return pa.table(
+            {
+                "day_key": g.column("day_key"),
+                "user_id": g.column("user_id"),
+                "_n": g.column("_n_sum"),
+            }
+        )
 
     pairs = (
         read_table(sf_dir, "events", ["ts", "user_id"])
