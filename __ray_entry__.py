@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": relational.approx_distinct_users,
         "sessionize": relational.sessionize,
         "asof_prior_event": relational.asof_prior_event,
+        "window_pairs": relational.window_pairs,
         "topk_users": relational.topk_users,
         "group_topn": relational.group_topn,
         "price_quantiles": relational.price_quantiles,
@@ -859,6 +860,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM({cents('value')}) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "window_pairs": """
+            -- banded interval self-join: all click->purchase pairs of
+            -- the same user within +/-30 minutes
+            SELECT l.user_id,
+                   CAST(l.event_id AS BIGINT) AS left_event,
+                   CAST(r.event_id AS BIGINT) AS right_event,
+                   CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS delta_us
+            FROM events l JOIN events r ON r.user_id = l.user_id
+            WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+              AND ABS(epoch_us(r.ts) - epoch_us(l.ts)) <= 30 * 60 * 1000000
         """,
         "daily_active_users": """
             -- exact distinct count: the engine's two-level pair dedup

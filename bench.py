@@ -195,6 +195,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "kmeans_clusters",
         "prepare_corpus",
         "crawl_text_stats",
+        "window_pairs",
     ]
     out: dict[str, float] = {}
     for name in names:

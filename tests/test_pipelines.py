@@ -452,6 +452,7 @@ class TestOracleParity:
             "approx_distinct_users",
             "kmeans_clusters",
             "prepare_corpus",
+            "window_pairs",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -1565,3 +1566,49 @@ class TestHashJoinEdgeCases:
         u = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "w": pa.array([1], pa.int64())}))
         with pytest.raises(ValueError, match="prepare"):
             hash_join(t, u, key="k", hot_keys={1: 2}, left_prepare=lambda x: x)
+
+
+class TestWindowPairs:
+    def test_planted_boundary_and_direction(self, tmp_path, ray_session):
+        """Pairs straddling a time-bucket boundary are found (the
+        neighbor-replication rule), pairs beyond the window are not,
+        both directions count, and no pair is emitted twice."""
+        import datetime as dt
+
+        from wbot_ray.pipelines.relational import window_pairs
+
+        base = dt.datetime(2025, 5, 1, 10, 0, 0)
+        rows = [
+            # (event_id, minutes offset, type, user)
+            (1, 0, "click", 7),
+            (2, 29, "purchase", 7),    # within 30m of click 1  → pair
+            (3, 61, "purchase", 7),    # 61m after click 1      → no pair
+            (4, 89, "click", 7),       # 28m BEFORE purchase 3? no: 89-61=28 → pair (reverse direction)
+            (5, 29, "purchase", 8),    # other user             → no pair
+            (6, 9, "click", 9),
+            (7, 31, "purchase", 9),    # 22m apart, crosses the 30m bucket edge → pair
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [base + dt.timedelta(minutes=r[1]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([r[3] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "events.parquet"),
+        )
+        got = sorted(
+            (r["left_event"], r["right_event"], r["delta_us"])
+            for r in window_pairs(str(tmp_path)).take_all()
+        )
+        m = 60 * 1_000_000
+        assert got == [
+            (1, 2, 29 * m),      # forward pair
+            (4, 3, -28 * m),     # purchase BEFORE click (both directions)
+            (6, 7, 22 * m),      # straddles the 30-min bucket boundary
+        ]

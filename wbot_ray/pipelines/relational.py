@@ -33,6 +33,7 @@ __all__ = [
     "price_quantiles",
     "sessionize",
     "asof_prior_event",
+    "window_pairs",
     "region_acctbal",
     "price_band_join",
     "PRICE_BANDS_LO_CENTS",
@@ -686,6 +687,111 @@ def asof_prior_event(
         .groupby("user_id")
         .map_groups(join_group, batch_format="pyarrow")
     )
+
+
+def window_pairs(
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    window_min: int = 30,
+):
+    """Banded interval SELF-JOIN (the stream-stream join): every
+    (``left_type``, ``right_type``) event pair of the same user within
+    ±``window_min`` minutes — the both-directions generalization of
+    ``asof_prior_event`` (which keeps only the most recent prior match).
+
+    Ray shape — time-bucketed co-partition with NEIGHBOR REPLICATION:
+    key = ``(user, ts // window)``. A qualifying pair's timestamps
+    differ by ≤ window, so their buckets differ by ≤ 1; every left row
+    is replicated into buckets (b−1, b, b+1) while right rows stay in
+    their own bucket — each pair meets in exactly ONE task (the right
+    row's bucket), so no post-dedup pass is needed. The exchange
+    carries ≤ 3·|lefts| + |rights| slim integer rows, and the time
+    component of the key spreads even a pathological user's stream
+    across reducers (the skew fix ``sessionize``'s per-user grouping
+    does not have)."""
+    win_us = window_min * 60 * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        kinds = batch.column("event_type")
+        keep = pc.or_(pc.equal(kinds, left_type), pc.equal(kinds, right_type))
+        t = batch.filter(keep)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        is_left = pc.equal(t.column("event_type"), left_type).to_numpy(
+            zero_copy_only=False
+        )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        bucket = ts // win_us
+        # rights once; lefts replicated to their bucket and both neighbors
+        li = np.nonzero(is_left)[0]
+        ri = np.nonzero(~is_left)[0]
+        out_u = np.concatenate([uid[ri]] + [uid[li]] * 3)
+        out_e = np.concatenate([eid[ri]] + [eid[li]] * 3)
+        out_t = np.concatenate([ts[ri]] + [ts[li]] * 3)
+        out_b = np.concatenate(
+            [bucket[ri], bucket[li] - 1, bucket[li], bucket[li] + 1]
+        )
+        out_l = np.concatenate(
+            [np.zeros(len(ri), bool), np.ones(3 * len(li), bool)]
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "bucket": pa.array(out_b, pa.int64()),
+                "is_left": pa.array(out_l, pa.bool_()),
+                "event_id": pa.array(out_e, pa.int64()),
+                "ts_us": pa.array(out_t, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("left_event", pa.int64()),
+            ("right_event", pa.int64()),
+            ("delta_us", pa.int64()),
+        ]
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        is_l = group.column("is_left").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        lt, le = ts[is_l], eid[is_l]
+        rt, re_, ru = ts[~is_l], eid[~is_l], uid[~is_l]
+        if len(lt) == 0 or len(rt) == 0:
+            return out_schema.empty_table()
+        order = np.argsort(lt, kind="stable")
+        lt, le = lt[order], le[order]
+        lo = np.searchsorted(lt, rt - win_us, side="left")
+        hi = np.searchsorted(lt, rt + win_us, side="right")
+        n_per = hi - lo
+        if n_per.sum() == 0:
+            return out_schema.empty_table()
+        r_idx = np.repeat(np.arange(len(rt)), n_per)
+        l_idx = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi) if b > a])
+        return pa.table(
+            {
+                "user_id": pa.array(ru[r_idx], pa.int64()),
+                "left_event": pa.array(le[l_idx], pa.int64()),
+                "right_event": pa.array(re_[r_idx], pa.int64()),
+                "delta_us": pa.array(rt[r_idx] - lt[l_idx], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    import ray.data as rd
+
+    joined = (
+        read_table(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    # typed empty union: an all-empty result must keep the schema
+    return rd.from_arrow(out_schema.empty_table()).union(joined)
 
 
 def region_acctbal(sf_dir: str):
