@@ -432,3 +432,39 @@ class TestPriorityQueue:
             ),
         )
         self._check_reversed(base, rev)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPriorityResume:
+    def test_priority_crawl_resumes_identically(self, tmp_root):
+        """Checkpoint/resume under priority mode: a run stopped after
+        round 1 and resumed in a second Crawler must equal the
+        uninterrupted priority run row-for-row (the ordering mode rides
+        the frontier parquet, so resume needs no extra state)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cfg_kwargs = dict(
+            max_depth=3,
+            num_buckets=4,
+            seen_shards=2,
+            priority_fn=lambda t: pc.multiply(
+                t.column("ord64"), pa.scalar(-1, pa.int64())
+            ),
+        )
+        pages = gen_pages("tiny")
+        pages_path = str(tmp_root / "prio_resume_pages.parquet")
+        pq.write_table(pages, pages_path)
+        seeds = seeds_for_scale("tiny", 2)
+
+        full = Crawler(CrawlConfig(**cfg_kwargs), workdir=str(tmp_root / "pr_full")).crawl(
+            seeds=seeds, pages_path=pages_path
+        )
+        part_dir = str(tmp_root / "pr_part")
+        Crawler(CrawlConfig(**cfg_kwargs), workdir=part_dir).crawl(
+            seeds=seeds, pages_path=pages_path, stop_after_round=1
+        )
+        resumed = Crawler(CrawlConfig(**cfg_kwargs), workdir=part_dir).crawl(resume=True)
+
+        assert resumed.visited_table().equals(full.visited_table())
+        assert resumed.metrics_total() == full.metrics_total()
