@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "asof_prior_event": relational.asof_prior_event,
         "window_pairs": relational.window_pairs,
+        "funnel_steps": relational.funnel_steps,
         "topk_users": relational.topk_users,
         "group_topn": relational.group_topn,
         "price_quantiles": relational.price_quantiles,
@@ -860,6 +861,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM({cents('value')}) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "funnel_steps": """
+            -- ordered funnel: each stage's first event at-or-after the
+            -- previous stage's first qualifying event
+            WITH s1 AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+              FROM events e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t1
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+              FROM events e JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t2
+              GROUP BY e.user_id
+            )
+            SELECT s1.user_id,
+                   CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT AS BIGINT) AS steps_completed,
+                   CAST(s1.t1 AS BIGINT) AS t_step1_us,
+                   CAST(COALESCE(s2.t2, 0) AS BIGINT) AS t_step2_us,
+                   CAST(COALESCE(s3.t3, 0) AS BIGINT) AS t_step3_us
+            FROM s1
+            LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s2.user_id
         """,
         "window_pairs": """
             -- banded interval self-join: all click->purchase pairs of

@@ -196,6 +196,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "prepare_corpus",
         "crawl_text_stats",
         "window_pairs",
+        "funnel_steps",
     ]
     out: dict[str, float] = {}
     for name in names:

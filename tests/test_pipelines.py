@@ -453,6 +453,7 @@ class TestOracleParity:
             "kmeans_clusters",
             "prepare_corpus",
             "window_pairs",
+            "funnel_steps",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -1612,3 +1613,45 @@ class TestWindowPairs:
             (4, 3, -28 * m),     # purchase BEFORE click (both directions)
             (6, 7, 22 * m),      # straddles the 30-min bucket boundary
         ]
+
+
+class TestFunnelSteps:
+    def test_planted_ordering_matters(self, tmp_path, ray_session):
+        """A purchase BEFORE the user's first post-signup click must not
+        count as stage 3 — the funnel is an ordered subsequence, not
+        three independent mins."""
+        import datetime as dt
+
+        from wbot_ray.pipelines.relational import funnel_steps
+
+        base = dt.datetime(2025, 6, 1, 9, 0, 0)
+        rows = [
+            # user 1: signup → click → purchase, in order → 3 steps
+            (1, 0, "signup", 1), (2, 10, "click", 1), (3, 20, "purchase", 1),
+            # user 2: purchase BEFORE click → stops at 2 steps
+            (4, 0, "signup", 2), (5, 10, "purchase", 2), (6, 20, "click", 2),
+            # user 3: click before signup doesn't count; no later click → 1
+            (7, 5, "click", 3), (8, 10, "signup", 3),
+            # user 4: no signup at all → no row
+            (9, 0, "click", 4), (10, 5, "purchase", 4),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [base + dt.timedelta(minutes=r[1]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([r[3] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "events.parquet"),
+        )
+        got = {r["user_id"]: r for r in funnel_steps(str(tmp_path)).take_all()}
+        assert set(got) == {1, 2, 3}
+        assert got[1]["steps_completed"] == 3
+        assert got[2]["steps_completed"] == 2  # purchase-before-click blocked
+        assert got[3]["steps_completed"] == 1  # pre-signup click ignored
+        assert got[3]["t_step2_us"] == 0  # unreached stages are zero

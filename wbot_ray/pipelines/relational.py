@@ -34,6 +34,7 @@ __all__ = [
     "sessionize",
     "asof_prior_event",
     "window_pairs",
+    "funnel_steps",
     "region_acctbal",
     "price_band_join",
     "PRICE_BANDS_LO_CENTS",
@@ -792,6 +793,79 @@ def window_pairs(
     )
     # typed empty union: an all-empty result must keep the schema
     return rd.from_arrow(out_schema.empty_table()).union(joined)
+
+
+def funnel_steps(
+    sf_dir: str, steps: tuple[str, ...] = ("signup", "click", "purchase")
+):
+    """Ordered-subsequence funnel: how far each user progresses through
+    ``steps`` where each stage's event must occur AT-OR-AFTER the
+    previous stage's first qualifying event (the classic conversion
+    funnel — a sequential pattern match, not expressible as independent
+    per-stage aggregates).
+
+    Ray shape: filter to the step types at the read (slim integer
+    rows), one ``groupby(user_id).map_groups`` — each task owns one
+    user's ordered stream and walks the chain with vectorized mins
+    (the ``sessionize`` / ``asof_prior_event`` per-user-state family).
+    Output: one row per user who completed ≥1 step —
+    ``(user_id, steps_completed, t_step1_us .. t_stepN_us)`` with 0 for
+    unreached stages (kept integer so the cross-engine comparison never
+    round-trips through float)."""
+    step_list = list(steps)
+    t_cols = [f"t_step{i + 1}_us" for i in range(len(step_list))]
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("steps_completed", pa.int64())]
+        + [(c, pa.int64()) for c in t_cols]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        kinds = batch.column("event_type")
+        mask = pc.is_in(kinds, value_set=pa.array(step_list, pa.string()))
+        t = batch.filter(mask)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "kind": t.column("event_type"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    def funnel(group: pa.Table) -> pa.Table:
+        kinds = group.column("kind").to_pylist()
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        uid = int(group.column("user_id")[0].as_py())
+        frontier = None  # first qualifying time of the previous stage
+        reached: list[int] = []
+        for step in step_list:
+            st = np.array(
+                [t for k, t in zip(kinds, ts) if k == step], dtype=np.int64
+            )
+            if frontier is not None:
+                st = st[st >= frontier]
+            if len(st) == 0:
+                break
+            frontier = int(st.min())
+            reached.append(frontier)
+        if not reached:
+            return out_schema.empty_table()
+        row: dict = {
+            "user_id": [uid],
+            "steps_completed": [len(reached)],
+        }
+        for i, c in enumerate(t_cols):
+            row[c] = [reached[i] if i < len(reached) else 0]
+        return pa.table(row, schema=out_schema)
+
+    import ray.data as rd
+
+    out = (
+        read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(funnel, batch_format="pyarrow")
+    )
+    return rd.from_arrow(out_schema.empty_table()).union(out)
 
 
 def region_acctbal(sf_dir: str):
