@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_results": crawlq.crawl_results,
         "crawl_metrics": crawlq.crawl_metrics,
         "crawl_text_stats": crawlq.crawl_text_stats,
+        "export_corpus": crawlq.export_corpus,
         # -- text analysis
         "text_stats": lambda sf: textops.text_stats(sf),
         "lang_dist": textops.lang_dist,

@@ -197,6 +197,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "crawl_text_stats",
         "window_pairs",
         "funnel_steps",
+        "export_corpus",
     ]
     out: dict[str, float] = {}
     for name in names:

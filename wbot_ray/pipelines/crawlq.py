@@ -33,6 +33,7 @@ __all__ = [
     "crawl_results",
     "crawl_metrics",
     "crawl_text_stats",
+    "export_corpus",
     "oracle_entries",
 ]
 
@@ -153,6 +154,54 @@ def crawl_text_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def export_corpus(sf_dir: str):
+    """Crawl → training-data handoff ON DISK: the crawl's successful
+    fetches exported as a documents-shaped corpus
+    (``doc_id = crawl_ord``, ``text``, ``lang``, ``n_chars``,
+    ``source = root``) in RESUMABLE partitioned Parquet — one directory
+    per language, atomic per-partition commit + ``_SUCCESS`` markers
+    via ``wbot_ray.sinks.write_partitioned``, so a failed export
+    re-does only unfinished partitions. Returns the per-partition row
+    counts as a table (the driver-checkable summary; the corpus itself
+    lands on disk for the ``textops``/``dedup``/``training`` pipelines
+    to read)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wbot_ray.sinks import write_partitioned
+
+    run = crawl_run_for(sf_dir)
+    ds = run.results_dataset(
+        columns=["crawl_ord", "url", "root", "status", "text", "lang"]
+    )
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(pc.equal(batch.column("status"), 200))
+        return pa.table(
+            {
+                "doc_id": ok.column("crawl_ord"),
+                "text": ok.column("text"),
+                "lang": ok.column("lang"),
+                "n_chars": pc.cast(pc.utf8_length(ok.column("text")), pa.int64()),
+                "source": ok.column("root"),
+            }
+        )
+
+    out_dir = os.path.join(
+        _CACHE_ROOT, scale_for_sf(sf_dir), "export_corpus"
+    )
+    counts = write_partitioned(
+        ds.map_batches(to_docs, batch_format="pyarrow"), out_dir, "lang"
+    )
+    parts = sorted(counts)
+    return pa.table(
+        {
+            "part": pa.array(parts, pa.string()),
+            "n_rows": pa.array([counts[p] for p in parts], pa.int64()),
+        }
+    )
+
+
 def oracle_entries(scale: str = "small") -> dict[str, str]:
     """DuckDB oracle SQL for the crawl queries at ``scale`` (the driver
     compares at sf0.01 → "small"). Ensures the fixture corpus and the
@@ -169,6 +218,10 @@ def oracle_entries(scale: str = "small") -> dict[str, str]:
     stop_sql = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
     # stats over the independently-derived BFS fetch set: the results
     # oracle as a subquery, the text_stats expressions on top
+    sqls["export_corpus"] = f"""
+        SELECT lang AS part, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM ({sqls['crawl_results']}) GROUP BY lang
+    """
     sqls["crawl_text_stats"] = f"""
         SELECT url,
                CAST(length(text) AS BIGINT) AS n_chars,
