@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": textops.corpus_filter,
         "ngram_counts": _typed_query(textops.ngram_counts, ("ngram", "n_occurrences")),
         "tfidf_topterms": textops.tfidf_topterms,
+        "length_sketch_quantiles": textops.length_sketch_quantiles,
         # -- deduplication (pair queries via _pairs_query: a legitimately
         #    empty pair set must still present the PAIR_SCHEMA columns)
         "dedup_exact": dedup.dedup_exact,
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": training.sample_hash,
         "pack_sequences": training.pack_sequences,
         "stratified_sample": training.stratified_sample,
+        "weighted_sample": training.weighted_sample,
         "global_shuffle": training.global_shuffle,
         "prepare_corpus": training.prepare_corpus,
         # -- graph analytics over the crawl link graph
@@ -141,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_users": relational.topk_users,
         "group_topn": relational.group_topn,
         "price_quantiles": relational.price_quantiles,
+        "orders_rollup": relational.orders_rollup,
         "region_acctbal": relational.region_acctbal,
         "price_band_join": relational.price_band_join,
         "order_priority_revenue": lambda sf: __import__(
@@ -1071,6 +1074,45 @@ def oracle_sql() -> dict[str, str]:
                      ) AS BIGINT) AS rn
               FROM orders)
             SELECT o_custkey, o_orderkey, price_cents, rn FROM r WHERE rn <= 3
+        """,
+        "weighted_sample": """
+            SELECT doc_id, lang, n_chars, w_rank FROM (
+              SELECT doc_id, lang, n_chars,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5_number_lower('wsamp:' || doc_id)
+                                // GREATEST(CAST(n_chars AS UBIGINT),
+                                            CAST(1 AS UBIGINT)),
+                                doc_id) AS BIGINT) AS w_rank
+              FROM documents)
+            WHERE w_rank <= 200
+        """,
+        "orders_rollup": f"""
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_year, 'ALL') AS o_year,
+                   CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM (SELECT o_orderpriority,
+                         CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+                         {cents('o_totalprice')} AS price_cents
+                  FROM orders)
+            GROUP BY ROLLUP(o_orderpriority, o_year)
+        """,
+        "length_sketch_quantiles": """
+            WITH nb AS (
+              SELECT lang, n_chars // 64 AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2),
+            cum AS (
+              SELECT lang, bin,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                     SUM(c) OVER (PARTITION BY lang) AS n
+              FROM nb),
+            ps AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS p)
+            SELECT lang, p, CAST(n AS BIGINT) AS n_docs,
+                   CAST((MIN(bin) + 1) * 64 - 1 AS BIGINT) AS q_chars
+            FROM cum, ps
+            WHERE cum >= CEIL(p * n)
+            GROUP BY lang, p, n
         """,
         "price_quantiles": f"""
             WITH p AS (

@@ -178,6 +178,9 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "ngram_counts",
         "tfidf_topterms",
         "stratified_sample",
+        "weighted_sample",
+        "orders_rollup",
+        "length_sketch_quantiles",
         "link_pagerank",
         "decontaminate",
         "price_band_join",

@@ -454,6 +454,9 @@ class TestOracleParity:
             "prepare_corpus",
             "window_pairs",
             "funnel_steps",
+            "weighted_sample",
+            "orders_rollup",
+            "length_sketch_quantiles",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -689,6 +692,86 @@ class TestTrainingOps:
             i for i in range(len(texts)) if md5_lower64(f"sample:{i}") < (1 << 62)
         ]
         assert a == want
+
+    def test_weighted_sample_partition_invariant(self, tmp_path, ray_session):
+        """The per-batch bottom-k is lossless: the sample equals the
+        sequential bottom-k over all rows, regardless of block layout,
+        and ranks are the dense 1..k of the global key order."""
+        from wbot_ray.pipelines import training
+        from wbot_ray.pipelines.common import md5_lower64
+
+        d, texts, lang_col = self._docs_dir(tmp_path)
+        k = 25
+        got = sorted(
+            (r["w_rank"], r["doc_id"])
+            for r in training.weighted_sample(d, k=k).take_all()
+        )
+        keys = sorted(
+            (md5_lower64(f"wsamp:{i}") // max(len(t), 1), i)
+            for i, t in enumerate(texts)
+        )
+        want = [(rank + 1, doc) for rank, (_, doc) in enumerate(keys[:k])]
+        assert got == want
+
+    def test_weighted_sample_weight_monotone(self):
+        """Same doc key, larger weight -> key can only shrink (the
+        weight-proportional tilt the operator promises)."""
+        from wbot_ray.pipelines.common import md5_lower64
+
+        h = md5_lower64("wsamp:somedoc")
+        keys = [h // w for w in (1, 10, 1000, 100000)]
+        assert keys == sorted(keys, reverse=True)
+
+    def test_orders_rollup_levels_consistent(self, ray_session):
+        """Each rollup level sums exactly to the level above it, and the
+        grand-total row equals the direct full aggregate."""
+        from wbot_ray.pipelines import relational
+
+        rows = relational.orders_rollup(SF0001).take_all()
+        finest = [r for r in rows if r["o_year"] != "ALL"]
+        lvl1 = {
+            r["o_orderpriority"]: r
+            for r in rows
+            if r["o_year"] == "ALL" and r["o_orderpriority"] != "ALL"
+        }
+        (lvl0,) = [r for r in rows if r["o_orderpriority"] == "ALL"]
+        assert lvl0["o_year"] == "ALL"
+        for prio, r1 in lvl1.items():
+            mine = [r for r in finest if r["o_orderpriority"] == prio]
+            assert r1["n_orders"] == sum(r["n_orders"] for r in mine)
+            assert r1["sum_price_cents"] == sum(r["sum_price_cents"] for r in mine)
+        assert lvl0["n_orders"] == sum(r["n_orders"] for r in lvl1.values())
+        assert lvl0["sum_price_cents"] == sum(
+            r["sum_price_cents"] for r in lvl1.values()
+        )
+        t = pq.read_table(os.path.join(SF0001, "orders.parquet"), columns=["o_totalprice"])
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        assert lvl0["n_orders"] == len(v)
+        assert lvl0["sum_price_cents"] == int(
+            np.floor(v * 100.0 + 0.5).astype(np.int64).sum()
+        )
+
+    def test_length_sketch_brackets_exact_quantile(self, ray_session):
+        """The sketch's bin upper edge is >= the exact quantile and
+        within bin_width of it — the sketch's whole error contract."""
+        import math
+
+        from wbot_ray.pipelines import textops
+
+        W = 64
+        rows = textops.length_sketch_quantiles(SF0001, bin_width=W).take_all()
+        t = pq.read_table(
+            os.path.join(SF0001, "documents.parquet"), columns=["lang", "n_chars"]
+        )
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        n_chars = t.column("n_chars").to_numpy(zero_copy_only=False)
+        assert rows
+        for r in rows:
+            vals = np.sort(n_chars[langs == r["lang"]])
+            assert r["n_docs"] == len(vals)
+            exact = int(vals[math.ceil(r["p"] * len(vals)) - 1])
+            assert exact <= r["q_chars"] < exact + W
+            assert (r["q_chars"] + 1) % W == 0
 
     def test_audio_chunker_non_ascii_matches_duckdb(self, ray_session, tmp_path):
         """The no-ASCII-assumption claim: codepoint energies of a

@@ -552,6 +552,78 @@ def price_quantiles(sf_dir: str, ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
     )
 
 
+def orders_rollup(sf_dir: str):
+    """Multi-level ROLLUP aggregate — (priority, year) → (priority, ALL)
+    → (ALL, ALL) — as a CASCADE: the big table is read and aggregated
+    ONCE at the finest granularity (per-batch partial group-sums, one
+    small keyed exchange bounded by |priorities|·|years|), and every
+    coarser level re-aggregates the previous level's tiny OUTPUT, not
+    the input. That is the only rollup shape that works at 100 TB: the
+    naive plan (one full pass / shuffle per grouping set) multiplies
+    the scan by the number of levels; the cascade pays one scan plus
+    exchanges over a few dozen rows. Money sums on exact int64 cents.
+
+    Oracle = DuckDB ``GROUP BY ROLLUP`` with 'ALL' sentinel labels.
+    """
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "o_year": pc.cast(pc.year(batch.column("o_orderdate")), pa.string()),
+                "price_cents": cents(batch.column("o_totalprice")),
+            }
+        )
+        part = t.group_by(["o_orderpriority", "o_year"]).aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": part.column("o_orderpriority"),
+                "o_year": part.column("o_year"),
+                "sum_price_cents": pc.cast(part.column("price_cents_sum"), pa.int64()),
+                "n_orders": pc.cast(part.column("price_cents_count"), pa.int64()),
+            }
+        )
+
+    finest = (
+        read_table(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_year"])
+        .aggregate(
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    def _mask(cols: tuple[str, ...]):
+        # re-key a level's rows with 'ALL' in the rolled-up columns
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in cols:
+                batch = batch.set_column(
+                    batch.schema.get_field_index(c),
+                    c,
+                    pa.array(["ALL"] * len(batch), pa.string()),
+                )
+            return batch
+        return fn
+
+    def _agg(ds):
+        return ds.groupby(["o_orderpriority", "o_year"]).aggregate(
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+
+    cols = ["o_orderpriority", "o_year", "sum_price_cents", "n_orders"]
+    lvl1 = _agg(finest.map_batches(_mask(("o_year",)), batch_format="pyarrow"))
+    lvl0 = _agg(lvl1.map_batches(_mask(("o_orderpriority",)), batch_format="pyarrow"))
+    return (
+        finest.select_columns(cols)
+        .union(lvl1.select_columns(cols), lvl0.select_columns(cols))
+        .sort(["o_orderpriority", "o_year"])
+    )
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Stateful streaming-window op: split each user's event stream into
     sessions at inactivity gaps > ``gap_minutes``. The canonical Ray-Data

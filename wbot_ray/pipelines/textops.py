@@ -136,6 +136,81 @@ def token_counts(sf_dir: str):
     )
 
 
+def length_sketch_quantiles(
+    sf_dir: str, bin_width: int = 64, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+):
+    """Per-language document-length quantiles from a MERGEABLE
+    fixed-width histogram sketch — the bounded-state counterpart of the
+    exact counting-refine quantile (``relational.price_quantiles``).
+
+    Exact per-value histograms are bounded by |distinct values|, which
+    for a length-like measure grows with the corpus; the sketch bins
+    ``n_chars // bin_width`` so per-lang state is O(max_len /
+    bin_width) REGARDLESS of corpus size, per-batch partials merge by
+    addition (commutative — any combine tree gives the same counts),
+    and the reported quantile is the bin's inclusive upper edge: a
+    deterministic value within ``bin_width`` of the exact quantile.
+    This is the sketch a 100-TB seq-len budgeting pass would run: the
+    exchange carries (lang, bin, count) rows only, never documents.
+
+    Quantile rule matches the exact operator: smallest bin whose
+    cumulative count ≥ ceil(p·n) (IEEE double product — both engines
+    agree bit-for-bit). Oracle = the same histogram in SQL.
+    """
+    import math
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "bin": pa.array(n // bin_width, pa.int64()),
+            }
+        )
+        part = t.group_by(["lang", "bin"]).aggregate([("bin", "count")])
+        return pa.table(
+            {
+                "lang": part.column("lang"),
+                "bin": part.column("bin"),
+                "n": pc.cast(part.column("bin_count"), pa.int64()),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        lang = group.column("lang")[0].as_py()
+        bins = np.asarray(group.column("bin").to_pylist(), dtype=np.int64)
+        cnts = np.asarray(group.column("n").to_pylist(), dtype=np.int64)
+        order = np.argsort(bins, kind="stable")
+        bins, cnts = bins[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        rows = {"lang": [], "p": [], "n_docs": [], "q_chars": []}
+        for p in ps:
+            k = math.ceil(p * n)  # same IEEE double product as DuckDB
+            b = int(bins[np.searchsorted(cum, k, side="left")])
+            rows["lang"].append(lang)
+            rows["p"].append(p)
+            rows["n_docs"].append(n)
+            rows["q_chars"].append((b + 1) * bin_width - 1)
+        return pa.table(
+            {
+                "lang": pa.array(rows["lang"], pa.string()),
+                "p": pa.array(rows["p"], pa.float64()),
+                "n_docs": pa.array(rows["n_docs"], pa.int64()),
+                "q_chars": pa.array(rows["q_chars"], pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["lang", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("lang")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 _FP_MOD = (1 << 61) - 1  # Mersenne prime: ·2^k mod p is a 61-bit rotation
 _FP_BASE = 131
 _fp_pow_cache = np.array([1], dtype=np.uint64)

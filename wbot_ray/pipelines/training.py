@@ -136,6 +136,64 @@ def stratified_sample(sf_dir: str, k: int = 50):
     )
 
 
+WSAMP_SALT = "wsamp:"
+
+
+def weighted_sample(sf_dir: str, k: int = 200):
+    """Deterministic WEIGHT-proportional priority sample: the ``k``
+    documents with the smallest ``md5_lower64("wsamp:"+doc_id) //
+    max(n_chars, 1)`` — an integer-rational priority key, so a longer
+    document's key shrinks ~proportionally to its length and the sample
+    tilts toward token-mass (the "sample by token budget, not by doc
+    count" mixing rule used when assembling training sets from corpora
+    of very different document lengths). All arithmetic is unsigned
+    64-bit integer (hash and one integer division), so a DuckDB oracle
+    reproduces every key bit-for-bit — no float priority (``-ln(u)/w``)
+    whose libm would have to agree across engines.
+
+    Ray shape: per-BATCH bottom-k on the key (lossless: a row outside
+    its batch's bottom-k can never be in the global bottom-k), then one
+    tiny single-group finish — the exchange carries ≤ k rows per block
+    regardless of corpus size; the big table is never shuffled.
+    """
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (md5_lower64(f"{WSAMP_SALT}{i}") for i in ids),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        w = np.maximum(
+            batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.uint64),
+            np.uint64(1),
+        )
+        key = h // w
+        ids_np = np.asarray(ids, dtype=object)
+        keep = np.sort(np.lexsort((ids_np, key))[: min(k, len(ids))])
+        return (
+            batch.append_column("wkey", pa.array(key, pa.uint64()))
+            .append_column("g", pa.array(np.zeros(len(ids), dtype=np.int32), pa.int32()))
+            .take(pa.array(keep))
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        key = group.column("wkey").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))[: min(k, len(key))]
+        out = group.select(["doc_id", "lang", "n_chars"]).take(pa.array(order))
+        return out.append_column(
+            "w_rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64())
+        )
+
+    return (
+        read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def pack_sequences(sf_dir: str, seq_len: int = 2048, part_size: int = 1024):
     """Sequence packing (the streaming concat-and-chunk used for LLM
     training): per language, documents are laid out in doc_id order on
