@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": _typed_query(textops.ngram_counts, ("ngram", "n_occurrences")),
         "tfidf_topterms": textops.tfidf_topterms,
         "length_sketch_quantiles": textops.length_sketch_quantiles,
+        "normalize_text": textops.normalize_text,
         # -- deduplication (pair queries via _pairs_query: a legitimately
         #    empty pair set must still present the PAIR_SCHEMA columns)
         "dedup_exact": dedup.dedup_exact,
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topn": relational.group_topn,
         "price_quantiles": relational.price_quantiles,
         "orders_rollup": relational.orders_rollup,
+        "urgent_orders_by_year": relational.urgent_orders_by_year,
         "region_acctbal": relational.region_acctbal,
         "price_band_join": relational.price_band_join,
         "order_priority_revenue": lambda sf: __import__(
@@ -1086,6 +1088,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE w_rank <= 200
         """,
+        "urgent_orders_by_year": f"""
+            SELECT CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+                   CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS sum_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY 1
+        """,
         "orders_rollup": f"""
             SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
                    COALESCE(o_year, 'ALL') AS o_year,
@@ -1096,6 +1106,19 @@ def oracle_sql() -> dict[str, str]:
                          {cents('o_totalprice')} AS price_cents
                   FROM orders)
             GROUP BY ROLLUP(o_orderpriority, o_year)
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   md5(norm) AS norm_hash,
+                   CAST(length(norm) AS BIGINT) AS n_norm_chars,
+                   (norm <> text) AS changed
+            FROM (SELECT doc_id, text,
+                    translate(
+                      trim(regexp_replace(nfc_normalize(text),
+                                          '[ \t\n\r\f]+', ' ', 'g'), ' '),
+                      'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                      'abcdefghijklmnopqrstuvwxyz') AS norm
+                  FROM documents)
         """,
         "length_sketch_quantiles": """
             WITH nb AS (

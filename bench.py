@@ -181,6 +181,8 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "weighted_sample",
         "orders_rollup",
         "length_sketch_quantiles",
+        "normalize_text",
+        "urgent_orders_by_year",
         "link_pagerank",
         "decontaminate",
         "price_band_join",

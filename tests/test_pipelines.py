@@ -457,6 +457,8 @@ class TestOracleParity:
             "weighted_sample",
             "orders_rollup",
             "length_sketch_quantiles",
+            "normalize_text",
+            "urgent_orders_by_year",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -772,6 +774,55 @@ class TestTrainingOps:
             exact = int(vals[math.ceil(r["p"] * len(vals)) - 1])
             assert exact <= r["q_chars"] < exact + W
             assert (r["q_chars"] + 1) % W == 0
+
+    def test_normalize_text_non_ascii_matches_duckdb(self, ray_session, tmp_path):
+        """The no-ASCII-assumption claim for normalize_text: NFC
+        recomposition, control-whitespace collapse, and the ASCII-only
+        case fold (Unicode specials like İ/ẞ untouched) all agree with
+        the DuckDB oracle on planted non-ASCII inputs."""
+        import duckdb
+        import unicodedata
+
+        import __ray_entry__ as entrymod
+        from wbot_ray.pipelines import textops
+
+        texts = [
+            "Héllo   WORLD",       # NFD e+accent -> NFC é; space run
+            "\tTabs\nand\r\nnewlines\f", # control ws + trim
+            "İstanbul ẞTRASSE",          # Unicode case specials stay
+            "plain ascii TEXT",
+            "nbsp stays  here",      # U+00A0 is NOT ascii ws
+        ]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["xx"] * len(texts), pa.string()),
+                    "source": pa.array(["t"] * len(texts), pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        got = {
+            r["doc_id"]: (r["norm_hash"], r["n_norm_chars"], r["changed"])
+            for r in textops.normalize_text(str(d)).take_all()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(entrymod.oracle_sql()["normalize_text"]).fetchall()
+        }
+        assert got == want
+        # spot-check the NFC recomposition actually happened
+        norm0 = unicodedata.normalize("NFC", texts[0])
+        assert "é" in norm0 and got[0][2]  # é recomposed -> changed
 
     def test_audio_chunker_non_ascii_matches_duckdb(self, ray_session, tmp_path):
         """The no-ASCII-assumption claim: codepoint energies of a

@@ -136,6 +136,63 @@ def token_counts(sf_dir: str):
     )
 
 
+_WS_RE = re.compile(r"[ \t\n\r\f]+")
+# ASCII-only case fold: A-Z → a-z. Deliberately NOT str.lower(), whose
+# Unicode special cases (İ → i + combining dot, ẞ → ß) differ from SQL
+# lower() across ICU versions — translate() is char-for-char identical
+# in both engines for any input.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def normalize_text(sf_dir: str):
+    """Text canonicalization — the cleanup pass every web-corpus
+    pipeline runs BEFORE dedup/quality so that byte-level noise
+    (decomposed accents, tab/newline runs, case) doesn't split what is
+    the same content into distinct hash identities: Unicode NFC, then
+    ASCII-whitespace runs collapsed to one space and space-trimmed,
+    then ASCII case fold. Emits the normalized identity (md5), not the
+    text — downstream exact dedup keys on ``norm_hash`` directly, so
+    the exchange stays slim.
+
+    Every step is an exact cross-engine primitive (NFC is a Unicode
+    standard; the regex class and translate() are char-for-char), so
+    the DuckDB oracle reproduces the hash for ANY input — no ASCII
+    assumption. Stateless map_batches over a two-column pruned read:
+    embarrassingly parallel, no shuffle.
+    """
+
+    def norm_one(s: str) -> str:
+        import unicodedata
+
+        return (
+            _WS_RE.sub(" ", unicodedata.normalize("NFC", s))
+            .strip(" ")
+            .translate(_ASCII_LOWER)
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        norms = [norm_one(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_hash": pa.array(
+                    [hashlib.md5(n.encode()).hexdigest() for n in norms], pa.string()
+                ),
+                "n_norm_chars": pa.array([len(n) for n in norms], pa.int64()),
+                "changed": pa.array(
+                    [n != t for n, t in zip(norms, texts)], pa.bool_()
+                ),
+            }
+        )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def length_sketch_quantiles(
     sf_dir: str, bin_width: int = 64, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
 ):
