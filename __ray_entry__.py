@@ -151,9 +151,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": lambda sf: __import__(
             "wbot_ray.pipelines.join", fromlist=["order_priority_revenue"]
         ).order_priority_revenue(sf),
+        "q3_shipping": lambda sf: __import__(
+            "wbot_ray.pipelines.join", fromlist=["q3_shipping"]
+        ).q3_shipping(sf),
+        "churned_users": _typed_query(relational.churned_users, ("user_id",)),
         # -- corpus hygiene
         "decontaminate": textops.decontaminate,
         "quality_score": textops.quality_score,
+        "repetition_stats": textops.repetition_stats,
     }
 
 
@@ -1095,6 +1100,81 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY 1
+        """,
+        "q3_shipping": f"""
+            -- TPC-H Q3 shape: customer ⋉ orders ⋈ lineitem, top-10 by
+            -- revenue (exact centi-cents; unique-orderkey tiebreak)
+            WITH o AS (
+              SELECT o_orderkey,
+                     strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                     o_orderpriority
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+            ),
+            li AS (
+              SELECT l_orderkey,
+                     CAST(SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS BIGINT)
+                       AS revenue_centi
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-01-01'
+              GROUP BY 1
+            )
+            SELECT li.l_orderkey, o.o_orderdate, o.o_orderpriority, li.revenue_centi
+            FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+            ORDER BY revenue_centi DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "churned_users": """
+            SELECT DISTINCT user_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-30' AND ts < TIMESTAMP '2024-01-31'
+        """,
+        "repetition_stats": """
+            -- Gopher repetition signals: dup-2-gram instance fraction +
+            -- top-2-gram char-mass fraction, per-mille integer math.
+            -- Tokenizer = the engine's exact ASCII-whitespace class.
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                 t -> t <> '') AS toks
+              FROM documents),
+            base AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(GREATEST(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+                     CAST(length(array_to_string(toks, '')) AS BIGINT) AS word_chars,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)),
+                                              i -> toks[i] || ' ' || toks[i+1])
+                          ELSE [] END AS bigrams
+              FROM d),
+            counts AS (
+              SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (SELECT doc_id, UNNEST(bigrams) AS bigram FROM base)
+              GROUP BY 1, 2),
+            dups AS (
+              SELECT doc_id, SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_inst
+              FROM counts GROUP BY 1),
+            top AS (
+              SELECT doc_id, cnt * (length(bigram) - 1) AS char_mass
+              FROM (SELECT doc_id, bigram, cnt,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY cnt DESC, bigram) AS rn
+                    FROM counts)
+              WHERE rn = 1)
+            SELECT b.doc_id, b.n_words, b.n_bigrams,
+                   CAST(COALESCE(1000 * d.dup_inst // b.n_bigrams, 0) AS BIGINT)
+                     AS dup_bigram_pm,
+                   CAST(CASE WHEN b.word_chars > 0
+                             THEN COALESCE(1000 * t.char_mass // b.word_chars, 0)
+                             ELSE 0 END AS BIGINT) AS top_bigram_chars_pm
+            FROM base b
+            LEFT JOIN dups d USING (doc_id)
+            LEFT JOIN top t USING (doc_id)
         """,
         "orders_rollup": f"""
             SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,

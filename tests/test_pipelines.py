@@ -459,6 +459,9 @@ class TestOracleParity:
             "length_sketch_quantiles",
             "normalize_text",
             "urgent_orders_by_year",
+            "q3_shipping",
+            "churned_users",
+            "repetition_stats",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -1789,3 +1792,74 @@ class TestFunnelSteps:
         assert got[2]["steps_completed"] == 2  # purchase-before-click blocked
         assert got[3]["steps_completed"] == 1  # pre-signup click ignored
         assert got[3]["t_step2_us"] == 0  # unreached stages are zero
+
+
+class TestRepetitionStats:
+    def test_hand_computed_vectors(self, ray_session, tmp_path):
+        from wbot_ray.pipelines.textops import repetition_stats
+
+        texts = [
+            "a b a b a b",        # bigrams: ab×3, ba×2 → all 5 duplicated
+            "x y z",              # 2 bigrams, none repeated
+            "solo",               # 1 word, 0 bigrams
+            "",                   # empty
+            "aa bb\t aa bb",      # tab+space split; "aa bb"×2 of 3 bigrams
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        got = {r["doc_id"]: r for r in repetition_stats(str(tmp_path)).take_all()}
+        # doc 0: 6 words, 5 bigrams all dup → 1000; top = ("a","b") cnt 3,
+        # mass 3*2=6, chars 6 → 1000
+        assert (got[0]["n_words"], got[0]["n_bigrams"]) == (6, 5)
+        assert got[0]["dup_bigram_pm"] == 1000
+        assert got[0]["top_bigram_chars_pm"] == 1000
+        # doc 1: no dup; top bigram ("x","y") mass 2, chars 3 → 666
+        assert got[1]["dup_bigram_pm"] == 0
+        assert got[1]["top_bigram_chars_pm"] == 666
+        # doc 2/3: degenerate → all zero
+        for d in (2, 3):
+            assert got[d]["n_bigrams"] == 0
+            assert got[d]["dup_bigram_pm"] == 0
+            assert got[d]["top_bigram_chars_pm"] == 0
+        # doc 4: 4 words [aa,bb,aa,bb], 3 bigrams: (aa,bb)×2 dup, (bb,aa)×1
+        # dup_pm = 2000//3 = 666; top ("aa","bb") mass 2*4=8, chars 8 → 1000
+        assert got[4]["dup_bigram_pm"] == 666
+        assert got[4]["top_bigram_chars_pm"] == 1000
+
+
+class TestChurnedUsers:
+    def test_planted_set_difference(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from wbot_ray.pipelines.relational import churned_users
+
+        # users 1,2 active early; user 2 also active late; user 3 late-only
+        rows = [
+            (1, "2024-01-02", 1),
+            (2, "2024-01-03", 2),
+            (3, "2024-01-03", 2),  # duplicate early activity for user 2
+            (4, "2024-01-30", 2),
+            (5, "2024-01-30", 3),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [dt.datetime.fromisoformat(r[1]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            os.path.join(tmp_path, "events.parquet"),
+        )
+        got = sorted(r["user_id"] for r in churned_users(str(tmp_path)).take_all())
+        assert got == [1]  # user 2 retained, user 3 never early, 1 distinct

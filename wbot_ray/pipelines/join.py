@@ -51,7 +51,7 @@ from ray.data.aggregate import Sum
 
 from wbot_ray.pipelines.common import cents, read_table
 
-__all__ = ["hash_join", "order_priority_revenue"]
+__all__ = ["hash_join", "order_priority_revenue", "q3_shipping"]
 
 
 def _bucket_of(arr: pa.ChunkedArray, num_buckets: int) -> pa.Array:
@@ -300,4 +300,110 @@ def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
             Sum("items", alias_name="n_items"),
             Sum("rev", alias_name="revenue_centi"),
         )
+    )
+
+
+def q3_shipping(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+    num_buckets: int = 64,
+):
+    """Top-``k`` unshipped orders by revenue for one market segment — the
+    MULTI-WAY join (TPC-H Q3 shape): customer ⋉ orders ⋈ lineitem chained
+    through two independent keyed exchanges, finished with a distributed
+    top-k.
+
+    Ray shape, stage by stage (one all-lazy DAG):
+
+    1. customer is filtered to the segment and reduced to its key column
+       — but NOT broadcast: at 100 TB a 1/5 slice of customers is still
+       fact-scale, so orders ⋉ customers rides ``hash_join(join_type=
+       "left semi")`` (exchange keyed on custkey, slim key-only right
+       side).
+    2. lineitem is filtered on ``l_shipdate > cutoff`` at the batch level
+       and collapsed to per-orderkey revenue partials per batch
+       (map-side combine) before the second exchange keyed on orderkey,
+       where each bucket finishes the sums and Acero-joins them against
+       its qualified-orders slice. Date columns never enter an exchange.
+    3. top-k: each output batch keeps its local top-k (revenue desc,
+       orderdate asc, orderkey asc), then one tiny sort+limit over
+       ≤ k rows per block — the full join result is never globally
+       sorted or materialized.
+
+    Revenue is exact centi-cents (int64); the result is deterministic
+    because the ordering ends on the unique orderkey."""
+    cut = np.datetime64(cutoff, "us")
+
+    def cust_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("c_mktsegment"), segment)
+        return pa.table({"o_custkey": batch.filter(m).column("c_custkey")})
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_keys, batch_format="pyarrow"
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch.column("o_orderdate"), pa.scalar(cut, pa.timestamp("us")))
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "l_orderkey": t.column("o_orderkey"),
+                "o_orderdate": pc.strftime(t.column("o_orderdate"), "%Y-%m-%d"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    qualified = hash_join(
+        orders, cust, key="o_custkey", num_buckets=num_buckets, join_type="left semi"
+    ).map_batches(
+        lambda t: t.select(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch.column("l_shipdate"), pa.scalar(cut, pa.timestamp("us")))
+        t = batch.filter(m)
+        price = np.asarray(cents(t.column("l_extendedprice")), dtype=np.int64)
+        disc = np.asarray(cents(t.column("l_discount")), dtype=np.int64)
+        part = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_centi": pa.array(price * (100 - disc), pa.int64()),
+                "n_items": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+        return _combine_order_partials(part)
+
+    lineitem = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(
+        lineitem,
+        qualified,
+        key="l_orderkey",
+        num_buckets=num_buckets,
+        left_prepare=_combine_order_partials,
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        t = t.select(["l_orderkey", "o_orderdate", "o_orderpriority", "rev_centi"]).rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_centi"]
+        )
+        if t.num_rows <= k:
+            return t
+        rev = t.column("revenue_centi").to_numpy(zero_copy_only=False)
+        okey = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        odate = np.asarray(t.column("o_orderdate").to_pylist())
+        return t.take(pa.array(np.lexsort((okey, odate, -rev))[:k]))
+
+    return (
+        joined.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["revenue_centi", "o_orderdate", "l_orderkey"], descending=[True, False, False])
+        .limit(k)
     )

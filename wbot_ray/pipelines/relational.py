@@ -37,6 +37,7 @@ __all__ = [
     "funnel_steps",
     "region_acctbal",
     "price_band_join",
+    "churned_users",
     "PRICE_BANDS_LO_CENTS",
 ]
 
@@ -1026,4 +1027,54 @@ def region_acctbal(sf_dir: str):
         .map_batches(attach, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="sum_acctbal_cents"))
+    )
+
+
+def churned_users(
+    sf_dir: str,
+    early: tuple[str, str] = ("2024-01-01", "2024-01-08"),
+    late: tuple[str, str] = ("2024-01-30", "2024-01-31"),
+):
+    """Users active in the ``early`` window but not in the ``late`` one —
+    the distributed SET DIFFERENCE (EXCEPT), realized as a co-partitioned
+    ANTI-join so neither side is ever broadcast or collected.
+
+    Ray shape: each side is a pruned events read filtered at the batch
+    level and collapsed to per-batch DISTINCT user_ids (bounded by
+    |users| per batch, not |events|); both key-only sides ride ONE keyed
+    exchange (``hash_join(join_type="left anti")``), and the per-bucket
+    ``left_prepare`` finishes the left side's distinct before Acero's
+    anti join — so the output is exactly DISTINCT(early) ∖ DISTINCT(late).
+    At 10^10 events the exchange carries ≤ |users| slim int64 rows per
+    side."""
+    from wbot_ray.pipelines.join import hash_join
+
+    events = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def window_users(lo: str, hi: str):
+        lo_us = pa.scalar(np.datetime64(lo, "us"), pa.timestamp("us"))
+        hi_us = pa.scalar(np.datetime64(hi, "us"), pa.timestamp("us"))
+
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(batch.column("ts"), lo_us),
+                pc.less(batch.column("ts"), hi_us),
+            )
+            uid = batch.filter(m).column("user_id")
+            return pa.table(
+                {"user_id": pc.unique(uid.combine_chunks() if uid.num_chunks > 1 else uid)}
+            )
+
+        return events.map_batches(fn, batch_format="pyarrow")
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by("user_id").aggregate([])
+
+    return hash_join(
+        window_users(*early),
+        window_users(*late),
+        key="user_id",
+        join_type="left anti",
+        left_prepare=distinct,
+        right_prepare=distinct,
     )

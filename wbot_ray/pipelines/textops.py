@@ -35,6 +35,7 @@ __all__ = [
     "decontaminate",
     "quality_score",
     "freq_quality",
+    "repetition_stats",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -821,4 +822,73 @@ def freq_quality(sf_dir: str, top_v: int = 16):
 
     return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
+    )
+
+
+# ASCII whitespace class — the SAME class normalize_text collapses on, and
+# exactly what RE2/DuckDB regexp '\s' matches, so the SQL oracle tokenizes
+# identically (Python str.split() would also split NBSP etc. and diverge).
+_WS_RE = re.compile(r"[ \t\n\r\f]+")
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per document — the famous
+    training-data filters 'fraction of 2-gram instances that are
+    duplicated' and 'fraction of characters in the most frequent 2-gram'
+    (Rae et al. 2021, Table A1), in exact per-mille integer math.
+
+    Ray shape: one stateless ``map_batches`` pass over a pruned
+    (doc_id, text) read — per-doc Counters, no exchange at all; output
+    is one slim integer row per document. At 100 TB this is exactly as
+    parallel as the input blocks.
+
+    Columns (integers throughout — no float ever crosses engines):
+      n_words              whitespace words (ASCII-class split)
+      n_bigrams            adjacent-pair instances = max(n_words-1, 0)
+      dup_bigram_pm        1000·(instances of bigrams occurring ≥2×)/n_bigrams
+      top_bigram_chars_pm  1000·(top bigram's char mass)/(total word chars),
+                           char mass = count × (len(w1)+len(w2)); the top
+                           bigram is max count, ties → lexicographically
+                           smallest "w1 w2"
+    Both ratios floor-divide; denominators of 0 yield 0."""
+    from collections import Counter
+
+    def fn(batch: pa.Table) -> pa.Table:
+        o_words, o_big, o_dup, o_top = [], [], [], []
+        for txt in batch.column("text").to_pylist():
+            toks = [t for t in _WS_RE.split(txt) if t]
+            nw = len(toks)
+            nb = max(nw - 1, 0)
+            o_words.append(nw)
+            o_big.append(nb)
+            if nb == 0:
+                o_dup.append(0)
+                o_top.append(0)
+                continue
+            counts = Counter(
+                (toks[i], toks[i + 1]) for i in range(nb)
+            )
+            dup_inst = sum(c for c in counts.values() if c >= 2)
+            o_dup.append(1000 * dup_inst // nb)
+            # top bigram: max count, tie → smallest "w1 w2" string
+            maxc = max(counts.values())
+            top_pair = min(
+                (bg for bg, c in counts.items() if c == maxc),
+                key=lambda bg: f"{bg[0]} {bg[1]}",
+            )
+            char_mass = counts[top_pair] * (len(top_pair[0]) + len(top_pair[1]))
+            denom = sum(len(t) for t in toks)
+            o_top.append(1000 * char_mass // denom if denom else 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(o_words, pa.int64()),
+                "n_bigrams": pa.array(o_big, pa.int64()),
+                "dup_bigram_pm": pa.array(o_dup, pa.int64()),
+                "top_bigram_chars_pm": pa.array(o_top, pa.int64()),
+            }
+        )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
     )
