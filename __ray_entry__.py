@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "wbot_ray.pipelines.join", fromlist=["q3_shipping"]
         ).q3_shipping(sf),
         "churned_users": _typed_query(relational.churned_users, ("user_id",)),
+        "props_by_type": relational.props_by_type,
+        "user_running_value": relational.user_running_value,
         # -- corpus hygiene
         "decontaminate": textops.decontaminate,
         "quality_score": textops.quality_score,
@@ -1132,6 +1134,28 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT user_id FROM events
             WHERE ts >= TIMESTAMP '2024-01-30' AND ts < TIMESTAMP '2024-01-31'
+        """,
+        "props_by_type": """
+            -- JSON flattening: extract integer field k from props, then
+            -- grouped count/sum/min/max per event type
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
+        """,
+        "user_running_value": f"""
+            SELECT user_id, event_id,
+                   CAST(SUM({cents('value')}) OVER (
+                     PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS running_cents
+            FROM events
         """,
         "repetition_stats": """
             -- Gopher repetition signals: dup-2-gram instance fraction +

@@ -462,6 +462,8 @@ class TestOracleParity:
             "q3_shipping",
             "churned_users",
             "repetition_stats",
+            "props_by_type",
+            "user_running_value",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):

@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from wbot_ray.pipelines.common import cents, read_table
 
@@ -38,6 +38,8 @@ __all__ = [
     "region_acctbal",
     "price_band_join",
     "churned_users",
+    "props_by_type",
+    "user_running_value",
     "PRICE_BANDS_LO_CENTS",
 ]
 
@@ -1077,4 +1079,98 @@ def churned_users(
         join_type="left anti",
         left_prepare=distinct,
         right_prepare=distinct,
+    )
+
+
+def props_by_type(sf_dir: str):
+    """Semi-structured extraction: parse the ``props`` JSON column, pull
+    the integer field ``k``, and aggregate it per event type — the
+    JSON-flattening step every event pipeline has.
+
+    Ray shape: parse + extract + per-batch partial aggregate in ONE
+    stateless ``map_batches`` pass (the JSON string column never leaves
+    the map stage — only ≤ |event_types| partial rows per batch enter
+    the tiny keyed exchange). Min/max/sum/count combine associatively,
+    so the two-level aggregate is exact."""
+    import json
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in batch.column("props").to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pa.array(ks, pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "min"), ("k", "max"), ("one", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "sum_k": g.column("k_sum"),
+                "min_k": g.column("k_min"),
+                "max_k": g.column("k_max"),
+                "n_events": g.column("one_sum"),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "events", ["event_type", "props"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
+def user_running_value(sf_dir: str):
+    """Per-user RUNNING TOTAL of event value ordered by time — the
+    cumulative-window operator (``SUM() OVER (PARTITION BY user ORDER BY
+    ts)``), complementing the gap-window (sessionize), lag-window
+    (asof), and sliding-window (events_sliding) shapes.
+
+    Ray shape: one keyed exchange on user_id (``groupby.map_groups``),
+    in-group argsort by (ts, event_id), vectorized ``np.cumsum`` on
+    exact cents. Hot users are bounded by |events per user|; the
+    exchange carries only (user_id, ts, event_id, cents) slim rows."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "value_cents": cents(batch.column("value")),
+            }
+        )
+
+    def scan(group: pa.Table) -> pa.Table:
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        val = group.column("value_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        run = np.cumsum(val[order])
+        return pa.table(
+            {
+                "user_id": group.column("user_id").take(pa.array(order)),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "running_cents": pa.array(run, pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(scan, batch_format="pyarrow")
     )
