@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_users": _typed_query(relational.churned_users, ("user_id",)),
         "props_by_type": relational.props_by_type,
         "user_running_value": relational.user_running_value,
+        "events_pivot": relational.events_pivot,
         # -- corpus hygiene
         "decontaminate": textops.decontaminate,
         "quality_score": textops.quality_score,
@@ -1156,6 +1157,18 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING
                    ) AS BIGINT) AS running_cents
             FROM events
+        """,
+        "events_pivot": """
+            -- long-to-wide PIVOT: one count column per event type
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM events
+            GROUP BY 1
         """,
         "repetition_stats": """
             -- Gopher repetition signals: dup-2-gram instance fraction +

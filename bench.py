@@ -203,6 +203,11 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "window_pairs",
         "funnel_steps",
         "export_corpus",
+        "q3_shipping",
+        "churned_users",
+        "repetition_stats",
+        "props_by_type",
+        "user_running_value",
     ]
     out: dict[str, float] = {}
     for name in names:

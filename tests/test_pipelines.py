@@ -464,6 +464,7 @@ class TestOracleParity:
             "repetition_stats",
             "props_by_type",
             "user_running_value",
+            "events_pivot",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -1865,3 +1866,18 @@ class TestChurnedUsers:
         )
         got = sorted(r["user_id"] for r in churned_users(str(tmp_path)).take_all())
         assert got == [1]  # user 2 retained, user 3 never early, 1 distinct
+
+
+class TestQ3RuntimeFilter:
+    def test_filter_and_plain_paths_identical(self, ray_session):
+        """The runtime semi-join filter is a pure exchange-volume
+        optimization: both paths must produce the identical top-k."""
+        from wbot_ray.pipelines.join import q3_shipping
+
+        plain = q3_shipping(SF0001).to_pylist()
+        filt = q3_shipping(SF0001, runtime_filter=True).to_pylist()
+        assert plain == filt
+        assert len(plain) > 0
+        # cap of 0 forces the skip path — still identical
+        skip = q3_shipping(SF0001, runtime_filter=True, runtime_filter_cap=0).to_pylist()
+        assert skip == plain

@@ -309,6 +309,8 @@ def q3_shipping(
     cutoff: str = "1998-01-01",
     k: int = 10,
     num_buckets: int = 64,
+    runtime_filter: bool = False,
+    runtime_filter_cap: int = 50_000_000,
 ):
     """Top-``k`` unshipped orders by revenue for one market segment — the
     MULTI-WAY join (TPC-H Q3 shape): customer ⋉ orders ⋈ lineitem chained
@@ -322,15 +324,34 @@ def q3_shipping(
        fact-scale, so orders ⋉ customers rides ``hash_join(join_type=
        "left semi")`` (exchange keyed on custkey, slim key-only right
        side).
-    2. lineitem is filtered on ``l_shipdate > cutoff`` at the batch level
-       and collapsed to per-orderkey revenue partials per batch
+    2. optional RUNTIME SEMI-JOIN FILTER (``runtime_filter=True``): the
+       qualified orders are materialized once, their sorted orderkey
+       vector is broadcast via ``ray.put`` (exact — no bloom
+       false-positive analysis needed) and probed with
+       ``np.searchsorted`` inside the lineitem map stage, so lineitem
+       rows whose order fails the date/segment gates never enter
+       exchange 2 at all — with TPC-H selectivities that removes ~80%
+       of the big side's exchange volume. The trade, measured at
+       sf0.1/32cpu: the filter needs exchange 1 to FINISH before the
+       lineitem scan starts (a barrier where the plain plan overlaps
+       both sides), so on this latency-bound box it costs ~9 s while
+       cutting exchange-2 rows 330k → ~66k; when exchange 2 is
+       bandwidth-bound (the 100-TB regime: lineitem ≫ orders) the byte
+       cut dominates and the filter wins — same A/B shape as the
+       PageRank int-id trade recorded in BASELINE.md. Default off, so
+       the single-node bench keeps the overlap. If the qualified set
+       exceeds ``runtime_filter_cap`` keys the filter is skipped
+       (logged) — never a silent memory blowup.
+    3. lineitem is filtered on ``l_shipdate > cutoff`` at the batch
+       level and collapsed to per-orderkey revenue partials per batch
        (map-side combine) before the second exchange keyed on orderkey,
        where each bucket finishes the sums and Acero-joins them against
        its qualified-orders slice. Date columns never enter an exchange.
-    3. top-k: each output batch keeps its local top-k (revenue desc,
-       orderdate asc, orderkey asc), then one tiny sort+limit over
-       ≤ k rows per block — the full join result is never globally
-       sorted or materialized.
+    4. top-k: each output batch keeps its local top-k (revenue desc,
+       orderdate asc, orderkey asc), then a ≤ k·blocks-row driver merge
+       finishes — no third all-to-all for k rows of output (the
+       ``topk_users`` pattern; a global sort of the join result would
+       pay a full exchange for 10 rows).
 
     Revenue is exact centi-cents (int64); the result is deterministic
     because the ordering ends on the unique orderkey."""
@@ -366,9 +387,41 @@ def q3_shipping(
         batch_format="pyarrow",
     )
 
+    keys_ref = None
+    if runtime_filter:
+        import logging
+
+        qualified = qualified.materialize()  # needed twice: filter + join input
+        n_qualified = qualified.count()
+        if n_qualified <= runtime_filter_cap:
+            key_chunks = [
+                b.column("l_orderkey").to_numpy(zero_copy_only=False)
+                for b in qualified.select_columns(["l_orderkey"]).iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+            keys = (
+                np.sort(np.concatenate(key_chunks)) if key_chunks else np.array([], np.int64)
+            )
+            keys_ref = ray.put(keys)
+        else:
+            logging.getLogger("wbot_ray").info(
+                "q3_shipping: runtime filter skipped (%d qualified keys > cap %d)",
+                n_qualified,
+                runtime_filter_cap,
+            )
+
     def li_partial(batch: pa.Table) -> pa.Table:
         m = pc.greater(batch.column("l_shipdate"), pa.scalar(cut, pa.timestamp("us")))
         t = batch.filter(m)
+        if keys_ref is not None:
+            keys = ray.get(keys_ref)
+            ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                t = t.slice(0, 0)
+            else:
+                idx = np.searchsorted(keys, ok).clip(max=len(keys) - 1)
+                t = t.filter(pa.array(keys[idx] == ok))
         price = np.asarray(cents(t.column("l_extendedprice")), dtype=np.int64)
         disc = np.asarray(cents(t.column("l_discount")), dtype=np.int64)
         part = pa.table(
@@ -391,10 +444,7 @@ def q3_shipping(
         left_prepare=_combine_order_partials,
     )
 
-    def block_topk(t: pa.Table) -> pa.Table:
-        t = t.select(["l_orderkey", "o_orderdate", "o_orderpriority", "rev_centi"]).rename_columns(
-            ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_centi"]
-        )
+    def _topk(t: pa.Table) -> pa.Table:
         if t.num_rows <= k:
             return t
         rev = t.column("revenue_centi").to_numpy(zero_copy_only=False)
@@ -402,8 +452,22 @@ def q3_shipping(
         odate = np.asarray(t.column("o_orderdate").to_pylist())
         return t.take(pa.array(np.lexsort((okey, odate, -rev))[:k]))
 
-    return (
-        joined.map_batches(block_topk, batch_format="pyarrow")
-        .sort(["revenue_centi", "o_orderdate", "l_orderkey"], descending=[True, False, False])
-        .limit(k)
-    )
+    def block_topk(t: pa.Table) -> pa.Table:
+        t = t.select(["l_orderkey", "o_orderdate", "o_orderpriority", "rev_centi"]).rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_centi"]
+        )
+        return _topk(t)
+
+    cand = pa.Table.from_pylist(
+        joined.map_batches(block_topk, batch_format="pyarrow").take_all()
+    )  # ≤ k × blocks rows
+    if cand.num_rows == 0:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.string()),
+                "o_orderpriority": pa.array([], pa.string()),
+                "revenue_centi": pa.array([], pa.int64()),
+            }
+        )
+    return _topk(cand.select(["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_centi"]))
