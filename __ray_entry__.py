@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_by_type": relational.props_by_type,
         "user_running_value": relational.user_running_value,
         "events_pivot": relational.events_pivot,
+        "orders_cube": relational.orders_cube,
         # -- corpus hygiene
         "decontaminate": textops.decontaminate,
         "quality_score": textops.quality_score,
@@ -1223,6 +1224,17 @@ def oracle_sql() -> dict[str, str]:
                          {cents('o_totalprice')} AS price_cents
                   FROM orders)
             GROUP BY ROLLUP(o_orderpriority, o_year)
+        """,
+        "orders_cube": f"""
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_year, 'ALL') AS o_year,
+                   CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM (SELECT o_orderpriority,
+                         CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+                         {cents('o_totalprice')} AS price_cents
+                  FROM orders)
+            GROUP BY CUBE(o_orderpriority, o_year)
         """,
         "normalize_text": """
             SELECT doc_id,

@@ -208,6 +208,8 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "repetition_stats",
         "props_by_type",
         "user_running_value",
+        "events_pivot",
+        "orders_cube",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -465,6 +465,7 @@ class TestOracleParity:
             "props_by_type",
             "user_running_value",
             "events_pivot",
+            "orders_cube",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -735,7 +736,7 @@ class TestTrainingOps:
         grand-total row equals the direct full aggregate."""
         from wbot_ray.pipelines import relational
 
-        rows = relational.orders_rollup(SF0001).take_all()
+        rows = relational.orders_rollup(SF0001).to_pylist()
         finest = [r for r in rows if r["o_year"] != "ALL"]
         lvl1 = {
             r["o_orderpriority"]: r

@@ -41,6 +41,7 @@ __all__ = [
     "props_by_type",
     "user_running_value",
     "events_pivot",
+    "orders_cube",
     "PRICE_BANDS_LO_CENTS",
     "EVENT_TYPES",
 ]
@@ -557,19 +558,14 @@ def price_quantiles(sf_dir: str, ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
     )
 
 
-def orders_rollup(sf_dir: str):
-    """Multi-level ROLLUP aggregate — (priority, year) → (priority, ALL)
-    → (ALL, ALL) — as a CASCADE: the big table is read and aggregated
-    ONCE at the finest granularity (per-batch partial group-sums, one
-    small keyed exchange bounded by |priorities|·|years|), and every
-    coarser level re-aggregates the previous level's tiny OUTPUT, not
-    the input. That is the only rollup shape that works at 100 TB: the
-    naive plan (one full pass / shuffle per grouping set) multiplies
-    the scan by the number of levels; the cascade pays one scan plus
-    exchanges over a few dozen rows. Money sums on exact int64 cents.
-
-    Oracle = DuckDB ``GROUP BY ROLLUP`` with 'ALL' sentinel labels.
-    """
+def _orders_finest(sf_dir: str):
+    """Shared base of the grouping-set family (ROLLUP / CUBE): one scan
+    of orders aggregated at the finest (priority, year) granularity,
+    MATERIALIZED — it is a few dozen rows, and every coarser grouping
+    set re-aggregates this output. Without the materialize each union
+    branch would re-execute the scan (Ray Data does no common-subplan
+    elimination across union inputs), silently multiplying the read by
+    the number of levels."""
 
     def prep(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -591,7 +587,7 @@ def orders_rollup(sf_dir: str):
             }
         )
 
-    finest = (
+    return (
         read_table(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
         .map_batches(prep, batch_format="pyarrow")
         .groupby(["o_orderpriority", "o_year"])
@@ -601,31 +597,74 @@ def orders_rollup(sf_dir: str):
         )
     )
 
-    def _mask(cols: tuple[str, ...]):
-        # re-key a level's rows with 'ALL' in the rolled-up columns
-        def fn(batch: pa.Table) -> pa.Table:
-            for c in cols:
-                batch = batch.set_column(
-                    batch.schema.get_field_index(c),
-                    c,
-                    pa.array(["ALL"] * len(batch), pa.string()),
-                )
-            return batch
-        return fn
 
-    def _agg(ds):
-        return ds.groupby(["o_orderpriority", "o_year"]).aggregate(
-            Sum("sum_price_cents", alias_name="sum_price_cents"),
-            Sum("n_orders", alias_name="n_orders"),
+_GROUPING_COLS = ["o_orderpriority", "o_year", "sum_price_cents", "n_orders"]
+
+
+def _local_level(finest: pa.Table, mask_cols: tuple[str, ...]) -> pa.Table:
+    """One coarser grouping set, computed locally from the finest level
+    (dozens of rows): mask the rolled-up key columns to 'ALL', re-sum."""
+    t = finest
+    for c in mask_cols:
+        t = t.set_column(
+            t.schema.get_field_index(c), c, pa.array(["ALL"] * len(t), pa.string())
         )
+    g = t.group_by(["o_orderpriority", "o_year"]).aggregate(
+        [("sum_price_cents", "sum"), ("n_orders", "sum")]
+    )
+    return pa.table(
+        {
+            "o_orderpriority": g.column("o_orderpriority"),
+            "o_year": g.column("o_year"),
+            "sum_price_cents": g.column("sum_price_cents_sum"),
+            "n_orders": g.column("n_orders_sum"),
+        }
+    )
 
-    cols = ["o_orderpriority", "o_year", "sum_price_cents", "n_orders"]
-    lvl1 = _agg(finest.map_batches(_mask(("o_year",)), batch_format="pyarrow"))
-    lvl0 = _agg(lvl1.map_batches(_mask(("o_orderpriority",)), batch_format="pyarrow"))
-    return (
-        finest.select_columns(cols)
-        .union(lvl1.select_columns(cols), lvl0.select_columns(cols))
-        .sort(["o_orderpriority", "o_year"])
+
+def _grouping_sets(sf_dir: str, sets: tuple[tuple[str, ...], ...]) -> pa.Table:
+    """Shared CASCADE for the grouping-set family: ONE distributed scan
+    + keyed exchange produces the finest (priority, year) level — whose
+    cardinality is bounded by the grouping DOMAIN (|priorities|·|years|),
+    not by the data — then every coarser set is a local re-aggregation
+    of those few dozen rows on the driver (the ``topk_users`` tiny-merge
+    rule: a full exchange per grouping set would pay ~2 s of all-to-all
+    latency each for rows that fit in one cache line). At 100 TB the one
+    distributed exchange still carries only per-batch partials."""
+    finest = pa.Table.from_pylist(_orders_finest(sf_dir).take_all())
+    finest = finest.select(_GROUPING_COLS)
+    levels = [finest] + [_local_level(finest, s) for s in sets]
+    return pa.concat_tables(levels).sort_by(
+        [("o_orderpriority", "ascending"), ("o_year", "ascending")]
+    )
+
+
+def orders_rollup(sf_dir: str):
+    """Multi-level ROLLUP aggregate — (priority, year) → (priority, ALL)
+    → (ALL, ALL) — as a CASCADE: the big table is read and aggregated
+    ONCE at the finest granularity (per-batch partial group-sums, one
+    small keyed exchange bounded by |priorities|·|years|), and every
+    coarser level re-aggregates the previous level's tiny OUTPUT, not
+    the input. That is the only rollup shape that works at 100 TB: the
+    naive plan (one full pass / shuffle per grouping set) multiplies
+    the scan by the number of levels; the cascade pays one scan plus
+    driver-local re-sums over a few dozen rows. Exact int64 cents.
+
+    Oracle = DuckDB ``GROUP BY ROLLUP`` with 'ALL' sentinel labels.
+    """
+    return _grouping_sets(sf_dir, (("o_year",), ("o_year", "o_orderpriority")))
+
+
+def orders_cube(sf_dir: str):
+    """Full CUBE over (priority, year) — the rollup's grouping sets plus
+    the (ALL, year) marginal. Same cascade economics: each extra set is
+    another local re-aggregation of the finest output (dozens of rows),
+    NOT another scan or shuffle of orders.
+
+    Oracle = DuckDB ``GROUP BY CUBE`` with 'ALL' sentinel labels."""
+    return _grouping_sets(
+        sf_dir,
+        (("o_year",), ("o_orderpriority",), ("o_year", "o_orderpriority")),
     )
 
 
