@@ -1274,6 +1274,58 @@ class TestHashJoin:
         with pytest.raises(ValueError, match="collide"):
             hash_join(left, bad, key="k")
 
+    def test_composite_key_matches_duckdb(self, ray_session):
+        """Mixed-type COMPOSITE key (int64, string): random tables with
+        planted partial overlaps (same int different string and vice
+        versa must NOT match) checked value-for-value against DuckDB."""
+        import duckdb
+        import ray.data
+
+        from wbot_ray.pipelines.join import hash_join
+
+        rng = np.random.RandomState(5)
+        n = 400
+        left = pa.table(
+            {
+                "uid": pa.array(rng.randint(0, 20, n), pa.int64()),
+                "day": pa.array(
+                    [f"d{v}" for v in rng.randint(0, 7, n)], pa.string()
+                ),
+                "lv": pa.array(rng.randint(0, 1000, n), pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "uid": pa.array(rng.randint(0, 25, 60), pa.int64()),
+                "day": pa.array(
+                    [f"d{v}" for v in rng.randint(0, 9, 60)], pa.string()
+                ),
+                "rv": pa.array(rng.randint(0, 1000, 60), pa.int64()),
+            }
+        )
+        for jt in ("inner", "left semi", "left anti"):
+            got = hash_join(
+                ray.data.from_arrow(left),
+                ray.data.from_arrow(right),
+                key=["uid", "day"],
+                num_buckets=5,
+                join_type=jt,
+            ).to_pandas()
+            con = duckdb.connect()
+            con.register("l", left)
+            con.register("r", right)
+            sql = {
+                "inner": "SELECT l.uid, l.day, lv, rv FROM l JOIN r USING (uid, day)",
+                "left semi": "SELECT uid, day, lv FROM l WHERE EXISTS "
+                "(SELECT 1 FROM r WHERE r.uid=l.uid AND r.day=l.day)",
+                "left anti": "SELECT uid, day, lv FROM l WHERE NOT EXISTS "
+                "(SELECT 1 FROM r WHERE r.uid=l.uid AND r.day=l.day)",
+            }[jt]
+            want = con.execute(sql).df()
+            gs = sorted(map(tuple, got[sorted(got.columns)].itertuples(index=False)))
+            ws = sorted(map(tuple, want[sorted(want.columns)].itertuples(index=False)))
+            assert gs == ws, jt
+
     def test_hot_key_combine_bounds_exchange(self, tmp_path, ray_session):
         """Planted skew: ONE orderkey owns 90% of lineitem rows across
         many input row groups. The map-side combine must collapse it to

@@ -54,10 +54,10 @@ from wbot_ray.pipelines.common import cents, read_table
 __all__ = ["hash_join", "order_priority_revenue", "q3_shipping"]
 
 
-def _bucket_of(arr: pa.ChunkedArray, num_buckets: int) -> pa.Array:
-    """Vectorized bucket id of a join-key column. Integer keys go through
-    a splitmix64 finalizer first — raw ``key % B`` would correlate with
-    any range partitioning already on the data (e.g. sequential
+def _hash_col(arr: pa.ChunkedArray) -> np.ndarray:
+    """Vectorized uint64 hash of one join-key column. Integer keys go
+    through a splitmix64 finalizer — raw ``key % B`` would correlate
+    with any range partitioning already on the data (e.g. sequential
     orderkeys land range-clustered per input file; the mix decorrelates
     bucket from block so every reducer sees every file's share)."""
     t = arr.type
@@ -72,43 +72,63 @@ def _bucket_of(arr: pa.ChunkedArray, num_buckets: int) -> pa.Array:
             x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
             x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
             x = x ^ (x >> np.uint64(31))
-        return pa.array((x % np.uint64(num_buckets)).astype(np.int64), pa.int64())
+        return x
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         import zlib
 
-        return pa.array(
-            [zlib.crc32(s.encode()) % num_buckets for s in arr.to_pylist()],
-            pa.int64(),
+        return np.fromiter(
+            (zlib.crc32(s.encode()) for s in arr.to_pylist()),
+            dtype=np.uint64,
+            count=len(arr),
         )
     raise TypeError(f"unsupported join-key type {t}")
+
+
+def _bucket_of(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
+    """Bucket id over one or more key columns: per-column uint64 hashes
+    folded with a golden-ratio mix (order-sensitive, so (a,b) and (b,a)
+    land independently), then ``% num_buckets``."""
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            h = h * np.uint64(0x9E3779B97F4A7C15) + _hash_col(t.column(k))
+            h ^= h >> np.uint64(29)
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64), pa.int64())
 
 
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
-    key: str,
+    key: str | list[str],
     num_buckets: int = 64,
     join_type: str = "inner",
     left_prepare: Callable[[pa.Table], pa.Table] | None = None,
     right_prepare: Callable[[pa.Table], pa.Table] | None = None,
     hot_keys: dict | None = None,
 ) -> "ray.data.Dataset":
-    """Partitioned hash join of two Datasets on ``key`` (same name and
-    type both sides; non-key column names must not collide).
+    """Partitioned hash join of two Datasets on ``key`` — one column
+    name or a list for a COMPOSITE key (same names and types both
+    sides; non-key column names must not collide). Composite keys
+    co-partition on the folded hash of all key columns, and the
+    bucket-local Acero join runs on the full column list — every key
+    tuple still lives in exactly one bucket.
 
     ``left_prepare`` / ``right_prepare``: optional per-bucket finisher
     run on that side's complete bucket slice before the join (the
     reduce-side half of a map-side combine). Must preserve the side's
-    schema key column; may change row count.
+    schema key columns; may change row count.
 
-    Output columns: ``key``, then left non-key columns, then right
-    non-key columns (inner/left-outer/right-outer per ``join_type``,
-    Acero semantics)."""
+    Output columns: the key column(s), then left non-key columns, then
+    right non-key columns (inner/left-outer/right-outer per
+    ``join_type``, Acero semantics)."""
+    keys = [key] if isinstance(key, str) else list(key)
     if hot_keys and join_type not in ("inner", "left outer", "left semi", "left anti"):
         raise ValueError(
             "hot_keys replicates right-side rows per salt — only inner/"
             f"left-side join types are exact under it, not {join_type!r}"
         )
+    if hot_keys and len(keys) > 1:
+        raise ValueError("hot_keys salting supports single-column keys only")
     if hot_keys and (left_prepare or right_prepare):
         # a hot key's left rows are SPLIT across salt buckets, so a
         # per-key-finishing prepare would emit one "complete" row per
@@ -123,14 +143,16 @@ def hash_join(
         base += hot_base[kv][1]
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
-    lcols = [f for f in lschema if f.name != key]
-    rcols = [f for f in rschema if f.name != key]
+    lcols = [f for f in lschema if f.name not in keys]
+    rcols = [f for f in rschema if f.name not in keys]
     overlap = {f.name for f in lcols} & {f.name for f in rcols}
     if overlap:
         raise ValueError(f"non-key columns collide across sides: {sorted(overlap)}")
-    key_type = lschema.field(key).type
-    names = ["jb", key, "side_l"] + [f.name for f in lcols] + [f.name for f in rcols]
-    types = [pa.int64(), key_type, pa.bool_()] + [f.type for f in lcols] + [
+    key_types = [lschema.field(k).type for k in keys]
+    names = (
+        ["jb"] + keys + ["side_l"] + [f.name for f in lcols] + [f.name for f in rcols]
+    )
+    types = [pa.int64()] + key_types + [pa.bool_()] + [f.type for f in lcols] + [
         f.type for f in rcols
     ]
     union_schema = pa.schema(list(zip(names, types)))
@@ -144,7 +166,7 @@ def hash_join(
             if hot_base and not is_left:
                 # replicate the right side's hot-key rows into every salt
                 # bucket of their key; non-hot rows pass through once
-                kvals = t.column(key).to_pylist()
+                kvals = t.column(keys[0]).to_pylist()
                 hot_rows = [i for i, v in enumerate(kvals) if v in hot_base]
                 if hot_rows:
                     keep = np.ones(len(kvals), dtype=bool)
@@ -166,9 +188,9 @@ def hash_join(
             if jb_override is not None:
                 jb = jb_override
             else:
-                jb = _bucket_of(t.column(key), num_buckets)
+                jb = _bucket_of(t, keys, num_buckets)
                 if hot_base and is_left:
-                    kvals = t.column(key).to_pylist()
+                    kvals = t.column(keys[0]).to_pylist()
                     jb_np = np.array(jb, dtype=np.int64)
                     salt = 0
                     for i, v in enumerate(kvals):
@@ -180,10 +202,12 @@ def hash_join(
                     jb = pa.array(jb_np, pa.int64())
             cols: dict[str, pa.Array | pa.ChunkedArray] = {
                 "jb": jb,
-                key: t.column(key),
                 "side_l": pa.array(np.full(n, is_left), pa.bool_()),
             }
-            for name, typ in zip(names[3:], types[3:]):
+            for k in keys:
+                cols[k] = t.column(k)
+            nk = 2 + len(keys)
+            for name, typ in zip(names[nk:], types[nk:]):
                 cols[name] = t.column(name) if name in own else pa.nulls(n, typ)
             return pa.table({nm: cols[nm] for nm in names}, schema=union_schema)
 
@@ -191,21 +215,21 @@ def hash_join(
 
     # semi/anti joins emit only the probe side's columns
     if join_type in ("left semi", "left anti"):
-        out_names = [key] + lnames
+        out_names = keys + lnames
     elif join_type in ("right semi", "right anti"):
-        out_names = [key] + rnames
+        out_names = keys + rnames
     else:
-        out_names = [key] + lnames + rnames
+        out_names = keys + lnames + rnames
 
     def join_bucket(g: pa.Table) -> pa.Table:
         is_l = g.column("side_l")
-        lt = g.filter(is_l).select([key] + lnames).combine_chunks()
-        rt = g.filter(pc.invert(is_l)).select([key] + rnames).combine_chunks()
+        lt = g.filter(is_l).select(keys + lnames).combine_chunks()
+        rt = g.filter(pc.invert(is_l)).select(keys + rnames).combine_chunks()
         if left_prepare is not None:
             lt = left_prepare(lt)
         if right_prepare is not None:
             rt = right_prepare(rt)
-        j = lt.join(rt, keys=key, join_type=join_type)
+        j = lt.join(rt, keys=keys, join_type=join_type)
         return j.select(out_names)
 
     return (
