@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": relational.user_running_value,
         "events_pivot": relational.events_pivot,
         "orders_cube": relational.orders_cube,
+        "user_day_share": relational.user_day_share,
         # -- corpus hygiene
         "decontaminate": textops.decontaminate,
         "quality_score": textops.quality_score,
@@ -1157,6 +1158,16 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING
                    ) AS BIGINT) AS running_cents
+            FROM events
+        """,
+        "user_day_share": f"""
+            -- composite-key join: each event vs its user's same-day total
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d') AS day,
+                   {cents('value')} AS value_cents,
+                   CAST(1000 * {cents('value')} // SUM({cents('value')}) OVER (
+                     PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                   ) AS BIGINT) AS share_pm
             FROM events
         """,
         "events_pivot": """

@@ -210,6 +210,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "user_running_value",
         "events_pivot",
         "orders_cube",
+        "user_day_share",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -466,6 +466,7 @@ class TestOracleParity:
             "user_running_value",
             "events_pivot",
             "orders_cube",
+            "user_day_share",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):

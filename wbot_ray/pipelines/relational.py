@@ -42,6 +42,7 @@ __all__ = [
     "user_running_value",
     "events_pivot",
     "orders_cube",
+    "user_day_share",
     "PRICE_BANDS_LO_CENTS",
     "EVENT_TYPES",
 ]
@@ -1274,3 +1275,74 @@ def events_pivot(sf_dir: str):
             Sum("n_total", alias_name="n_total"),
         )
     )
+
+
+def user_day_share(sf_dir: str):
+    """Each event's value as a per-mille share of its user's SAME-DAY
+    total — the composite-key join: fact rows ⋈ a (user_id, day)
+    aggregate, both sides co-partitioned on the two-column key.
+
+    Ray shape: one pruned read computes the per-(user, day) totals
+    (per-batch partials, exchange bounded by |users|·|days|); the slim
+    event rows then meet their total through ``hash_join(key=
+    ["user_id", "day"])`` — at 10^10 events the totals side is far too
+    large to broadcast, so the composite-key co-partition is the only
+    exact shape. share_pm = 1000·value∕total in exact integer cents
+    (values are strictly positive, so the floor division is total>0
+    safe)."""
+    from wbot_ray.pipelines.join import hash_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pc.strftime(batch.column("ts"), "%Y-%m-%d"),
+                "event_id": batch.column("event_id"),
+                "value_cents": cents(batch.column("value")),
+            }
+        )
+
+    events = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pc.strftime(batch.column("ts"), "%Y-%m-%d"),
+                "value_cents": cents(batch.column("value")),
+            }
+        )
+        g = t.group_by(["user_id", "day"]).aggregate([("value_cents", "sum")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "day": g.column("day"),
+                "tot": g.column("value_cents_sum"),
+            }
+        )
+
+    totals = (
+        read_table(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(total_partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("tot", alias_name="day_total_cents"))
+    )
+
+    def share(batch: pa.Table) -> pa.Table:
+        v = batch.column("value_cents").to_numpy(zero_copy_only=False)
+        tot = batch.column("day_total_cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "day": batch.column("day"),
+                "value_cents": batch.column("value_cents"),
+                "share_pm": pa.array(1000 * v // tot, pa.int64()),
+            }
+        )
+
+    return hash_join(
+        events, totals, key=["user_id", "day"], num_buckets=64
+    ).map_batches(share, batch_format="pyarrow")
