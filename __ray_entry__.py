@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).kmeans_clusters(sf),
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,
+        "semantic_search": lambda sf: __import__(
+            "wbot_ray.pipelines.semantic", fromlist=["semantic_search"]
+        ).semantic_search(sf),
         "term_search": search.term_search,
         "freq_quality": textops.freq_quality,
         # -- multimodal plumbing
@@ -473,6 +476,50 @@ def _embed_docs_oracle_sql() -> str:
     """
 
 
+def _semantic_search_oracle_sql() -> str:
+    """semantic_search recomputed from scratch in SQL: document AND
+    query embeddings re-derived from md5 (same projection as the
+    embed_docs oracle), exact integer inner products, (score desc,
+    doc_id) top-k. Query/dim/k read from the engine's signature."""
+    import inspect
+
+    from wbot_ray.pipelines import semantic
+
+    sig = inspect.signature(semantic.semantic_search)
+    q = sig.parameters["query"].default
+    dim = sig.parameters["dim"].default
+    k = sig.parameters["k"].default
+    return f"""
+        WITH tok AS (SELECT doc_id, tok, COUNT(*) AS tf
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                           FROM documents)
+                     GROUP BY doc_id, tok),
+        m AS (SELECT doc_id,
+                     CAST(md5_number_lower('emb:' || tok) % {dim} AS BIGINT) AS dim_i,
+                     (CASE WHEN (md5_number_lower('emb:' || tok) >> 32) & 1 = 1
+                           THEN 1 ELSE -1 END) * tf AS v
+              FROM tok),
+        demb AS (SELECT doc_id, dim_i, CAST(SUM(v) AS BIGINT) AS val
+                 FROM m GROUP BY doc_id, dim_i),
+        qtok AS (SELECT tok, COUNT(*) AS tf
+                 FROM (SELECT unnest(string_split('{q}', ' ')) AS tok)
+                 GROUP BY tok),
+        qm AS (SELECT CAST(md5_number_lower('emb:' || tok) % {dim} AS BIGINT) AS dim_i,
+                      (CASE WHEN (md5_number_lower('emb:' || tok) >> 32) & 1 = 1
+                            THEN 1 ELSE -1 END) * tf AS v
+               FROM qtok),
+        qv AS (SELECT dim_i, CAST(SUM(v) AS BIGINT) AS q
+               FROM qm GROUP BY dim_i HAVING SUM(v) <> 0),
+        sc AS (SELECT doc_id, CAST(SUM(val * q) AS BIGINT) AS score
+               FROM demb JOIN qv USING (dim_i)
+               WHERE val <> 0
+               GROUP BY doc_id)
+        SELECT doc_id, score FROM sc
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
 def _degrees_oracle_sql(links_path: str) -> str:
     """link_degrees recomputed from the raw links parquet."""
     return f"""
@@ -666,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": pagerank_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "link_degrees": _degrees_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "embed_docs": _embed_docs_oracle_sql(),
+        "semantic_search": _semantic_search_oracle_sql(),
         "langid": _langid_oracle_sql(),
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),

@@ -211,6 +211,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "events_pivot",
         "orders_cube",
         "user_day_share",
+        "semantic_search",
     ]
     out: dict[str, float] = {}
     for name in names:

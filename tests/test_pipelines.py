@@ -467,6 +467,7 @@ class TestOracleParity:
             "events_pivot",
             "orders_cube",
             "user_day_share",
+            "semantic_search",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -1935,3 +1936,28 @@ class TestQ3RuntimeFilter:
         # cap of 0 forces the skip path — still identical
         skip = q3_shipping(SF0001, runtime_filter=True, runtime_filter_cap=0).to_pylist()
         assert skip == plain
+
+
+class TestSemanticSearch:
+    def test_planted_doc_ranks_first(self, ray_session, tmp_path):
+        """A document that IS the query (repeated) must out-score word
+        soup; scores are exact integers under the hashing encoder."""
+        from wbot_ray.pipelines.semantic import encode_query, semantic_search
+
+        q = "hash join merge sort"
+        texts = [q + " " + q, "the slow brown table", "join order", "x y z"]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        got = semantic_search(str(tmp_path), query=q, k=3).to_pylist()
+        assert got[0]["doc_id"] == 0
+        # exact score: doc 0 holds 2x the query vector -> 2*|qv|^2
+        qv = encode_query(q)
+        assert got[0]["score"] == 2 * int((qv * qv).sum())
+        assert all(r["score"] <= got[0]["score"] for r in got)
