@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": training.weighted_sample,
         "global_shuffle": training.global_shuffle,
         "prepare_corpus": training.prepare_corpus,
+        "doc_chunks": training.doc_chunks,
         # -- graph analytics over the crawl link graph
         "link_pagerank": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_pagerank"]
@@ -1272,6 +1273,21 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN dups d USING (doc_id)
             LEFT JOIN top t USING (doc_id)
+        """,
+        "doc_chunks": """
+            -- overlapping token-window chunking rebuilt from scratch:
+            -- starts at i*48 while i*48 < n_tokens, windows of 64
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            c AS (SELECT doc_id, toks, len(toks) AS n_tok,
+                         UNNEST(range(0, ((len(toks) - 1) // 48) + 1)) AS ci
+                  FROM d)
+            SELECT doc_id,
+                   CAST(ci AS BIGINT) AS chunk_idx,
+                   CAST(LEAST(64, n_tok - ci * 48) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(
+                       list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ')) AS chunk_md5
+            FROM c
         """,
         "orders_rollup": f"""
             SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,

@@ -212,6 +212,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "orders_cube",
         "user_day_share",
         "semantic_search",
+        "doc_chunks",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -468,6 +468,7 @@ class TestOracleParity:
             "orders_cube",
             "user_day_share",
             "semantic_search",
+            "doc_chunks",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):

@@ -24,6 +24,7 @@ __all__ = [
     "stratified_sample",
     "global_shuffle",
     "prepare_corpus",
+    "doc_chunks",
 ]
 
 
@@ -319,3 +320,50 @@ def global_shuffle(sf_dir: str, num_shards: int = 8):
         )
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_chunks(sf_dir: str, chunk_len: int = 64, stride: int = 48):
+    """RAG/pretraining CHUNKING: split each document into overlapping
+    token windows (``chunk_len`` tokens every ``stride`` — adjacent
+    chunks share ``chunk_len − stride`` tokens), emitting one slim row
+    per chunk: ``(doc_id, chunk_idx, n_tokens, chunk_md5)`` — the md5
+    identity stands in for the chunk payload so the exchange-free
+    output stays bytes-light (a real pipeline would write the chunk
+    text to the partitioned sink keyed by these coordinates).
+
+    Ray shape: one stateless ``map_batches`` pass over a pruned read —
+    chunking is embarrassingly per-document, no exchange at all. Chunk
+    starts are ``i·stride`` while ``i·stride < n_tokens``, so the final
+    chunk may be short (never empty); a doc with ≤ chunk_len tokens is
+    exactly one chunk. All engine-side values (token counts, md5 of the
+    space-joined window) are recomputable in DuckDB via
+    ``list_slice`` — the oracle rebuilds every chunk from scratch."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        o_id, o_ci, o_n, o_md5 = [], [], [], []
+        for did, txt in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = txt.split(" ")
+            n = len(toks)
+            n_chunks = (n - 1) // stride + 1
+            for ci in range(n_chunks):
+                s = ci * stride
+                window = toks[s : s + chunk_len]
+                o_id.append(did)
+                o_ci.append(ci)
+                o_n.append(len(window))
+                o_md5.append(hashlib.md5(" ".join(window).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "chunk_idx": pa.array(o_ci, pa.int64()),
+                "n_tokens": pa.array(o_n, pa.int64()),
+                "chunk_md5": pa.array(o_md5, pa.string()),
+            }
+        )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
