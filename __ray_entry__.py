@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": relational.events_pivot,
         "orders_cube": relational.orders_cube,
         "user_day_share": relational.user_day_share,
+        "price_range_scan": relational.price_range_scan,
         # -- corpus hygiene
         "decontaminate": textops.decontaminate,
         "quality_score": textops.quality_score,
@@ -1208,6 +1209,13 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING
                    ) AS BIGINT) AS running_cents
             FROM events
+        """,
+        "price_range_scan": f"""
+            -- zone-map layout scan == plain range filter
+            SELECT o_orderkey, {cents('o_totalprice')} AS price_cents
+            FROM orders
+            WHERE {cents('o_totalprice')} >= 500000
+              AND {cents('o_totalprice')} < 2000000
         """,
         "user_day_share": f"""
             -- composite-key join: each event vs its user's same-day total

@@ -213,6 +213,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "user_day_share",
         "semantic_search",
         "doc_chunks",
+        "price_range_scan",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -469,6 +469,7 @@ class TestOracleParity:
             "user_day_share",
             "semantic_search",
             "doc_chunks",
+            "price_range_scan",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):

@@ -43,6 +43,7 @@ __all__ = [
     "events_pivot",
     "orders_cube",
     "user_day_share",
+    "price_range_scan",
     "PRICE_BANDS_LO_CENTS",
     "EVENT_TYPES",
 ]
@@ -1346,3 +1347,56 @@ def user_day_share(sf_dir: str):
     return hash_join(
         events, totals, key=["user_id", "day"], num_buckets=64
     ).map_batches(share, batch_format="pyarrow")
+
+
+def price_range_scan(sf_dir: str, lo: int = 500_000, hi: int = 2_000_000):
+    """Orders in a price band served from the RANGE LAYOUT
+    (``sources.range_layout``): one-time sorted-shard build (cached by
+    content fingerprint, manifest presence = built), then a zone-map
+    pruned scan that opens only the shards intersecting
+    ``[lo, hi)`` cents — the build-once/scan-many pattern under the
+    driver's correctness gate, alongside the hash-bucket (web index),
+    centroid-bucket (IVF) and term-bucket (inverted index) layouts.
+    The pruned fraction is logged (no silent caps)."""
+    import hashlib
+    import logging
+    import os
+
+    from wbot_ray.sources.range_layout import (
+        LAST_SCAN_STATS,
+        build_range_layout,
+        range_scan,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    layout_dir = f"/tmp/wbot_ray_rangelayout/v1/{fp}"
+    if not os.path.exists(os.path.join(layout_dir, "_MANIFEST.json")):
+
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": batch.column("o_orderkey"),
+                    "price_cents": cents(batch.column("o_totalprice")),
+                }
+            )
+
+        build_range_layout(
+            read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+                prep, batch_format="pyarrow"
+            ),
+            "price_cents",
+            layout_dir,
+        )
+    ds = range_scan(layout_dir, lo, hi)
+    logging.getLogger("wbot_ray").info(
+        "price_range_scan: read %s/%s shards (%s/%s rows)",
+        LAST_SCAN_STATS.get("shards_read"),
+        LAST_SCAN_STATS.get("shards_total"),
+        LAST_SCAN_STATS.get("rows_read"),
+        LAST_SCAN_STATS.get("rows_total"),
+    )
+    return ds
