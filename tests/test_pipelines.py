@@ -1963,3 +1963,53 @@ class TestSemanticSearch:
         qv = encode_query(q)
         assert got[0]["score"] == 2 * int((qv * qv).sum())
         assert all(r["score"] <= got[0]["score"] for r in got)
+
+
+class TestRepetitionRandomized:
+    def test_random_strings_match_duckdb(self, ray_session, tmp_path):
+        """Random small-vocab strings with planted whitespace runs,
+        tabs, empties and heavy repeats — engine vs the SQL oracle."""
+        import duckdb
+
+        from wbot_ray.pipelines.textops import repetition_stats
+
+        rng = np.random.RandomState(31)
+        vocab = ["a", "bb", "ccc", "dd", "e"]
+        seps = [" ", "  ", "\t", " \t ", "\n"]
+        texts = []
+        for _ in range(80):
+            k = int(rng.randint(0, 12))
+            words = [vocab[rng.randint(len(vocab))] for _ in range(k)]
+            sep_choices = [seps[rng.randint(len(seps))] for _ in range(max(k - 1, 0))]
+            parts = []
+            for i, w in enumerate(words):
+                parts.append(w)
+                if i < len(sep_choices):
+                    parts.append(sep_choices[i])
+            texts.append("".join(parts))
+        texts += ["", " ", "\t\t", "x x x x x x x x"]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        got = sorted(
+            repetition_stats(str(tmp_path)).take_all(), key=lambda r: r["doc_id"]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
+        )
+        want = con.execute(
+            entrymod.oracle_sql()["repetition_stats"] + " ORDER BY doc_id"
+        ).df()
+        assert len(got) == len(want)
+        for g, (_, w) in zip(got, want.iterrows()):
+            assert g["doc_id"] == w["doc_id"]
+            for c in ("n_words", "n_bigrams", "dup_bigram_pm", "top_bigram_chars_pm"):
+                assert g[c] == w[c], (g["doc_id"], c, g[c], w[c])
