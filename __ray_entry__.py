@@ -169,7 +169,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": textops.decontaminate,
         "quality_score": textops.quality_score,
         "repetition_stats": textops.repetition_stats,
+        "pii_scrub": textops.pii_scrub,
     }
+
+
+def _pii_scrub_oracle_sql() -> str:
+    """Generated from the SAME PII_PATTERNS tuple the engine scrubs
+    with (single source of truth): sequential regexp_replace nesting in
+    the engine's application order, each pattern counted on the text
+    state it actually sees. DuckDB's regexp_* and pyarrow's kernels are
+    both RE2, so the identical pattern string is value-exact for ANY
+    input."""
+    from wbot_ray.pipelines.textops import PII_PATTERNS
+
+    (_, em, em_r), (_, ip, ip_r), (_, ph, ph_r) = PII_PATTERNS
+    return f"""
+        WITH s1 AS (
+          SELECT doc_id, text,
+                 regexp_replace(text, '{em}', '{em_r}', 'g') AS t1,
+                 CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email
+          FROM documents),
+        s2 AS (
+          SELECT *, regexp_replace(t1, '{ip}', '{ip_r}', 'g') AS t2,
+                 CAST(len(regexp_extract_all(t1, '{ip}')) AS BIGINT) AS n_ipv4
+          FROM s1),
+        s3 AS (
+          SELECT *, regexp_replace(t2, '{ph}', '{ph_r}', 'g') AS t3,
+                 CAST(len(regexp_extract_all(t2, '{ph}')) AS BIGINT) AS n_phone
+          FROM s2)
+        SELECT doc_id, md5(t3) AS scrub_hash,
+               n_email, n_ipv4, n_phone, (t3 <> text) AS changed
+        FROM s3
+    """
 
 
 def _langid_oracle_sql() -> str:
@@ -726,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         ).kmeans_oracle_sql(),
         "dup_clusters": _clusters_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
+        "pii_scrub": _pii_scrub_oracle_sql(),
         "price_band_join": _price_band_oracle_sql(),
         "order_priority_revenue": f"""
             -- large-large join: per-order lineitem revenue in exact

@@ -214,6 +214,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "semantic_search",
         "doc_chunks",
         "price_range_scan",
+        "pii_scrub",
     ]
     out: dict[str, float] = {}
     for name in names:

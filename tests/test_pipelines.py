@@ -2013,3 +2013,86 @@ class TestRepetitionRandomized:
             assert g["doc_id"] == w["doc_id"]
             for c in ("n_words", "n_bigrams", "dup_bigram_pm", "top_bigram_chars_pm"):
                 assert g[c] == w[c], (g["doc_id"], c, g[c], w[c])
+
+
+class TestPiiScrub:
+    def _run(self, tmp_path, texts):
+        import duckdb
+
+        from wbot_ray.pipelines.textops import pii_scrub
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        got = sorted(pii_scrub(str(tmp_path)).take_all(), key=lambda r: r["doc_id"])
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
+        )
+        want = con.execute(
+            entrymod.oracle_sql()["pii_scrub"] + " ORDER BY doc_id"
+        ).df()
+        assert len(got) == len(want)
+        for g, (_, w) in zip(got, want.iterrows()):
+            for c in ("scrub_hash", "n_email", "n_ipv4", "n_phone", "changed"):
+                assert g[c] == w[c], (g["doc_id"], c, g[c], w[c])
+        return got
+
+    def test_planted_vectors(self, ray_session, tmp_path):
+        """Adversarial planted cases: ip-inside-email-shape, 5-octet run,
+        word-boundary defeats, single-letter TLD, empty doc — engine vs
+        the DuckDB oracle, plus pinned expected counts."""
+        texts = [
+            "contact john.doe+spam@mail.example.com or jane@sub.domain.org",
+            "server at 10.0.255.1 and 192.168.1.100, bad 1.2.3.4.5",
+            "call +1 555 1234 or 44-201-9999 maybe 123 456 7890",
+            "mixed: bob@192.168.0.1 then 8.8.8.8 tel 1.555.0000",
+            "",
+            "no pii here",
+            "a@b.co",
+            "5.6.7.8x no boundary",
+            "@not.an.email",
+        ]
+        got = self._run(tmp_path, texts)
+        counts = [(g["n_email"], g["n_ipv4"], g["n_phone"]) for g in got]
+        assert counts == [
+            (2, 0, 0),
+            (0, 3, 0),  # 1.2.3.4.5 → "1.2.3.4" matches, ".5" does not
+            (0, 0, 3),
+            (0, 2, 1),  # bob@192.168.0.1: no alpha TLD ⇒ not an email
+            (0, 0, 0),
+            (0, 0, 0),
+            (1, 0, 0),
+            (0, 0, 0),  # 8→x is word-word: \b fails on both engines
+            (0, 0, 0),
+        ]
+        assert [g["changed"] for g in got] == [
+            True, True, True, True, False, False, True, False, False,
+        ]
+
+    def test_randomized_match_duckdb(self, ray_session, tmp_path):
+        """Random concatenations of PII-ish fragments and near-misses —
+        the RE2-identity claim checked on inputs neither engine saw."""
+        rng = np.random.RandomState(47)
+        frags = [
+            "word", "a@b.io", "x.y@z.com", "1.2.3.4", "10.0.0", "255.255.255.255",
+            "+1 555 1234", "555 1234", "12.345.6789", "user@", "@host.com",
+            "3.14", "v1.2.3", "..", "a-b@c-d.org", "999 999 99999",
+        ]
+        seps = [" ", ", ", "\n", "", " -- "]
+        texts = []
+        for _ in range(120):
+            k = int(rng.randint(0, 8))
+            parts = []
+            for i in range(k):
+                parts.append(frags[rng.randint(len(frags))])
+                parts.append(seps[rng.randint(len(seps))])
+            texts.append("".join(parts))
+        self._run(tmp_path, texts)

@@ -36,6 +36,7 @@ __all__ = [
     "quality_score",
     "freq_quality",
     "repetition_stats",
+    "pii_scrub",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -886,6 +887,63 @@ def repetition_stats(sf_dir: str):
                 "n_bigrams": pa.array(o_big, pa.int64()),
                 "dup_bigram_pm": pa.array(o_dup, pa.int64()),
                 "top_bigram_chars_pm": pa.array(o_top, pa.int64()),
+            }
+        )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+# PII redaction patterns, applied IN ORDER (email first so an address's
+# host part can't be half-eaten by the IP pattern; phone last so the
+# looser digit shape never claims bytes the specific shapes own). All
+# three are RE2 — pyarrow's re2-backed kernels and DuckDB's regexp_*
+# compile the IDENTICAL pattern, which is what makes the scrub
+# value-exact cross-engine for ANY input, not just the fixture.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{1,3}[ .\-][0-9]{3}[ .\-][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(sf_dir: str):
+    """PII redaction — the compliance pass a web corpus runs before any
+    text leaves the pipeline: emails, IPv4 addresses and phone-shaped
+    digit runs replaced by typed placeholder tokens. Per doc: md5 of the
+    scrubbed text (downstream keys on the hash; the exchange never
+    carries the text), per-type match counts, and a ``changed`` flag so
+    a consumer can route untouched docs around a rewrite sink.
+
+    Counts are taken on the text state each pattern actually sees
+    (i.e. AFTER the preceding replacements) — the same nesting the
+    DuckDB oracle applies — so a count never double-claims bytes an
+    earlier pattern already redacted.
+
+    Scale shape: stateless single-pass ``map_batches`` over a pruned
+    two-column read; the regex scan is pyarrow's C++ RE2 kernel (no
+    Python loop over rows for the match/replace work); no shuffle.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        counts: dict[str, pa.Array] = {}
+        for name, pat, repl in PII_PATTERNS:
+            counts[name] = pc.cast(pc.count_substring_regex(t, pat), pa.int64())
+            t = pc.replace_substring_regex(t, pat, repl)
+        scrubbed = t.to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "scrub_hash": pa.array(
+                    [hashlib.md5(s.encode()).hexdigest() for s in scrubbed],
+                    pa.string(),
+                ),
+                "n_email": counts["email"],
+                "n_ipv4": counts["ipv4"],
+                "n_phone": counts["phone"],
+                "changed": pc.not_equal(t, batch.column("text")),
             }
         )
 
