@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shuffle": training.global_shuffle,
         "prepare_corpus": training.prepare_corpus,
         "doc_chunks": training.doc_chunks,
+        "source_mix": training.source_mix,
         # -- graph analytics over the crawl link graph
         "link_pagerank": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_pagerank"]
@@ -171,6 +172,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textops.repetition_stats,
         "pii_scrub": textops.pii_scrub,
     }
+
+
+def _source_mix_oracle_sql() -> str:
+    """Generated from the SAME DEFAULT_MIX spec and integer rate rule
+    the engine uses (``training.mix_rates_ppm``): per-source counts,
+    floor-div ppm rates clamped at 10^6, keep iff the salted
+    md5_number_lower of the doc key lands under the source's rate."""
+    from wbot_ray.pipelines.training import DEFAULT_MIX, MIX_SALT, PPM
+
+    values = ", ".join(f"('{s}', {w})" for s, w in sorted(DEFAULT_MIX.items()))
+    return f"""
+        WITH w(source, wt) AS (VALUES {values}),
+        counts AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(c.n) AS BIGINT) // 2 AS n_out,
+                 CAST(SUM(w.wt) AS BIGINT) AS w_total
+          FROM counts c JOIN w USING (source)),
+        rates AS (
+          SELECT c.source,
+                 CAST(LEAST({PPM},
+                      (t.n_out * w.wt * {PPM}) // (t.w_total * c.n))
+                      AS BIGINT) AS rate_ppm
+          FROM counts c JOIN w USING (source), tot t)
+        SELECT d.doc_id, d.source, r.rate_ppm
+        FROM documents d JOIN rates r USING (source)
+        WHERE md5_number_lower('{MIX_SALT}' || CAST(d.doc_id AS VARCHAR))
+                % {PPM} < r.rate_ppm
+    """
 
 
 def _pii_scrub_oracle_sql() -> str:
@@ -758,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _clusters_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "pii_scrub": _pii_scrub_oracle_sql(),
+        "source_mix": _source_mix_oracle_sql(),
         "price_band_join": _price_band_oracle_sql(),
         "order_priority_revenue": f"""
             -- large-large join: per-order lineitem revenue in exact

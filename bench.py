@@ -215,6 +215,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "doc_chunks",
         "price_range_scan",
         "pii_scrub",
+        "source_mix",
     ]
     out: dict[str, float] = {}
     for name in names:

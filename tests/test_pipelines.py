@@ -2096,3 +2096,60 @@ class TestPiiScrub:
                 parts.append(seps[rng.randint(len(seps))])
             texts.append("".join(parts))
         self._run(tmp_path, texts)
+
+
+class TestSourceMix:
+    def test_rates_integer_rule(self):
+        from wbot_ray.pipelines.training import PPM, mix_rates_ppm
+
+        # equal weights, budget 50: a's fair share (25) exceeds supply
+        # (10) -> clamp; b keeps floor(25/90 * 1e6) ppm
+        assert mix_rates_ppm({"a": 10, "b": 90}, {"a": 1, "b": 1}, 50) == {
+            "a": PPM,
+            "b": 277_777,
+        }
+        # source absent from the spec is dropped outright
+        assert mix_rates_ppm({"a": 10, "x": 5}, {"a": 1}, 10)["x"] == 0
+
+    def test_planted_skew_match_duckdb(self, ray_session, tmp_path):
+        """Skewed per-source counts (clamped rare source, heavy common
+        source, one source missing from the spec) — engine vs the
+        generated DuckDB oracle, exact rows."""
+        import duckdb
+
+        from wbot_ray.pipelines.training import source_mix
+
+        rng = np.random.RandomState(7)
+        srcs = ["src0"] * 5 + ["src19"] * 400 + ["src7"] * 60 + ["nospec"] * 30
+        rng.shuffle(srcs)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(srcs)), pa.int64()),
+                    "source": pa.array(srcs, pa.string()),
+                    "text": pa.array(["t"] * len(srcs), pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        got = sorted(
+            source_mix(str(tmp_path)).take_all(), key=lambda r: r["doc_id"]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
+        )
+        want = con.execute(
+            entrymod.oracle_sql()["source_mix"] + " ORDER BY doc_id"
+        ).df()
+        assert len(got) == len(want)
+        for g, (_, w) in zip(got, want.iterrows()):
+            for c in ("doc_id", "source", "rate_ppm"):
+                assert g[c] == w[c], (c, g, dict(w))
+        # the unspecified source never survives; the rare source clamps
+        kept_srcs = {g["source"] for g in got}
+        assert "nospec" not in kept_srcs
+        rates = {g["source"]: g["rate_ppm"] for g in got}
+        if "src0" in rates:
+            assert rates["src0"] == 1_000_000

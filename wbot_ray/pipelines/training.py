@@ -20,6 +20,7 @@ from wbot_ray.pipelines.common import md5_lower64, read_table
 
 __all__ = [
     "sample_hash",
+    "source_mix",
     "pack_sequences",
     "stratified_sample",
     "global_shuffle",
@@ -366,4 +367,99 @@ def doc_chunks(sf_dir: str, chunk_len: int = 64, stride: int = 48):
 
     return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
+    )
+
+
+# default mixture spec for the fixture corpus: weight(srcK) = K+1 — a
+# deliberately non-uniform ramp so the gate exercises real rate spread
+DEFAULT_MIX = {f"src{i}": i + 1 for i in range(20)}
+MIX_SALT = "mix:"
+PPM = 1_000_000
+
+
+def mix_rates_ppm(
+    counts: dict[str, int], weights: dict[str, int], n_out: int
+) -> dict[str, int]:
+    """Per-source keep rates (parts-per-million) that reshape a corpus
+    with per-source ``counts`` toward the target mixture ``weights``
+    under a total budget of ``n_out`` docs — pure integer math
+    (floor-div), so any engine recomputes it bit-for-bit. A source
+    whose fair share exceeds its supply clamps at 10^6 (upsampling is
+    out of scope for a keep/drop gate); sources absent from the spec
+    get rate 0 (dropped)."""
+    w_total = sum(weights.get(s, 0) for s in counts)
+    out = {}
+    for s, n in counts.items():
+        w = weights.get(s, 0)
+        out[s] = min(PPM, (n_out * w * PPM) // (w_total * n)) if w and n else 0
+    return out
+
+
+def source_mix(sf_dir: str, weights: dict[str, int] | None = None, out_frac: int = 2):
+    """Data mixing — reshape the corpus toward a target per-source
+    mixture (the Pile/Dolma-style rebalancing step between filtering
+    and tokenization). Two passes:
+
+    1. per-source counts: per-batch ``value_counts`` partials into a
+       tiny keyed aggregate (≤ |sources| rows reach the driver — a
+       mixture spec is small by definition);
+    2. keep gate: each doc kept iff
+       ``md5_number_lower('mix:' || doc_id) % 10^6 < rate_ppm[source]``
+       where the rates come from :func:`mix_rates_ppm` with budget
+       ``n_in_spec // out_frac`` — a pure function of the stable doc key,
+       so the sample is reproducible on any subset of shards and needs
+       no RNG coordination (same contract as ``sample_hash``).
+
+    Scale shape: pass 1's exchange carries one row per (batch ×
+    source); pass 2 is a stateless ``map_batches`` gate with the rate
+    table closed over (broadcast-by-closure — it is ≤ |sources|
+    entries). Output: ``(doc_id, source, rate_ppm)`` for kept docs.
+    """
+    weights = DEFAULT_MIX if weights is None else weights
+
+    def part_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("source"))
+        return pa.table(
+            {
+                "source": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts_rows = (
+        read_table(sf_dir, "documents", ["source"])
+        .map_batches(part_counts, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    counts = {r["source"]: int(r["n"]) for r in counts_rows}
+    # budget = a fraction of the IN-SPEC corpus: out-of-spec sources are
+    # dropped by the gate, so they don't get to inflate everyone's rates
+    n_out = sum(n for s, n in counts.items() if weights.get(s, 0)) // out_frac
+    rates = mix_rates_ppm(counts, weights, n_out)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        codes = pc.dictionary_encode(src).combine_chunks()
+        dict_vals = codes.dictionary.to_pylist()
+        rate_by_code = np.array([rates.get(v, 0) for v in dict_vals], dtype=np.int64)
+        row_rates = rate_by_code[codes.indices.to_numpy()]
+        ids = batch.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (md5_lower64(f"{MIX_SALT}{i}") % PPM for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        keep = h < row_rates
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": src,
+                "rate_ppm": pa.array(row_rates, pa.int64()),
+            }
+        ).filter(pa.array(keep))
+
+    return read_table(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        gate, batch_format="pyarrow"
     )
