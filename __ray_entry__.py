@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.quality_score,
         "repetition_stats": textops.repetition_stats,
         "pii_scrub": textops.pii_scrub,
+        "length_deciles": textops.length_deciles,
     }
 
 
@@ -790,6 +791,15 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle_sql(),
         "pii_scrub": _pii_scrub_oracle_sql(),
         "source_mix": _source_mix_oracle_sql(),
+        "length_deciles": """
+            -- exact SQL-window semantics incl. the first-(n%k)-buckets-
+            -- get-one-extra rule and the (n_chars, doc_id) tie-break
+            SELECT doc_id, lang, n_chars,
+                   CAST(NTILE(10) OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS decile
+            FROM documents
+        """,
         "price_band_join": _price_band_oracle_sql(),
         "order_priority_revenue": f"""
             -- large-large join: per-order lineitem revenue in exact

@@ -216,6 +216,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "price_range_scan",
         "pii_scrub",
         "source_mix",
+        "length_deciles",
     ]
     out: dict[str, float] = {}
     for name in names:

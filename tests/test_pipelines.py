@@ -2153,3 +2153,61 @@ class TestSourceMix:
         rates = {g["source"]: g["rate_ppm"] for g in got}
         if "src0" in rates:
             assert rates["src0"] == 1_000_000
+
+
+class TestLengthDeciles:
+    def _check(self, tmp_path, langs, n_chars):
+        import duckdb
+
+        from wbot_ray.pipelines.textops import length_deciles
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(langs)), pa.int64()),
+                    "lang": pa.array(langs, pa.string()),
+                    "n_chars": pa.array(n_chars, pa.int64()),
+                    "text": pa.array(["t"] * len(langs), pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        got = sorted(
+            length_deciles(str(tmp_path)).take_all(), key=lambda r: r["doc_id"]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
+        )
+        want = con.execute(
+            entrymod.oracle_sql()["length_deciles"] + " ORDER BY doc_id"
+        ).df()
+        assert len(got) == len(want)
+        for g, (_, w) in zip(got, want.iterrows()):
+            for c in ("doc_id", "lang", "n_chars", "decile"):
+                assert g[c] == w[c], (c, g, dict(w))
+        return got
+
+    def test_ties_and_tiny_groups(self, ray_session, tmp_path):
+        """All-equal lengths (pure doc_id tie-break), languages with
+        fewer docs than buckets (NTILE's one-row-per-bucket edge), and
+        the uneven n%k extra-row rule — exact vs DuckDB NTILE."""
+        langs = ["en"] * 23 + ["de"] * 3 + ["fr"] * 1 + ["es"] * 10
+        n_chars = [7] * 23 + [5, 5, 5] + [9] + list(range(10))
+        got = self._check(tmp_path, langs, n_chars)
+        # en: 23 rows -> first 3 deciles get 3 rows, rest 2 (SQL rule)
+        en = [g["decile"] for g in got if g["lang"] == "en"]
+        from collections import Counter
+
+        assert Counter(en) == {**{d: 3 for d in (1, 2, 3)}, **{d: 2 for d in range(4, 11)}}
+        # fr: 1 row -> bucket 1; de: 3 rows -> buckets 1,2,3
+        assert [g["decile"] for g in got if g["lang"] == "fr"] == [1]
+        assert sorted(g["decile"] for g in got if g["lang"] == "de") == [1, 2, 3]
+
+    def test_randomized_match_duckdb(self, ray_session, tmp_path):
+        rng = np.random.RandomState(11)
+        n = 400
+        langs = [f"l{rng.randint(6)}" for _ in range(n)]
+        n_chars = [int(rng.randint(0, 15)) for _ in range(n)]  # heavy ties
+        self._check(tmp_path, langs, n_chars)

@@ -37,6 +37,7 @@ __all__ = [
     "freq_quality",
     "repetition_stats",
     "pii_scrub",
+    "length_deciles",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -950,3 +951,87 @@ def pii_scrub(sf_dir: str):
     return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def length_deciles(sf_dir: str, k: int = 10):
+    """Exact per-language NTILE(k) over document length — the
+    percentile-bucket assignment a curriculum/mixing pipeline uses to
+    stratify a corpus ("shortest decile", "longest decile") with EXACT
+    SQL-window semantics: bucket boundaries follow ``NTILE(k) OVER
+    (PARTITION BY lang ORDER BY n_chars, doc_id)`` including the
+    first-``n%k``-buckets-get-one-extra rule and deterministic
+    tie-break.
+
+    Exact global ranking is the one window shape that genuinely needs a
+    distributed SORT (an all-to-all, paid once): rows are range-
+    partitioned by ``(lang, n_chars, doc_id)``, then each block's dense
+    global rank comes from the block-offset pattern (cumulative
+    per-block row counts read from block METADATA — no row transits the
+    driver; same machinery as the crawl's ``crawl_ord``,
+    ``stages/order.py``). Because the sort is lexicographic with
+    ``lang`` leading, each language occupies one contiguous rank range,
+    so per-lang rank = global rank − lang start, where the ≤ |langs|
+    starts come from a tiny per-batch count aggregate broadcast by
+    closure. Bucket math is pure integer (vectorized numpy), identical
+    to the SQL rule. Hot languages cost sort bandwidth, not a hot
+    hash-partition — range partitioning splits them across blocks.
+    """
+    import ray.data
+
+    from wbot_ray.stages.order import assign_crawl_ord
+
+    def part_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("lang"))
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts_rows = (
+        read_table(sf_dir, "documents", ["lang"])
+        .map_batches(part_counts, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    lang_n = {r["lang"]: int(r["n"]) for r in counts_rows}
+    lang_start, acc = {}, 0
+    for lang in sorted(lang_n):  # ascending string order == the sort order
+        lang_start[lang] = acc
+        acc += lang_n[lang]
+
+    ranked, _ = assign_crawl_ord(
+        read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).sort(
+            ["lang", "n_chars", "doc_id"]
+        ),
+        0,
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(batch.column("lang")).combine_chunks()
+        vals = codes.dictionary.to_pylist()
+        idx = codes.indices.to_numpy()
+        r = batch.column("crawl_ord").to_numpy() - np.array(
+            [lang_start[v] for v in vals], dtype=np.int64
+        )[idx]
+        n = np.array([lang_n[v] for v in vals], dtype=np.int64)[idx]
+        # SQL NTILE: the first n%k buckets hold n//k + 1 rows each
+        base, extra = n // k, n % k
+        cut = extra * (base + 1)
+        bucket = np.where(
+            r < cut,
+            r // (base + 1) + 1,
+            extra + (r - cut) // np.maximum(base, 1) + 1,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars"),
+                "decile": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
