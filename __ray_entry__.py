@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_by_type": relational.props_by_type,
         "user_running_value": relational.user_running_value,
         "events_pivot": relational.events_pivot,
+        "events_anomaly": relational.events_anomaly,
         "orders_cube": relational.orders_cube,
         "user_day_share": relational.user_day_share,
         "price_range_scan": relational.price_range_scan,
@@ -1001,6 +1002,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM({cents('value')}) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_anomaly": """
+            -- trailing-window burst detection: integer rule
+            -- n * nprev * den > num * trail over the time-based frame
+            -- (RANGE, not ROWS — well-defined under hour gaps)
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS hour,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), w AS (
+              SELECT hour, n,
+                     SUM(n) OVER (ORDER BY hour RANGE BETWEEN INTERVAL 24 HOURS
+                                  PRECEDING AND INTERVAL 1 HOUR PRECEDING) AS trail,
+                     COUNT(*) OVER (ORDER BY hour RANGE BETWEEN INTERVAL 24 HOURS
+                                    PRECEDING AND INTERVAL 1 HOUR PRECEDING) AS nprev
+              FROM hourly
+            )
+            SELECT strftime(hour, '%Y-%m-%d %H:00:00') AS hour_key,
+                   n AS n_events,
+                   CAST(trail AS BIGINT) AS trail_sum
+            FROM w WHERE nprev >= 12 AND n * nprev * 2 > 3 * trail
         """,
         "funnel_steps": """
             -- ordered funnel: each stage's first event at-or-after the

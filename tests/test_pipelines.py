@@ -470,6 +470,7 @@ class TestOracleParity:
             "semantic_search",
             "doc_chunks",
             "price_range_scan",
+            "events_anomaly",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -2211,3 +2212,90 @@ class TestLengthDeciles:
         langs = [f"l{rng.randint(6)}" for _ in range(n)]
         n_chars = [int(rng.randint(0, 15)) for _ in range(n)]  # heavy ties
         self._check(tmp_path, langs, n_chars)
+
+
+class TestEventsAnomaly:
+    """Planted-burst semantics for events_anomaly, checked against a
+    straightforward per-hour brute-force reference (no engine code in
+    the reference path). bucket_hours=48 forces trailing windows to
+    cross partition boundaries, so the context replication is on the
+    line for every flagged hour."""
+
+    @staticmethod
+    def _write_events(d: str, counts: dict[int, int]) -> str:
+        ts = []
+        for h, n in sorted(counts.items()):
+            ts.extend(h * 3_600_000_000 + i * 1_000_000 for i in range(n))
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"ts": pa.array(ts, pa.timestamp("us"))}),
+            os.path.join(d, "events.parquet"),
+        )
+        return d
+
+    @staticmethod
+    def _brute(counts, window_h=24, num=3, den=2, min_prev=12):
+        out = []
+        hours = sorted(counts)
+        for h in hours:
+            prev = [g for g in hours if h - window_h <= g < h]
+            trail = sum(counts[g] for g in prev)
+            if len(prev) >= min_prev and counts[h] * len(prev) * den > num * trail:
+                out.append((h, counts[h], trail))
+        return out
+
+    def test_planted_burst_gap_and_warmup(self, ray_session, tmp_path):
+        from wbot_ray.pipelines.relational import events_anomaly
+
+        counts = {h: 10 for h in range(60)}
+        counts[5] = 100  # warm-up burst: nprev < min_prev, must NOT alert
+        counts[48] = 40  # real burst (window crosses the 48h bucket edge)
+        for h in range(80, 104):
+            counts[h] = 10  # after a 20h gap
+        counts[104] = 25  # burst after the series recovers
+        d = self._write_events(str(tmp_path / "ev"), counts)
+
+        got = (
+            events_anomaly(d, bucket_hours=48)
+            .to_pandas()
+            .sort_values("hour_key")
+            .reset_index(drop=True)
+        )
+        want = self._brute(counts)
+        assert [48, 104] == [h for h, _, _ in want]  # the plant, sanity
+        got_hours = [
+            int(np.datetime64(s).astype("datetime64[h]").astype(int))
+            for s in got["hour_key"]
+        ]
+        assert got_hours == [h for h, _, _ in want]
+        assert got["n_events"].tolist() == [n for _, n, _ in want]
+        assert got["trail_sum"].tolist() == [t for _, _, t in want]
+
+    def test_randomized_vs_brute(self, ray_session, tmp_path):
+        from wbot_ray.pipelines.relational import events_anomaly
+
+        rng = np.random.RandomState(23)
+        # sparse series with gaps and occasional spikes
+        counts = {}
+        for h in range(300):
+            if rng.rand() < 0.75:
+                counts[h] = int(rng.randint(1, 8))
+                if rng.rand() < 0.05:
+                    counts[h] = int(rng.randint(20, 40))
+        d = self._write_events(str(tmp_path / "ev"), counts)
+        got = (
+            events_anomaly(d, bucket_hours=64)
+            .to_pandas()
+            .sort_values("hour_key")
+            .reset_index(drop=True)
+        )
+        want = self._brute(counts)
+        got_rows = [
+            (
+                int(np.datetime64(s).astype("datetime64[h]").astype(int)),
+                int(n),
+                int(t),
+            )
+            for s, n, t in zip(got["hour_key"], got["n_events"], got["trail_sum"])
+        ]
+        assert got_rows == want

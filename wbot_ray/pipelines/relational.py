@@ -33,6 +33,7 @@ __all__ = [
     "price_quantiles",
     "sessionize",
     "asof_prior_event",
+    "events_anomaly",
     "window_pairs",
     "funnel_steps",
     "region_acctbal",
@@ -959,6 +960,127 @@ def window_pairs(
     )
     # typed empty union: an all-empty result must keep the schema
     return rd.from_arrow(out_schema.empty_table()).union(joined)
+
+
+def events_anomaly(
+    sf_dir: str,
+    window_h: int = 24,
+    num: int = 3,
+    den: int = 2,
+    min_prev: int = 12,
+    bucket_hours: int = 240,
+):
+    """Trailing-window BURST DETECTION over the event stream — the
+    time-series anomaly shape: flag every hour whose event count
+    exceeds ``num/den`` × the mean over its PRESENT trailing
+    ``window_h``-hour slots (≥ ``min_prev`` of them required, so the
+    series' warm-up hours never alert). Pure integer
+    cross-multiplication — ``n · nprev · den > num · trail_sum`` — so
+    both engines apply the identical rule with no float mean.
+
+    Ray shape (scale-honest end to end):
+
+    1. per-batch partial hour counts (map-side combine — the exchange
+       carries ≤ |hours-in-batch| rows, never events);
+    2. ONE tiny keyed groupby finishes the hourly series (cardinality
+       = |hours|, bounded by the time DOMAIN, not data volume);
+    3. the trailing window runs distributed via the ``window_pairs``
+       neighbor-replication pattern: hourly rows are co-partitioned on
+       a coarse ``bucket_hours`` time bucket, and a row within
+       ``window_h`` hours of the next bucket's start is replicated
+       there as CONTEXT — every flagged hour sees its full trailing
+       window in exactly one task, and no per-hour row ever crosses
+       the driver. Inside a task the window sums are O(span) numpy
+       cumsums over a dense hour-indexed array.
+
+    Equivalent SQL: ``SUM/COUNT OVER (ORDER BY hour RANGE BETWEEN
+    INTERVAL 24 HOURS PRECEDING AND INTERVAL 1 HOUR PRECEDING)`` (the
+    time-based frame — identical to the rows-based one on a dense
+    series but well-defined under gaps, which is what the bucketed
+    co-partition computes).
+    """
+    assert window_h < bucket_hours
+    us_per_hour = 3_600 * 1_000_000
+
+    def hour_partials(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eh, n = np.unique(ts // us_per_hour, return_counts=True)
+        return pa.table(
+            {
+                "epoch_hour": pa.array(eh, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        eh = batch.column("epoch_hour").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        b = eh // bucket_hours
+        # context copies: rows feeding the NEXT bucket's early hours
+        ctx = eh >= (b + 1) * bucket_hours - window_h
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate([b, b[ctx] + 1]), pa.int64()),
+                "epoch_hour": pa.array(np.concatenate([eh, eh[ctx]]), pa.int64()),
+                "n": pa.array(np.concatenate([n, n[ctx]]), pa.int64()),
+                "is_self": pa.array(
+                    np.concatenate(
+                        [np.ones(len(eh), bool), np.zeros(int(ctx.sum()), bool)]
+                    ),
+                    pa.bool_(),
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("hour_key", pa.string()), ("n_events", pa.int64()), ("trail_sum", pa.int64())]
+    )
+
+    def detect(group: pa.Table) -> pa.Table:
+        eh = group.column("epoch_hour").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        is_self = group.column("is_self").to_numpy(zero_copy_only=False)
+        base = int(eh.min())
+        span = int(eh.max()) - base + 1  # ≤ bucket_hours + window_h
+        counts = np.zeros(span, np.int64)
+        present = np.zeros(span, np.int64)
+        counts[eh - base] = n  # each hour appears once (post-groupby)
+        present[eh - base] = 1
+        ccum = np.concatenate([[0], np.cumsum(counts)])  # ccum[i] = sum counts[:i]
+        pcum = np.concatenate([[0], np.cumsum(present)])
+        idx = eh[is_self] - base
+        # context replication guarantees every globally-present hour in
+        # [h - window_h, h) is in this group, so clamping lo to the
+        # group base never hides a present trailing slot
+        lo = np.maximum(idx - window_h, 0)
+        trail = ccum[idx] - ccum[lo]
+        nprev = pcum[idx] - pcum[lo]
+        n_self = n[is_self]
+        flag = (nprev >= min_prev) & (n_self * nprev * den > num * trail)
+        if not flag.any():
+            return out_schema.empty_table()
+        hours = pa.array((eh[is_self][flag]) * us_per_hour, pa.timestamp("us"))
+        return pa.table(
+            {
+                "hour_key": pc.strftime(hours, format="%Y-%m-%d %H:00:00"),
+                "n_events": pa.array(n_self[flag], pa.int64()),
+                "trail_sum": pa.array(trail[flag], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    import ray.data as rd
+
+    flagged = (
+        read_table(sf_dir, "events", ["ts"])
+        .map_batches(hour_partials, batch_format="pyarrow")
+        .groupby("epoch_hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(detect, batch_format="pyarrow")
+    )
+    return rd.from_arrow(out_schema.empty_table()).union(flagged)
 
 
 def funnel_steps(
