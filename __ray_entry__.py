@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "wbot_ray.pipelines.semantic", fromlist=["semantic_search"]
         ).semantic_search(sf),
         "term_search": search.term_search,
+        "phrase_search": _typed_query(search.phrase_search, ("doc_id", "n_matches")),
         "freq_quality": textops.freq_quality,
         # -- multimodal plumbing
         "payload_features": multimodal.payload_features,
@@ -830,6 +831,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_segments": _segments_oracle_sql(),
         "freq_quality": _freq_quality_oracle_sql(),
         "term_search": _term_search_oracle_sql(),
+        "phrase_search": __import__(
+            "wbot_ray.pipelines.search", fromlist=["phrase_oracle_sql"]
+        ).phrase_oracle_sql(),
         "global_shuffle": _global_shuffle_oracle_sql(),
         "quality_score": _quality_oracle_sql(),
         "text_stats": f"""

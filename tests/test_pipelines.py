@@ -331,6 +331,69 @@ class TestSearch:
                 want[did] = nj + nf
         assert got == want
 
+    def test_phrase_search_planted(self, ray_session, tmp_path):
+        """Adjacency semantics on a planted corpus: overlapping
+        occurrences, duplicate phrase tokens, start/end positions, and
+        tokens-present-but-not-adjacent non-matches."""
+        from wbot_ray.pipelines import search
+
+        texts = {
+            0: "x table scan y table scan",  # 2 occurrences
+            1: "table scan",  # exact doc == phrase (start+end)
+            2: "scan table",  # reversed: tokens present, no match
+            3: "table y scan",  # gap: no match
+            4: "a a a b",  # overlapping duplicate-token phrase
+            5: "z z table scanx",  # prefix token: no match
+        }
+        ids = sorted(texts)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([texts[i] for i in ids], pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        d = str(tmp_path)
+
+        def run(phrase):
+            return {
+                r["doc_id"]: r["n_matches"]
+                for r in search.phrase_search(
+                    d, phrase=phrase, index_dir=str(tmp_path / f"idx{len(phrase)}{phrase[0]}")
+                ).take_all()
+            }
+
+        assert run(("table", "scan")) == {0: 2, 1: 1}
+        assert run(("a", "a")) == {4: 2}  # overlapping starts 1 and 2
+        assert run(("a", "a", "a")) == {4: 1}
+        assert run(("nosuch", "scan")) == {}
+
+    def test_phrase_search_matches_direct_scan(self, ray_session):
+        """Default phrase over the real fixture == a direct text scan."""
+        from wbot_ray.pipelines import search
+
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in search.phrase_search(SF0001).take_all()
+        }
+        t = pq.read_table(
+            os.path.join(SF0001, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        k = len(search.DEFAULT_PHRASE)
+        want = {}
+        for did, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = txt.split(" ")
+            n = sum(
+                1
+                for i in range(len(toks) - k + 1)
+                if tuple(toks[i : i + k]) == search.DEFAULT_PHRASE
+            )
+            if n:
+                want[did] = n
+        assert got == want
+
 
 class TestTextops:
     def test_fingerprint_rolling(self, ray_session):
@@ -471,6 +534,7 @@ class TestOracleParity:
             "doc_chunks",
             "price_range_scan",
             "events_anomaly",
+            "phrase_search",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
