@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_corpus": training.prepare_corpus,
         "doc_chunks": training.doc_chunks,
         "source_mix": training.source_mix,
+        "compact_corpus": lambda sf: __import__(
+            "wbot_ray.pipelines.maintenance", fromlist=["compact_corpus"]
+        ).compact_corpus(sf),
         # -- graph analytics over the crawl link graph
         "link_pagerank": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_pagerank"]
@@ -864,6 +867,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        # lossless-compaction gate: the Ray side scans ONLY the
+        # compacted layout, so parity here proves no row was lost,
+        # duplicated, or mangled by the maintenance pass
+        "compact_corpus": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "corpus_filter": f"""
             WITH g AS (
               SELECT doc_id, md5(text) AS fp,

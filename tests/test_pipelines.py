@@ -535,6 +535,7 @@ class TestOracleParity:
             "price_range_scan",
             "events_anomaly",
             "phrase_search",
+            "compact_corpus",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):

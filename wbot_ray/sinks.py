@@ -25,7 +25,13 @@ import shutil
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["write_partitioned", "finished_partitions", "read_partitioned"]
+__all__ = [
+    "write_partitioned",
+    "finished_partitions",
+    "read_partitioned",
+    "plan_compaction",
+    "compact_dir",
+]
 
 _MARKER = "_SUCCESS"
 
@@ -117,3 +123,110 @@ def read_partitioned(out_dir: str, partitions: list[str] | None = None):
         os.path.join(_part_dir(out_dir, p), "data.parquet") for p in names if p in done
     ]
     return rd.read_parquet(paths)
+
+
+# -- small-file compaction (storage maintenance) --------------------------
+
+
+def plan_compaction(sizes: list[tuple[str, int]], target_bytes: int) -> list[list[str]]:
+    """Deterministic greedy packing: files in NAME order, cut a group
+    when adding the next file would exceed ``target_bytes`` (every
+    group gets at least one file, so an oversized input still
+    compacts). Name order — not size order — keeps each output file's
+    row order a contiguous slice of the input order, so compaction
+    never reorders a sorted layout."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_b = 0
+    for path, b in sorted(sizes):
+        if cur and cur_b + b > target_bytes:
+            groups.append(cur)
+            cur, cur_b = [], 0
+        cur.append(path)
+        cur_b += b
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def compact_dir(
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 << 20,
+    pattern: str = "*.parquet",
+    resume: bool = True,
+) -> dict:
+    """Compact a directory of many small parquet shards into
+    ~``target_bytes`` files — the small-file maintenance pass every
+    long-running 100-TB ingest needs (a crawl round, a streaming sink,
+    or an incremental tick each leave O(partitions) little files; query
+    scans want big row groups).
+
+    The driver does METADATA work only (file sizes → a deterministic
+    plan); one Ray task per output group reads its inputs and commits
+    ``part-<i>.parquet`` atomically (tmp → rename → ``.done`` marker
+    carrying the group's input fingerprint + row count). Re-runs skip
+    groups whose marker matches the fingerprint, redo groups whose
+    inputs changed, delete stale outputs beyond the current plan, and
+    ignore crash-leftover tmp files — exactly-once per group across
+    crashes and retries. Input files are never touched."""
+    import glob as _glob
+    import hashlib
+
+    import ray
+
+    files = sorted(_glob.glob(os.path.join(in_dir, pattern)))
+    if not files:
+        raise FileNotFoundError(f"no {pattern} under {in_dir}")
+    sizes = [(p, os.stat(p).st_size) for p in files]
+    groups = plan_compaction(sizes, target_bytes)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def group_fp(paths: list[str]) -> str:
+        st = [(os.path.basename(p), os.stat(p).st_size, os.stat(p).st_mtime_ns) for p in paths]
+        return hashlib.md5(json.dumps(st).encode()).hexdigest()[:16]
+
+    # crash leftovers + outputs beyond the current plan
+    for name in os.listdir(out_dir):
+        p = os.path.join(out_dir, name)
+        if name.endswith(".tmp"):
+            os.unlink(p)
+        elif name.startswith("part-"):
+            idx = int(name.split("-")[1].split(".")[0])
+            if idx >= len(groups):
+                os.unlink(p)
+
+    @ray.remote(num_cpus=1)
+    def merge(paths: list[str], out_path: str, marker: str, fp: str) -> int:
+        tables = [pq.read_table(p) for p in paths]
+        t = pa.concat_tables(tables)
+        tmp = out_path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, out_path)
+        mtmp = marker + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"fp": fp, "n_rows": t.num_rows}, f)
+        os.replace(mtmp, marker)
+        return t.num_rows
+
+    pending, rows, skipped = [], 0, 0
+    for i, g in enumerate(groups):
+        out_path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        marker = os.path.join(out_dir, f"part-{i:05d}.done")
+        fp = group_fp(g)
+        if resume and os.path.exists(marker) and os.path.exists(out_path):
+            with open(marker) as f:
+                m = json.load(f)
+            if m.get("fp") == fp:
+                rows += int(m["n_rows"])
+                skipped += 1
+                continue
+        pending.append(merge.remote(g, out_path, marker, fp))
+    rows += sum(ray.get(pending))
+    return {
+        "n_input_files": len(files),
+        "n_groups": len(groups),
+        "n_written": len(groups) - skipped,
+        "n_skipped": skipped,
+        "n_rows": rows,
+    }
