@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_degrees": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_degrees"]
         ).link_degrees(sf),
+        "link_triangles": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["link_triangles"]
+        ).link_triangles(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -776,12 +779,17 @@ def oracle_sql() -> dict[str, str]:
     from wbot_ray.pipelines.crawlq import oracle_entries
 
     crawl = oracle_entries("small")
-    from wbot_ray.pipelines.graph import _links_path, pagerank_oracle_sql
+    from wbot_ray.pipelines.graph import (
+        _links_path,
+        pagerank_oracle_sql,
+        triangles_oracle_sql,
+    )
 
     return {
         **crawl,
         "link_pagerank": pagerank_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "link_degrees": _degrees_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "link_triangles": triangles_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "embed_docs": _embed_docs_oracle_sql(),
         "semantic_search": _semantic_search_oracle_sql(),
         "langid": _langid_oracle_sql(),

@@ -2364,3 +2364,76 @@ class TestEventsAnomaly:
             for s, n, t in zip(got["hour_key"], got["n_events"], got["trail_sum"])
         ]
         assert got_rows == want
+
+
+class TestTriangles:
+    """link_triangles: planted closed/open triples, noise robustness
+    (duplicate edges, both directions, self-loops, gated=False rows),
+    and cross-engine parity on the real fixture graph."""
+
+    @staticmethod
+    def _links(tmp_path, rows, gated=None):
+        p = os.path.join(tmp_path, "links.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": pa.array([a for a, _ in rows], pa.string()),
+                    "dst_url": pa.array([b for _, b in rows], pa.string()),
+                    "gated": pa.array(gated or [True] * len(rows), pa.bool_()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    def test_planted_k4_plus_noise(self, ray_session, tmp_path):
+        from wbot_ray.pipelines import graph
+
+        u = [f"https://n{i}.com/" for i in range(7)]
+        k4 = [(u[i], u[j]) for i in range(4) for j in range(i + 1, 4)]
+        rows = (
+            k4
+            + [(u[1], u[0])]  # reverse duplicate of an existing edge
+            + [(u[0], u[1])]  # exact duplicate
+            + [(u[2], u[2])]  # self-loop: ignored
+            + [(u[0], u[4]), (u[4], u[5])]  # open wedge, never closes
+            + [(u[5], u[6])]
+        )
+        gated = [True] * len(rows)
+        rows.append((u[4], u[0]))  # would close nothing; also reverse-dup
+        gated.append(False)  # gated=False edges never participate
+        p = self._links(tmp_path, rows, gated)
+        got = {
+            r["url"]: r["n_triangles"]
+            for r in graph.link_triangles(str(tmp_path), links_path=p).take_all()
+        }
+        # K4: each of the 4 nodes sits in C(3,2) = 3 triangles
+        assert got == {u[i]: 3 for i in range(4)}
+
+    def test_star_hub_no_triangles(self, ray_session, tmp_path):
+        from wbot_ray.pipelines import graph
+
+        hub = "https://hub.com/"
+        p = self._links(
+            tmp_path, [(hub, f"https://leaf{i}.com/") for i in range(40)]
+        )
+        assert graph.link_triangles(str(tmp_path), links_path=p).count() == 0
+
+    def test_fixture_matches_sql_oracle(self, ray_session):
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        lp = graph._links_path(SF0001)
+        got = (
+            graph.link_triangles(SF0001)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.connect()
+            .execute(graph.triangles_oracle_sql(lp) + " ORDER BY url")
+            .df()
+        )
+        assert got.equals(want)

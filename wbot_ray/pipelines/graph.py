@@ -22,7 +22,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["link_pagerank", "link_degrees", "pagerank_oracle_sql"]
+__all__ = [
+    "link_pagerank",
+    "link_degrees",
+    "link_triangles",
+    "pagerank_oracle_sql",
+    "triangles_oracle_sql",
+]
 
 ONE = 1 << 20  # fixed-point unit
 DAMP_NUM, DAMP_DEN = 85, 100
@@ -311,3 +317,234 @@ def link_degrees(sf_dir: str, links_path: str | None = None):
         .groupby("url")
         .aggregate(Sum("out_c", alias_name="out_deg"), Sum("in_c", alias_name="in_deg"))
     )
+
+
+def link_triangles(sf_dir: str, num_buckets: int = 32, links_path: str | None = None):
+    """Per-url TRIANGLE counts over the undirected gated link graph —
+    the graph-mining shape beyond BFS / PageRank / components: how many
+    closed url triples each page participates in (the local clustering
+    signal link-spam and mirror-farm detection start from).
+
+    Classic degree-ordered node-iterator (MapReduce triangle counting),
+    as five slim keyed exchanges — no adjacency ever materializes
+    driver-side and no stage holds more than one bucket:
+
+    1. canonicalize ``(min(u,v), max(u,v))`` + pair-bucket ``groupby``
+       → exact edge dedup (self-loops dropped);
+    2. node-bucket ``groupby`` → per-node degree, attached to each
+       incident edge half;
+    3. pair-bucket ``groupby`` reunites the two halves, then ORIENTS
+       every edge low→high by ``(degree, url)`` — each node's oriented
+       out-list is O(sqrt(m)) on any graph (degeneracy bound), which is
+       what keeps hub wedge fan-out polynomial: wedges generated =
+       Σ C(outdeg, 2) = O(m^1.5) worst case instead of the hub-degree
+       quadratic of naive orientation;
+    4. per-LOW-node wedge generation (vectorized ``np.triu_indices``
+       over the sorted out-list), unioned with the canonical edge set
+       and co-partitioned on the wedge's endpoint pair → a wedge that
+       meets its closing edge is a triangle; every triangle is found
+       exactly once (its degree-minimum vertex is the only witness);
+    5. the triangle's three urls each get +1 → tiny ``groupby(url)``
+       sum.
+
+    Output: ``(url, n_triangles)`` for every url in ≥ 1 triangle.
+    """
+    from ray.data.aggregate import Sum
+
+    from wbot_ray.pipelines.common import md5_lower64
+
+    links = rd.read_parquet(
+        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    )
+
+    def hb(arr: list[str]) -> pa.Array:
+        return pa.array([md5_lower64(s) % num_buckets for s in arr], pa.int64())
+
+    def canon(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("gated"))
+        src = t.column("src_url").to_pylist()
+        dst = t.column("dst_url").to_pylist()
+        a = [min(s, d) for s, d in zip(src, dst) if s != d]
+        b = [max(s, d) for s, d in zip(src, dst) if s != d]
+        return pa.table(
+            {
+                "pb": hb([x + "|" + y for x, y in zip(a, b)]),
+                "a": pa.array(a, pa.string()),
+                "b": pa.array(b, pa.string()),
+            }
+        )
+
+    def dedup_and_split(group: pa.Table) -> pa.Table:
+        # exact pair dedup, then each edge emitted once per endpoint
+        # (keyed by that endpoint) so step 2 can compute degrees
+        g = group.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+        a = g.column("a").to_pylist()
+        b = g.column("b").to_pylist()
+        node = a + b
+        other = b + a
+        return pa.table(
+            {
+                "nb": hb(node),
+                "node": pa.array(node, pa.string()),
+                "other": pa.array(other, pa.string()),
+            }
+        )
+
+    def attach_degree(group: pa.Table) -> pa.Table:
+        node = np.asarray(group.column("node").to_pylist(), object)
+        other = np.asarray(group.column("other").to_pylist(), object)
+        uniq, inv, cnt = np.unique(node, return_inverse=True, return_counts=True)
+        deg = cnt[inv]
+        # re-canonicalize for the pair-keyed reunion; keep whose degree
+        a_is_node = node < other
+        a = np.where(a_is_node, node, other)
+        b = np.where(a_is_node, other, node)
+        return pa.table(
+            {
+                "pb": hb([x + "|" + y for x, y in zip(a, b)]),
+                "a": pa.array(a, pa.string()),
+                "b": pa.array(b, pa.string()),
+                "deg": pa.array(deg.astype(np.int64), pa.int64()),
+                "deg_of_a": pa.array(a_is_node, pa.bool_()),
+            }
+        )
+
+    wedge_schema = pa.schema(
+        [
+            ("pb", pa.int64()),
+            ("u", pa.string()),
+            ("v", pa.string()),
+            ("w", pa.string()),
+            ("kind", pa.string()),
+        ]
+    )
+
+    def orient(group: pa.Table) -> pa.Table:
+        # two rows per edge (one per endpoint's degree); reunite + orient
+        import pandas as pd
+
+        df = group.to_pandas()
+        da = df[df.deg_of_a].set_index(["a", "b"]).deg
+        db = df[~df.deg_of_a].set_index(["a", "b"]).deg
+        pairs = da.index
+        da_v, db_v = da.to_numpy(), db.loc[pairs].to_numpy()
+        a = pairs.get_level_values(0).to_numpy()
+        b = pairs.get_level_values(1).to_numpy()
+        # low endpoint = smaller (degree, url); ties break on url
+        a_low = (da_v < db_v) | ((da_v == db_v) & (a < b))
+        lo = np.where(a_low, a, b)
+        hi = np.where(a_low, b, a)
+        # the canonical edge set rides along for the closure check
+        return pa.table(
+            {
+                "pb": hb(lo.tolist()),  # wedge stage keys on the LOW node
+                "u": pa.array(lo, pa.string()),
+                "v": pa.array(hi, pa.string()),
+                "w": pa.array([""] * len(lo), pa.string()),
+                "kind": pa.array(["o"] * len(lo), pa.string()),
+            },
+            schema=wedge_schema,
+        )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        lo = np.asarray(group.column("u").to_pylist(), object)
+        hi = np.asarray(group.column("v").to_pylist(), object)
+        o_pb, o_u, o_v, o_w = [], [], [], []
+        order = np.argsort(lo, kind="stable")
+        lo, hi = lo[order], hi[order]
+        starts = np.flatnonzero(np.concatenate([[True], lo[1:] != lo[:-1]]))
+        bounds = np.concatenate([starts, [len(lo)]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            outs = np.sort(hi[s:e])
+            if len(outs) >= 2:
+                i, j = np.triu_indices(len(outs), k=1)
+                o_u.extend(outs[i])
+                o_v.extend(outs[j])
+                o_w.extend([lo[s]] * len(i))
+        o_pb = hb([x + "|" + y for x, y in zip(o_u, o_v)])
+        wedge = pa.table(
+            {
+                "pb": o_pb,
+                "u": pa.array(o_u, pa.string()),
+                "v": pa.array(o_v, pa.string()),
+                "w": pa.array(o_w, pa.string()),
+                "kind": pa.array(["w"] * len(o_u), pa.string()),
+            },
+            schema=wedge_schema,
+        )
+        # re-emit this group's edges as closure probes, re-canonicalized
+        # to STRING order (orientation was by degree, wedge pairs are
+        # emitted sorted — the two must agree for the probe to meet)
+        gu = group.column("u").to_pylist()
+        gv = group.column("v").to_pylist()
+        eu = [min(x, y) for x, y in zip(gu, gv)]
+        ev = [max(x, y) for x, y in zip(gu, gv)]
+        edge = pa.table(
+            {
+                "pb": hb([x + "|" + y for x, y in zip(eu, ev)]),
+                "u": pa.array(eu, pa.string()),
+                "v": pa.array(ev, pa.string()),
+                "w": pa.array([""] * group.num_rows, pa.string()),
+                "kind": pa.array(["e"] * group.num_rows, pa.string()),
+            },
+            schema=wedge_schema,
+        )
+        return pa.concat_tables([wedge, edge])
+
+    def close_triangles(group: pa.Table) -> pa.Table:
+        kind = np.asarray(group.column("kind").to_pylist(), object)
+        u = np.asarray(group.column("u").to_pylist(), object)
+        v = np.asarray(group.column("v").to_pylist(), object)
+        w = np.asarray(group.column("w").to_pylist(), object)
+        is_e = kind == "e"
+        edges = set(zip(u[is_e], v[is_e]))
+        is_w = ~is_e
+        closed = [i for i in np.flatnonzero(is_w) if (u[i], v[i]) in edges]
+        nodes = [x for i in closed for x in (u[i], v[i], w[i])]
+        return pa.table(
+            {
+                "url": pa.array(nodes, pa.string()),
+                "one": pa.array(np.ones(len(nodes), np.int64), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema([("url", pa.string()), ("n_triangles", pa.int64())])
+    counted = (
+        links.map_batches(canon, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup_and_split, batch_format="pyarrow")
+        .groupby("nb")
+        .map_groups(attach_degree, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(orient, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(wedges, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(close_triangles, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Sum("one", alias_name="n_triangles"))
+    )
+    return rd.from_arrow(out_schema.empty_table()).union(counted)
+
+
+def triangles_oracle_sql(links_path: str) -> str:
+    """DuckDB oracle: canonical-edge triple join (x<y<z), then each
+    triangle credits its three urls."""
+    return f"""
+        WITH e0 AS (
+          SELECT DISTINCT least(src_url, dst_url) AS a,
+                          greatest(src_url, dst_url) AS b
+          FROM read_parquet('{links_path}')
+          WHERE gated AND src_url <> dst_url
+        ), t AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e0 e1
+          JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b
+        )
+        SELECT url, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT x AS url FROM t UNION ALL
+              SELECT y FROM t UNION ALL
+              SELECT z FROM t)
+        GROUP BY url
+    """
