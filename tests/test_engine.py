@@ -468,3 +468,58 @@ class TestPriorityResume:
 
         assert resumed.visited_table().equals(full.visited_table())
         assert resumed.metrics_total() == full.metrics_total()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChaos:
+    def test_seen_actor_death_midrun_then_resume(self, tmp_root):
+        """Worker-failure recovery at the flagship surface: a seen-shard
+        actor dies MID-CRAWL (after round 0 committed, during round 1's
+        checkpoint), the run aborts instead of silently dropping state,
+        and a fresh Crawler with ``resume=True`` replays from the last
+        manifested round to the exact visited set / order / metrics of
+        an uninterrupted run."""
+        import json
+        import os
+
+        import ray
+
+        from wbot_ray.state.seen import SeenSet
+
+        cfg_kw = dict(max_depth=3, num_buckets=4, seen_shards=2)
+        pages = gen_pages("tiny")
+        pages_path = str(tmp_root / "chaos_pages.parquet")
+        pq.write_table(pages, pages_path)
+        seeds = seeds_for_scale("tiny", 2)
+
+        full = Crawler(CrawlConfig(**cfg_kw), workdir=str(tmp_root / "chaos_full")).crawl(
+            seeds=seeds, pages_path=pages_path
+        )
+
+        class ChaosSeen(SeenSet):
+            killed = False
+
+            def flush_deltas_async(self, round_id, round_dir):
+                if round_id >= 1 and not ChaosSeen.killed:
+                    ChaosSeen.killed = True
+                    ray.kill(self.shards[0], no_restart=True)
+                return super().flush_deltas_async(round_id, round_dir)
+
+        chaos_dir = str(tmp_root / "chaos_run")
+        cfg = CrawlConfig(**cfg_kw, store_factory=lambda c: ChaosSeen(c.seen_shards))
+        with pytest.raises(Exception):
+            Crawler(cfg, workdir=chaos_dir).crawl(seeds=seeds, pages_path=pages_path)
+        assert ChaosSeen.killed
+
+        # the crash left a genuine mid-crawl state: at least one round
+        # committed, fewer than the full run's
+        manifest = os.path.join(chaos_dir, "MANIFEST.json")
+        assert os.path.exists(manifest)
+        with open(manifest) as f:
+            committed = json.load(f)["rounds"]
+        n_full_rounds = len(full.manifest["rounds"])
+        assert 1 <= len(committed) < n_full_rounds
+
+        resumed = Crawler(CrawlConfig(**cfg_kw), workdir=chaos_dir).crawl(resume=True)
+        assert resumed.visited_table().equals(full.visited_table())
+        assert resumed.metrics_total() == full.metrics_total()
