@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_corpus": lambda sf: __import__(
             "wbot_ray.pipelines.maintenance", fromlist=["compact_corpus"]
         ).compact_corpus(sf),
+        "corpus_diff": lambda sf: __import__(
+            "wbot_ray.pipelines.maintenance", fromlist=["corpus_diff"]
+        ).corpus_diff(sf),
         # -- graph analytics over the crawl link graph
         "link_pagerank": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_pagerank"]
@@ -879,6 +882,9 @@ def oracle_sql() -> dict[str, str]:
         # compacted layout, so parity here proves no row was lost,
         # duplicated, or mangled by the maintenance pass
         "compact_corpus": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "corpus_diff": __import__(
+            "wbot_ray.pipelines.maintenance", fromlist=["corpus_diff_oracle_sql"]
+        ).corpus_diff_oracle_sql(),
         "corpus_filter": f"""
             WITH g AS (
               SELECT doc_id, md5(text) AS fp,

@@ -536,6 +536,7 @@ class TestOracleParity:
             "events_anomaly",
             "phrase_search",
             "compact_corpus",
+            "corpus_diff",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -2437,3 +2438,26 @@ class TestTriangles:
             .df()
         )
         assert got.equals(want)
+
+
+class TestCorpusDiff:
+    def test_planted_statuses(self, ray_session, tmp_path):
+        """Each diff class lands exactly once on a hand-built corpus:
+        id 3 removed (3%17), id 1 changed (1%13), id 5 spawns added
+        id 1000005 (5%29), id 2 unchanged (absent from the diff)."""
+        from wbot_ray.pipelines.maintenance import corpus_diff
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 5], pa.int64()),
+                    "text": pa.array(["one", "two", "three", "five"], pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in corpus_diff(str(tmp_path)).take_all()
+        }
+        assert got == {1: "changed", 3: "removed", 1000005: "added"}

@@ -18,7 +18,12 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["compact_corpus", "LAST_COMPACT_STATS"]
+__all__ = [
+    "compact_corpus",
+    "corpus_diff",
+    "corpus_diff_oracle_sql",
+    "LAST_COMPACT_STATS",
+]
 
 _CACHE_VERSION = 1
 
@@ -88,3 +93,112 @@ def compact_corpus(sf_dir: str, n_shards: int = 32, merge_factor: int = 6):
 
     files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
     return rd.read_parquet(files).map_batches(verify, batch_format="pyarrow")
+
+
+def corpus_diff(sf_dir: str, num_buckets: int = 32):
+    """Snapshot DIFF between two corpus versions — the change-data
+    audit every periodically-rebuilt training corpus needs: which
+    documents were ``added``, ``removed``, or ``changed`` between the
+    old and new snapshot (unchanged docs are dropped — at 100 TB the
+    diff output is proportional to the CHURN, never the corpus).
+
+    The "new" snapshot is synthesized deterministically from the
+    documents table (drop ``doc_id % 17 == 3``, append ``' v2'`` where
+    ``doc_id % 13 == 1``, add fresh ids ``doc_id + 1_000_000`` where
+    ``doc_id % 29 == 5``) so the DuckDB oracle can rebuild the exact
+    same pair of snapshots in SQL; the diff operator itself never sees
+    the rule — it only compares ``(doc_id, md5)`` pairs.
+
+    Ray shape: each side collapses to slim 40-byte ``(doc_id, md5)``
+    rows in its scan pass (text never enters the exchange), then ONE
+    co-partitioned FULL OUTER ``hash_join`` on ``doc_id`` and a
+    vectorized classification — the one join type where both sides'
+    orphans must survive, exercised nowhere else in the engine."""
+    import pyarrow.compute as pc
+
+    from wbot_ray.pipelines.common import read_table
+    from wbot_ray.pipelines.join import hash_join
+
+    def _md5s(texts: list[str]) -> pa.Array:
+        return pa.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in texts], pa.string()
+        )
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "old_md5": _md5s(batch.column("text").to_pylist()),
+            }
+        )
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_tx = [], []
+        for i, t in zip(ids, texts):
+            if i % 17 == 3:
+                continue  # removed in the new snapshot
+            out_id.append(i)
+            out_tx.append(t + " v2" if i % 13 == 1 else t)
+        for i in ids:
+            if i % 29 == 5:
+                out_id.append(i + 1_000_000)
+                out_tx.append(f"added doc {i}")
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "new_md5": _md5s(out_tx),
+            }
+        )
+
+    docs = lambda: read_table(sf_dir, "documents", ["doc_id", "text"])  # noqa: E731
+    joined = hash_join(
+        docs().map_batches(old_side, batch_format="pyarrow"),
+        docs().map_batches(new_side, batch_format="pyarrow"),
+        key="doc_id",
+        num_buckets=num_buckets,
+        join_type="full outer",
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        old = batch.column("old_md5")
+        new = batch.column("new_md5")
+        status = pc.if_else(
+            pc.is_null(old),
+            pa.scalar("added", pa.string()),
+            pc.if_else(
+                pc.is_null(new),
+                pa.scalar("removed", pa.string()),
+                pa.scalar("changed", pa.string()),
+            ),
+        )
+        t = pa.table({"doc_id": batch.column("doc_id"), "status": status})
+        same = pc.and_kleene(
+            pc.is_valid(old), pc.and_kleene(pc.is_valid(new), pc.equal(old, new))
+        )
+        return t.filter(pc.invert(pc.fill_null(same, False)))
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def corpus_diff_oracle_sql() -> str:
+    """DuckDB oracle: rebuild both snapshots with the same deterministic
+    mutation rule, FULL OUTER join, same classification."""
+    return """
+        WITH newsnap AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 1 THEN text || ' v2' ELSE text END AS text
+          FROM documents WHERE doc_id % 17 <> 3
+          UNION ALL
+          SELECT doc_id + 1000000, 'added doc ' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 29 = 5
+        ), o AS (SELECT doc_id, md5(text) AS m FROM documents),
+           n AS (SELECT doc_id, md5(text) AS m FROM newsnap)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.m <> n.m
+    """
