@@ -1047,7 +1047,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(hour, '%Y-%m-%d %H:00:00') AS hour_key,
                    n AS n_events,
                    CAST(trail AS BIGINT) AS trail_sum
-            FROM w WHERE nprev >= 12 AND n * nprev * 2 > 3 * trail
+            FROM w WHERE nprev >= 12 AND n * nprev * 20 > 23 * trail
         """,
         "funnel_steps": """
             -- ordered funnel: each stage's first event at-or-after the

@@ -2300,7 +2300,7 @@ class TestEventsAnomaly:
         return d
 
     @staticmethod
-    def _brute(counts, window_h=24, num=3, den=2, min_prev=12):
+    def _brute(counts, window_h=24, num=23, den=20, min_prev=12):
         out = []
         hours = sorted(counts)
         for h in hours:

@@ -965,8 +965,8 @@ def window_pairs(
 def events_anomaly(
     sf_dir: str,
     window_h: int = 24,
-    num: int = 3,
-    den: int = 2,
+    num: int = 23,
+    den: int = 20,
     min_prev: int = 12,
     bucket_hours: int = 240,
 ):
