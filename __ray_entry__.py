@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_triangles": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_triangles"]
         ).link_triangles(sf),
+        "link_components": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["link_components"]
+        ).link_components(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -784,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
     crawl = oracle_entries("small")
     from wbot_ray.pipelines.graph import (
         _links_path,
+        components_oracle_sql,
         pagerank_oracle_sql,
         triangles_oracle_sql,
     )
@@ -793,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": pagerank_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "link_degrees": _degrees_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "link_triangles": triangles_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "link_components": components_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "embed_docs": _embed_docs_oracle_sql(),
         "semantic_search": _semantic_search_oracle_sql(),
         "langid": _langid_oracle_sql(),

@@ -217,6 +217,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "pii_scrub",
         "source_mix",
         "length_deciles",
+        "link_components",
     ]
     out: dict[str, float] = {}
     for name in names:

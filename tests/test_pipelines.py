@@ -1142,6 +1142,124 @@ class TestPagerank:
         assert got[A] == (3, 2) and got[D] == (0, 1)
 
 
+class TestLinkComponents:
+    def _links(self, tmp_path, rows, gated=None):
+        p = os.path.join(tmp_path, "links.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": pa.array([a for a, _ in rows], pa.string()),
+                    "dst_url": pa.array([b for _, b in rows], pa.string()),
+                    "gated": pa.array(gated or [True] * len(rows), pa.bool_()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    @staticmethod
+    def _union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a != b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+        comps: dict = {}
+        for n in nodes:
+            comps.setdefault(find(n), []).append(n)
+        out = {}
+        for members in comps.values():
+            rep = min(members)
+            for n in members:
+                out[n] = (rep, len(members))
+        return out
+
+    def test_planted_graph_matches_oracle_and_union_find(self, tmp_path, ray_session):
+        """Triangle + chain-with-multi-edge + self-loop singleton + a
+        5-chain, against BOTH the SQL oracle and a brute union-find."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        u = [f"https://s{i}.com/" for i in range(12)]
+        edges = [
+            (u[0], u[1]), (u[1], u[2]), (u[2], u[0]),
+            (u[3], u[4]), (u[4], u[5]), (u[3], u[4]),
+            (u[6], u[6]),
+            (u[7], u[8]), (u[8], u[9]), (u[9], u[10]), (u[10], u[11]),
+        ]
+        p = self._links(tmp_path, edges)
+        got = {
+            r["url"]: (r["comp"], r["comp_size"])
+            for r in graph.link_components(str(tmp_path), links_path=p).take_all()
+        }
+        want_sql = {
+            url: (comp, size)
+            for url, comp, size in duckdb.connect()
+            .execute(graph.components_oracle_sql(p))
+            .fetchall()
+        }
+        nodes = {x for e in edges for x in e}
+        assert got == want_sql == self._union_find(edges, nodes)
+        assert got[u[6]] == (u[6], 1)  # self-loop-only url is a singleton
+        assert got[u[7]][1] == 5
+
+    def test_randomized_matches_union_find(self, tmp_path, ray_session):
+        """Random sparse graphs (several seeds) against union-find."""
+        import random
+
+        from wbot_ray.pipelines import graph
+
+        for seed in (1, 7):
+            rng = random.Random(seed)
+            urls = [f"https://r{seed}-{i}.org/p" for i in range(60)]
+            edges = [
+                (rng.choice(urls), rng.choice(urls)) for _ in range(55)
+            ]
+            p = self._links(tmp_path, edges)
+            got = {
+                r["url"]: (r["comp"], r["comp_size"])
+                for r in graph.link_components(
+                    str(tmp_path), links_path=p
+                ).take_all()
+            }
+            nodes = {x for e in edges for x in e}
+            assert got == self._union_find(edges, nodes)
+
+    def test_long_chain_converges_in_log_rounds(self, tmp_path, ray_session):
+        """A 120-node path is the high-diameter worst case — one
+        component, representative = min url. ``max_iters=24`` is the
+        O(log diameter) regression gate: plain hash-min would need
+        ~119 rounds, the fused pointer-shortcut must land well under
+        24 or the call raises."""
+        from wbot_ray.pipelines import graph
+
+        urls = [f"https://c{i:03d}.net/" for i in range(120)]
+        p = self._links(tmp_path, list(zip(urls, urls[1:])))
+        rows = graph.link_components(
+            str(tmp_path), links_path=p, max_iters=24
+        ).take_all()
+        assert len(rows) == 120
+        assert {r["comp"] for r in rows} == {urls[0]}
+        assert all(r["comp_size"] == 120 for r in rows)
+
+    def test_ungated_graph_is_empty(self, tmp_path, ray_session):
+        from wbot_ray.pipelines import graph
+
+        p = self._links(
+            tmp_path, [("https://x.com/", "https://y.com/")], gated=[False]
+        )
+        assert graph.link_components(str(tmp_path), links_path=p).count() == 0
+
+
 class TestDecontaminate:
     def test_planted_copy_is_flagged(self, planted_dir, ray_session):
         """planted_dir's benchmark holdout (doc_id % 50 == 0) is docs

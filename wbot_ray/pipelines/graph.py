@@ -26,8 +26,10 @@ __all__ = [
     "link_pagerank",
     "link_degrees",
     "link_triangles",
+    "link_components",
     "pagerank_oracle_sql",
     "triangles_oracle_sql",
+    "components_oracle_sql",
 ]
 
 ONE = 1 << 20  # fixed-point unit
@@ -525,6 +527,348 @@ def link_triangles(sf_dir: str, num_buckets: int = 32, links_path: str | None = 
         .aggregate(Sum("one", alias_name="n_triangles"))
     )
     return rd.from_arrow(out_schema.empty_table()).union(counted)
+
+
+def link_components(
+    sf_dir: str,
+    num_buckets: int = 32,
+    max_iters: int = 200,
+    links_path: str | None = None,
+    round_stats: list | None = None,
+):
+    """Weakly connected components over the gated link graph — the
+    mirror-cluster / site-island detector that completes the graph
+    family (degrees → PageRank → triangles → components).
+
+    Output: ``(url, comp, comp_size)`` for every url incident to at
+    least one gated link, where ``comp`` is the lexicographically
+    smallest url in that url's component (an engine-independent
+    representative — no internal hash ever leaks into the result) and
+    ``comp_size`` is the component's node count. Self-loops keep a
+    node in the graph but add no connectivity (a self-loop-only url is
+    its own singleton component).
+
+    Ray shape — alternating **large-star / small-star** edge
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014), the published O(log² n)-round algorithm,
+    on the same fused-bucket exchange as :func:`link_pagerank`: urls
+    are hashed once to int64 ids, the edge set rides both orientations
+    so every node's group sees its full neighborhood, and each round
+    is exactly TWO ``groupby(bucket).map_groups`` exchanges:
+
+    * **large-star** re-homes every node's strictly-larger neighbors
+      onto ``m = min(N(u) ∪ {u})`` (plus the ``(u, m)`` bridge that
+      keeps ``u`` attached), passing smaller-neighbor rows through
+      unchanged;
+    * **small-star** re-homes every node's smaller neighbors (and the
+      node itself) onto its minimum smaller neighbor, dropping
+      larger-neighbor rows (recreated by the partner group).
+
+    Hash-min label propagation (``dup_clusters``' scheme) needs
+    O(diameter) rounds — fine for star-shaped dup graphs, wrong for a
+    crawl graph whose sf0.01 slice already has diameter 30; star
+    contraction lands in ~5 rounds there and ~7 on a 120-hop chain
+    (the regression-gated worst case below), with every per-round row
+    pure int64. Convergence is EXACT, not heuristic: large-star emits
+    an integer counter of nodes that re-homed any larger neighbor,
+    small-star of nodes with ≥2 distinct smaller neighbors; both zero
+    ⇔ the edge set maps to itself ⇔ it is a disjoint star forest with
+    component-minimum centers (Kiveris Thm 4.1), read via one
+    ``sum("chg")`` metadata fold per round — no row leaves the
+    cluster. The final url/representative resolution is two more keyed
+    exchanges: star-leaf labels (∪ self-labeled seeds, which carry
+    isolated nodes) meet the url nodemap on ``bucket(node)``, then
+    components fold ``(min url, count)`` on ``bucket(label)``.
+
+    Scale note / skew seam: late rounds concentrate a component's
+    edges on its star hub, so ``bucket(hub)`` sees O(component) rows —
+    the mitigation (documented, not needed at sandbox scale) is the
+    same hot-key salting the crawl frontier uses: split a hot hub's
+    group into salted parts, re-home each part onto its PART-min, and
+    emit the ``(u, m_part)`` bridge so the parts stay connected; the
+    operation stays connectivity-preserving and monotone.
+
+    Reference anchor: the link graph is the reference crawler's
+    discovery output (``crawler.go:195-291``); component structure
+    over it is the canonical post-crawl mirror/island analysis.
+    """
+    links = rd.read_parquet(
+        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    )
+
+    M = (1 << 63) - 1
+
+    def hash_arr(urls: list) -> np.ndarray:
+        import polars as pl
+
+        h = pl.Series(urls, dtype=pl.String).hash(seed=0).to_numpy()
+        return (h & np.uint64(M)).astype(np.int64)
+
+    # row kinds riding the unified exchanges
+    SELF, EDGE, CHG, NODE = 1, 2, 3, 4
+
+    SCHEMA = pa.schema(
+        [
+            ("kind", pa.int64()),
+            ("bucket", pa.int64()),
+            ("u", pa.int64()),
+            ("v", pa.int64()),  # EDGE rows: the other endpoint
+            ("l", pa.int64()),  # SELF rows: label (star center)
+            ("chg", pa.int64()),  # CHG rows: phase change counter
+            ("url", pa.string()),  # NODE (nodemap) rows only
+        ]
+    )
+
+    def _rows(n: int, **cols) -> pa.Table:
+        data = {}
+        for f in SCHEMA:
+            c = cols.get(f.name)
+            if c is None:
+                data[f.name] = pa.nulls(n, f.type)
+            elif isinstance(c, pa.ChunkedArray):
+                data[f.name] = c.combine_chunks().cast(f.type)
+            elif isinstance(c, pa.Array):
+                data[f.name] = c.cast(f.type)
+            else:
+                data[f.name] = pa.array(c, f.type)
+        return pa.table(data, schema=SCHEMA)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("gated"))
+        src = t.column("src_url").to_pylist()
+        dst = t.column("dst_url").to_pylist()
+        sh, dh = hash_arr(src), hash_arr(dst)
+        keep = sh != dh  # self-loops carry no connectivity
+        a = np.concatenate([sh[keep], dh[keep]])
+        b = np.concatenate([dh[keep], sh[keep]])
+        return _rows(len(a), kind=[EDGE] * len(a), bucket=a % num_buckets, u=a, v=b)
+
+    def to_seeds(batch: pa.Table) -> pa.Table:
+        """Every gated endpoint (self-loops included) starts labeled
+        by itself — this is what keeps isolated nodes alive."""
+        t = batch.filter(batch.column("gated"))
+        urls = list(
+            dict.fromkeys(
+                t.column("src_url").to_pylist() + t.column("dst_url").to_pylist()
+            )
+        )
+        h = hash_arr(urls)
+        return _rows(
+            len(h), kind=[SELF] * len(h), bucket=h % num_buckets, u=h, l=h
+        )
+
+    def to_nodemap(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("gated"))
+        urls = list(
+            dict.fromkeys(
+                t.column("src_url").to_pylist() + t.column("dst_url").to_pylist()
+            )
+        )
+        h = hash_arr(urls)
+        return _rows(len(h), kind=[NODE] * len(h), bucket=h % num_buckets, u=h, url=urls)
+
+    def _dedup_edges(group: pa.Table) -> pa.Table:
+        """Distinct (u, v) edge rows of one bucket's group (duplicates
+        arise when several groups re-home different edges onto the
+        same pair; dedup is local-exact because bucket(u) co-locates
+        an orientation's duplicates)."""
+        e = group.filter(pc.equal(group.column("kind"), EDGE))
+        return e.select(["bucket", "u", "v"]).group_by(["bucket", "u", "v"]).aggregate([])
+
+    def _edge_rows(u: np.ndarray, v: np.ndarray) -> pa.Table:
+        """Both orientations of the undirected edges (u_i, v_i)."""
+        a = np.concatenate([u, v])
+        b = np.concatenate([v, u])
+        return _rows(
+            len(a),
+            kind=np.full(len(a), EDGE, np.int64),
+            bucket=a % num_buckets,
+            u=a,
+            v=b,
+        )
+
+    def _chg_row(n: int) -> pa.Table:
+        return _rows(1, kind=[CHG], bucket=[0], u=[0], chg=[n])
+
+    def star_large(group: pa.Table) -> pa.Table:
+        """Large-star: re-home u's larger neighbors onto m = min(N(u) ∪
+        {u}); smaller-neighbor rows pass through unchanged. Incoming
+        CHG rows (previous round's counters) are dropped."""
+        e = _dedup_edges(group)
+        u = e.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = e.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = e.group_by("u").aggregate([("v", "min")])
+        m_tab = pa.table(
+            {
+                "u": g.column("u"),
+                "m": pc.min_element_wise(g.column("v_min"), g.column("u")),
+            }
+        )
+        j = e.join(m_tab, keys="u", join_type="inner")
+        ju = j.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        jv = j.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        jm = j.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        big = jv > ju
+        out = [_edge_rows(jm[big], jv[big])]  # (m, v): unchanged when m == u
+        # pass-through: smaller-neighbor edges stay as-is this phase
+        small = ~big
+        out.append(_edge_rows(ju[small], jv[small]))
+        # bridge: u stays attached to m when it re-homed its big nbrs
+        rehome = big & (jm != ju)
+        bu, bm = ju[rehome], jm[rehome]
+        if len(bu):
+            pair = np.unique(np.stack([bu, bm], axis=1), axis=0)
+            out.append(_edge_rows(pair[:, 0], pair[:, 1]))
+        n_chg = int(len(np.unique(ju[rehome])))
+        out.append(_chg_row(n_chg))
+        return pa.concat_tables(out)
+
+    def star_small(group: pa.Table) -> pa.Table:
+        """Small-star: re-home u's smaller neighbors (and u) onto its
+        min smaller neighbor; larger-neighbor rows are dropped (the
+        partner group recreates them). Passes CHG rows through."""
+        chg_rows = group.filter(pc.equal(group.column("kind"), CHG))
+        e = _dedup_edges(group)
+        u = e.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = e.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        small_mask = v < u
+        es = pa.table({"u": u[small_mask], "v": v[small_mask]})
+        out = [chg_rows.select([f.name for f in SCHEMA])]
+        n_chg = 0
+        if es.num_rows:
+            g = es.group_by("u").aggregate([("v", "min"), ("v", "count")])
+            m_tab = pa.table({"u": g.column("u"), "m": g.column("v_min")})
+            j = es.join(m_tab, keys="u", join_type="inner")
+            jv = j.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            jm = j.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+            moved = jv != jm
+            out.append(_edge_rows(jv[moved], jm[moved]))
+            gu = g.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            gm = m_tab.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+            out.append(_edge_rows(gu, gm))  # (u, m) per node with small nbrs
+            n_chg = int(
+                (g.column("v_count").to_numpy(zero_copy_only=False) >= 2).sum()
+            )
+        out.append(_chg_row(n_chg))
+        return pa.concat_tables(out)
+
+    edges = links.map_batches(to_edges, batch_format="pyarrow")
+    nodemap = links.map_batches(to_nodemap, batch_format="pyarrow")
+    seeds = links.map_batches(to_seeds, batch_format="pyarrow")
+
+    converged = False
+    cur = edges
+    for it in range(max_iters):
+        cur = (
+            cur.groupby("bucket")
+            .map_groups(star_large, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(star_small, batch_format="pyarrow")
+            .materialize()
+        )
+        chg = cur.sum("chg") or 0
+        if round_stats is not None:
+            round_stats.append((it, chg, cur.count()))
+        if chg == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(f"link_components: no fixpoint after {max_iters} rounds")
+
+    def to_leaf_labels(batch: pa.Table) -> pa.Table:
+        """Star-forest edges → SELF rows: each leaf labeled by its
+        (unique, smaller) center; centers/isolated come from seeds."""
+        e = batch.filter(pc.equal(batch.column("kind"), EDGE))
+        u = e.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = e.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        leaf = v < u
+        lu, lv = u[leaf], v[leaf]
+        return _rows(
+            len(lu),
+            kind=np.full(len(lu), SELF, np.int64),
+            bucket=lu % num_buckets,
+            u=lu,
+            l=lv,
+        )
+
+    cand = cur.map_batches(to_leaf_labels, batch_format="pyarrow").union(seeds)
+
+    def attach_url(group: pa.Table) -> pa.Table:
+        """Join a bucket's final labels (converged SELF rows) to its
+        url rows; re-key the (label, url) pairs by the LABEL's bucket."""
+        k = group.column("kind")
+        nm = (
+            group.filter(pc.equal(k, NODE))
+            .select(["u", "url"])
+            .group_by(["u", "url"])
+            .aggregate([])
+        )
+        c = group.filter(pc.equal(k, SELF))
+        s = c.select(["u", "l"]).group_by("u").aggregate([("l", "min")])
+        j = s.join(nm, keys="u", join_type="inner")
+        lab = j.column("l_min").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _rows(
+            len(lab),
+            kind=np.full(len(lab), NODE, np.int64),
+            bucket=lab % num_buckets,
+            u=lab,
+            url=j.column("url"),
+        )
+
+    def comp_fold(group: pa.Table) -> pa.Table:
+        g = group.select(["u", "url"]).group_by("u").aggregate(
+            [("url", "min"), ("url", "count")]
+        )
+        j = group.select(["u", "url"]).join(g, keys="u", join_type="inner")
+        return pa.table(
+            {
+                "url": j.column("url"),
+                "comp": j.column("url_min"),
+                "comp_size": pc.cast(j.column("url_count"), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("url", pa.string()), ("comp", pa.string()), ("comp_size", pa.int64())]
+    )
+    resolved = (
+        cand.union(nodemap)
+        .groupby("bucket")
+        .map_groups(attach_url, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(comp_fold, batch_format="pyarrow")
+    )
+    return rd.from_arrow(out_schema.empty_table()).union(resolved)
+
+
+def components_oracle_sql(links_path: str) -> str:
+    """DuckDB oracle: undirected transitive closure via a recursive
+    CTE, component representative = MIN reachable url (url itself
+    included), size by a second fold over the closure."""
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT src_url AS s, dst_url AS d
+          FROM read_parquet('{links_path}') WHERE gated
+        ), und AS (
+          SELECT s AS a, d AS b FROM base WHERE s <> d
+          UNION
+          SELECT d, s FROM base WHERE s <> d
+        ), nodes AS (
+          SELECT DISTINCT s AS n FROM base
+          UNION
+          SELECT DISTINCT d FROM base
+        ), reach AS (
+          SELECT n, n AS m FROM nodes
+          UNION
+          SELECT u.b AS n, r.m FROM reach r JOIN und u ON u.a = r.n
+        ), comp AS (
+          SELECT n AS url, MIN(m) AS comp FROM reach GROUP BY n
+        )
+        SELECT c.url, c.comp, z.comp_size
+        FROM comp c
+        JOIN (SELECT comp, CAST(COUNT(*) AS BIGINT) AS comp_size
+              FROM comp GROUP BY comp) z USING (comp)
+    """
 
 
 def triangles_oracle_sql(links_path: str) -> str:
