@@ -218,6 +218,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "source_mix",
         "length_deciles",
         "link_components",
+        "host_graph",
     ]
     out: dict[str, float] = {}
     for name in names:

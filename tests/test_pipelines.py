@@ -1260,6 +1260,91 @@ class TestLinkComponents:
         assert graph.link_components(str(tmp_path), links_path=p).count() == 0
 
 
+class TestHostGraph:
+    def _links(self, tmp_path, rows, gated=None):
+        p = os.path.join(tmp_path, "links.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": pa.array([a for a, _ in rows], pa.string()),
+                    "dst_url": pa.array([b for _, b in rows], pa.string()),
+                    "gated": pa.array(gated or [True] * len(rows), pa.bool_()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    @staticmethod
+    def _got(ds):
+        return {
+            (r["src_host"], r["dst_host"]): (
+                r["n_links"], r["n_src_urls"], r["n_dst_urls"]
+            )
+            for r in ds.take_all()
+        }
+
+    def test_planted_hosts_match_oracle(self, tmp_path, ray_session):
+        """Ports, uppercase hosts, duplicate links, no-scheme junk and
+        an ungated row — checked against the DuckDB oracle AND pinned
+        expectations."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        rows = [
+            ("https://A.com/x", "https://b.com/1"),
+            ("https://a.com/y", "https://b.com/1"),   # 2nd src page, same dst
+            ("https://a.com/y", "https://b.com/1"),   # exact duplicate link
+            ("https://a.com:8080/x", "https://b.com/2"),  # port = new host
+            ("no-scheme-junk", "https://b.com/1"),     # '' host
+            ("https://a.com/x", "https://A.COM/x"),    # intra-host (case-folded)
+            ("https://gone.com/x", "https://b.com/1"),
+        ]
+        gated = [True] * 6 + [False]
+        p = self._links(tmp_path, rows, gated)
+        got = self._got(graph.host_graph(str(tmp_path), links_path=p))
+        want = {
+            (s, d): (n, ns, nd)
+            for s, d, n, ns, nd in duckdb.connect()
+            .execute(graph.host_graph_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+        assert got[("a.com", "b.com")] == (3, 2, 1)
+        assert got[("a.com:8080", "b.com")] == (1, 1, 1)
+        assert got[("", "b.com")] == (1, 1, 1)
+        assert got[("a.com", "a.com")] == (1, 1, 1)
+        assert ("gone.com", "b.com") not in got
+
+    def test_randomized_matches_oracle(self, tmp_path, ray_session):
+        """Random url fragments (schemes, ports, paths, junk) — host
+        extraction + counts pinned cross-engine."""
+        import random
+
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        rng = random.Random(11)
+        def url():
+            scheme = rng.choice(["https://", "http://", "", "ftp://"])
+            host = rng.choice(["a.com", "B.org", "c.net:81", "d-e.io", ""])
+            path = rng.choice(["/", "/p?q=1", "/x#f", ""])
+            return f"{scheme}{host}{path}"
+
+        rows = [(url(), url()) for _ in range(300)]
+        p = self._links(tmp_path, rows)
+        got = self._got(graph.host_graph(str(tmp_path), links_path=p))
+        want = {
+            (s, d): (n, ns, nd)
+            for s, d, n, ns, nd in duckdb.connect()
+            .execute(graph.host_graph_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+
+
 class TestDecontaminate:
     def test_planted_copy_is_flagged(self, planted_dir, ray_session):
         """planted_dir's benchmark holdout (doc_id % 50 == 0) is docs

@@ -27,9 +27,11 @@ __all__ = [
     "link_degrees",
     "link_triangles",
     "link_components",
+    "host_graph",
     "pagerank_oracle_sql",
     "triangles_oracle_sql",
     "components_oracle_sql",
+    "host_graph_oracle_sql",
 ]
 
 ONE = 1 << 20  # fixed-point unit
@@ -891,4 +893,141 @@ def triangles_oracle_sql(links_path: str) -> str:
               SELECT y FROM t UNION ALL
               SELECT z FROM t)
         GROUP BY url
+    """
+
+
+# -- host graph (host-level collapse of the link graph) ------------------
+
+# Authority component of a URL: everything between "://" and the first
+# /?#. Shared RE2-class pattern — BOTH engines (polars' rust regex and
+# DuckDB's RE2) compile this exact string, so host extraction is
+# value-identical for any input by construction (the pii_scrub parity
+# technique). No-scheme / malformed urls extract '' on both sides.
+HOST_RE = r"^[^:/?#]+://([^/?#]+)"
+
+
+def host_graph(sf_dir: str, num_buckets: int = 32, links_path: str | None = None):
+    """Host-level collapse of the gated link graph — the web-graph
+    product crawl pipelines actually publish (Common Crawl's host-level
+    webgraph): one row per ``(src_host, dst_host)`` pair with
+
+    * ``n_links``    — gated link occurrences between the two hosts,
+    * ``n_src_urls`` — distinct linking pages on the source host,
+    * ``n_dst_urls`` — distinct linked pages on the target host.
+
+    Hosts are the lowercased URL authority (ports kept — a distinct
+    port IS a distinct authority); urls with no scheme collapse into
+    the ``''`` host on both engines (same regex, see ``HOST_RE``).
+
+    Ray shape — partial-aggregate before the shuffle: each input batch
+    is reduced to DISTINCT ``(src_host, dst_host, src_url, dst_url)``
+    quads carrying an exact ``cnt`` (polars vectorized regex + group
+    fold — duplicate links between the same pages collapse before any
+    row crosses the wire), keyed by ``hash(src_host, dst_host) %
+    num_buckets`` so one ``groupby(bucket).map_groups`` task per bucket
+    finishes the pair exactly: ``n_links = Σcnt`` and the two distinct
+    counts via Arrow ``count_distinct``. The exchange is bounded by
+    distinct page pairs, not link occurrences, and host strings cross
+    the wire once per distinct pair per batch. Host-pair skew (every
+    page on a big site linking its own nav pages) concentrates ONE
+    pair's quads in one bucket; quads are already first-level
+    aggregates, so the group is O(distinct pages), not O(links).
+    """
+    links = rd.read_parquet(
+        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    )
+
+    def to_quads(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = batch.filter(batch.column("gated"))
+        df = pl.from_arrow(t.select(["src_url", "dst_url"]))
+        out = (
+            df.with_columns(
+                src_host=pl.col("src_url")
+                .str.extract(HOST_RE, 1)
+                .fill_null("")
+                .str.to_lowercase(),
+                dst_host=pl.col("dst_url")
+                .str.extract(HOST_RE, 1)
+                .fill_null("")
+                .str.to_lowercase(),
+            )
+            .group_by(["src_host", "dst_host", "src_url", "dst_url"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .with_columns(
+                bucket=(
+                    pl.concat_str(
+                        [pl.col("src_host"), pl.col("dst_host")], separator="\x1f"
+                    ).hash(seed=0)
+                    % np.uint64(num_buckets)
+                ).cast(pl.Int64)
+            )
+        )
+        return out.to_arrow().select(
+            ["bucket", "src_host", "dst_host", "src_url", "dst_url", "cnt"]
+        ).cast(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("src_host", pa.string()),
+                    ("dst_host", pa.string()),
+                    ("src_url", pa.string()),
+                    ("dst_url", pa.string()),
+                    ("cnt", pa.int64()),
+                ]
+            )
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["src_host", "dst_host", "src_url", "dst_url", "cnt"])
+            .group_by(["src_host", "dst_host"])
+            .aggregate(
+                [
+                    ("cnt", "sum"),
+                    ("src_url", "count_distinct"),
+                    ("dst_url", "count_distinct"),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "src_host": g.column("src_host"),
+                "dst_host": g.column("dst_host"),
+                "n_links": g.column("cnt_sum").cast(pa.int64()),
+                "n_src_urls": g.column("src_url_count_distinct").cast(pa.int64()),
+                "n_dst_urls": g.column("dst_url_count_distinct").cast(pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("src_host", pa.string()),
+            ("dst_host", pa.string()),
+            ("n_links", pa.int64()),
+            ("n_src_urls", pa.int64()),
+            ("n_dst_urls", pa.int64()),
+        ]
+    )
+    result = (
+        links.map_batches(to_quads, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+    return rd.from_arrow(out_schema.empty_table()).union(result)
+
+
+def host_graph_oracle_sql(links_path: str) -> str:
+    """DuckDB oracle: the same RE2 host extraction, one GROUP BY."""
+    return f"""
+        SELECT
+          lower(regexp_extract(src_url, '{HOST_RE}', 1)) AS src_host,
+          lower(regexp_extract(dst_url, '{HOST_RE}', 1)) AS dst_host,
+          CAST(COUNT(*) AS BIGINT) AS n_links,
+          CAST(COUNT(DISTINCT src_url) AS BIGINT) AS n_src_urls,
+          CAST(COUNT(DISTINCT dst_url) AS BIGINT) AS n_dst_urls
+        FROM read_parquet('{links_path}')
+        WHERE gated
+        GROUP BY 1, 2
     """
