@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["host_graph"]
         ).host_graph(sf),
+        "host_components": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["host_components"]
+        ).host_components(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -791,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
     from wbot_ray.pipelines.graph import (
         _links_path,
         components_oracle_sql,
+        host_components_oracle_sql,
         host_graph_oracle_sql,
         pagerank_oracle_sql,
         triangles_oracle_sql,
@@ -803,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "link_triangles": triangles_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "link_components": components_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "host_graph": host_graph_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "host_components": host_components_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "embed_docs": _embed_docs_oracle_sql(),
         "semantic_search": _semantic_search_oracle_sql(),
         "langid": _langid_oracle_sql(),

@@ -219,6 +219,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "length_deciles",
         "link_components",
         "host_graph",
+        "host_components",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -1345,6 +1345,53 @@ class TestHostGraph:
         assert got == want
 
 
+class TestHostComponents:
+    def test_site_islands_match_oracle(self, tmp_path, ray_session):
+        """Two islands of sites + one intra-linking-only singleton
+        site, with several urls per host — vs the SQL oracle and
+        pinned expectations."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        rows = [
+            # island 1: a.com <-> b.com <-> c.com (many urls per host)
+            ("https://a.com/1", "https://b.com/1"),
+            ("https://a.com/2", "https://b.com/2"),
+            ("https://b.com/3", "https://c.com/1"),
+            # island 2: x.org -> y.org
+            ("https://x.org/1", "https://y.org/1"),
+            # self-linking-only site: singleton island
+            ("https://solo.net/1", "https://solo.net/2"),
+        ]
+        p = os.path.join(tmp_path, "links.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": pa.array([a for a, _ in rows], pa.string()),
+                    "dst_url": pa.array([b for _, b in rows], pa.string()),
+                    "gated": pa.array([True] * len(rows), pa.bool_()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["host"]: (r["comp"], r["comp_size"])
+            for r in graph.host_components(str(tmp_path), links_path=p).take_all()
+        }
+        want = {
+            h: (c, n)
+            for h, c, n in duckdb.connect()
+            .execute(graph.host_components_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+        assert got["a.com"] == ("a.com", 3)
+        assert got["c.com"] == ("a.com", 3)
+        assert got["x.org"] == ("x.org", 2)
+        assert got["solo.net"] == ("solo.net", 1)
+
+
 class TestDecontaminate:
     def test_planted_copy_is_flagged(self, planted_dir, ray_session):
         """planted_dir's benchmark holdout (doc_id % 50 == 0) is docs

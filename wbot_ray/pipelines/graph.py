@@ -28,10 +28,12 @@ __all__ = [
     "link_triangles",
     "link_components",
     "host_graph",
+    "host_components",
     "pagerank_oracle_sql",
     "triangles_oracle_sql",
     "components_oracle_sql",
     "host_graph_oracle_sql",
+    "host_components_oracle_sql",
 ]
 
 ONE = 1 << 20  # fixed-point unit
@@ -537,6 +539,7 @@ def link_components(
     max_iters: int = 200,
     links_path: str | None = None,
     round_stats: list | None = None,
+    links_ds=None,
 ):
     """Weakly connected components over the gated link graph — the
     mirror-cluster / site-island detector that completes the graph
@@ -593,9 +596,19 @@ def link_components(
     Reference anchor: the link graph is the reference crawler's
     discovery output (``crawler.go:195-291``); component structure
     over it is the canonical post-crawl mirror/island analysis.
+
+    ``links_ds`` substitutes any links-shaped Dataset
+    (``src_url/dst_url/gated``) for the parquet read — the seam
+    :func:`host_components` uses to run the same machinery over
+    host-level edges.
     """
-    links = rd.read_parquet(
-        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    links = (
+        links_ds
+        if links_ds is not None
+        else rd.read_parquet(
+            links_path or _links_path(sf_dir),
+            columns=["src_url", "dst_url", "gated"],
+        )
     )
 
     M = (1 << 63) - 1
@@ -843,14 +856,21 @@ def link_components(
     return rd.from_arrow(out_schema.empty_table()).union(resolved)
 
 
-def components_oracle_sql(links_path: str) -> str:
+def components_oracle_sql(
+    links_path: str, base_sql: str | None = None, url_col: str = "url"
+) -> str:
     """DuckDB oracle: undirected transitive closure via a recursive
     CTE, component representative = MIN reachable url (url itself
-    included), size by a second fold over the closure."""
+    included), size by a second fold over the closure. ``base_sql``
+    overrides the edge source (must yield columns ``s, d``) —
+    :func:`host_components_oracle_sql` uses it for host-level edges."""
+    base = base_sql or (
+        f"SELECT src_url AS s, dst_url AS d "
+        f"FROM read_parquet('{links_path}') WHERE gated"
+    )
     return f"""
         WITH RECURSIVE base AS (
-          SELECT src_url AS s, dst_url AS d
-          FROM read_parquet('{links_path}') WHERE gated
+          {base}
         ), und AS (
           SELECT s AS a, d AS b FROM base WHERE s <> d
           UNION
@@ -866,7 +886,7 @@ def components_oracle_sql(links_path: str) -> str:
         ), comp AS (
           SELECT n AS url, MIN(m) AS comp FROM reach GROUP BY n
         )
-        SELECT c.url, c.comp, z.comp_size
+        SELECT c.url AS {url_col}, c.comp, z.comp_size
         FROM comp c
         JOIN (SELECT comp, CAST(COUNT(*) AS BIGINT) AS comp_size
               FROM comp GROUP BY comp) z USING (comp)
@@ -1031,3 +1051,77 @@ def host_graph_oracle_sql(links_path: str) -> str:
         WHERE gated
         GROUP BY 1, 2
     """
+
+
+def host_components(
+    sf_dir: str, num_buckets: int = 32, links_path: str | None = None
+):
+    """Site-island detection: weakly connected components over the
+    HOST graph — which groups of sites form closed link neighborhoods
+    (mirror farms, language islands, walled gardens). Output:
+    ``(host, comp, comp_size)`` with ``comp`` the lexicographically
+    smallest host of the island.
+
+    Composition of the two graph primitives: the gated link table is
+    collapsed to distinct host pairs per batch (same ``HOST_RE``
+    extraction as :func:`host_graph`, so host identity is cross-engine
+    exact), and the resulting links-shaped Dataset feeds
+    :func:`link_components`' large-star/small-star machinery via its
+    ``links_ds`` seam — same O(log² n) rounds, same exact convergence
+    counters, no new exchange code. Intra-host links become self-loop
+    pairs, which the CC machinery already treats as
+    connectivity-free-but-node-keeping: a site linking only to itself
+    is its own singleton island, exactly mirroring the URL-level
+    semantics.
+    """
+    links = rd.read_parquet(
+        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    )
+
+    def to_host_pairs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = batch.filter(batch.column("gated"))
+        df = pl.from_arrow(t.select(["src_url", "dst_url"]))
+        out = (
+            df.select(
+                src_url=pl.col("src_url")
+                .str.extract(HOST_RE, 1)
+                .fill_null("")
+                .str.to_lowercase(),
+                dst_url=pl.col("dst_url")
+                .str.extract(HOST_RE, 1)
+                .fill_null("")
+                .str.to_lowercase(),
+            )
+            .unique()
+            .with_columns(gated=pl.lit(True))
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("src_url", pa.string()),
+                    ("dst_url", pa.string()),
+                    ("gated", pa.bool_()),
+                ]
+            )
+        )
+
+    pairs = links.map_batches(to_host_pairs, batch_format="pyarrow")
+    comps = link_components(sf_dir, num_buckets=num_buckets, links_ds=pairs)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["host", "comp", "comp_size"])
+
+    return comps.map_batches(rename, batch_format="pyarrow")
+
+
+def host_components_oracle_sql(links_path: str) -> str:
+    """DuckDB oracle: the CC transitive-closure oracle over host-level
+    edges (same ``HOST_RE`` both engines)."""
+    base = (
+        f"SELECT lower(regexp_extract(src_url, '{HOST_RE}', 1)) AS s, "
+        f"lower(regexp_extract(dst_url, '{HOST_RE}', 1)) AS d "
+        f"FROM read_parquet('{links_path}') WHERE gated"
+    )
+    return components_oracle_sql(links_path, base_sql=base, url_col="host")
