@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["host_components"]
         ).host_components(sf),
+        "host_pagerank": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["host_pagerank"]
+        ).host_pagerank(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -796,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         components_oracle_sql,
         host_components_oracle_sql,
         host_graph_oracle_sql,
+        host_pagerank_oracle_sql,
         pagerank_oracle_sql,
         triangles_oracle_sql,
     )
@@ -808,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
         "link_components": components_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "host_graph": host_graph_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "host_components": host_components_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "host_pagerank": host_pagerank_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "embed_docs": _embed_docs_oracle_sql(),
         "semantic_search": _semantic_search_oracle_sql(),
         "langid": _langid_oracle_sql(),

@@ -1392,6 +1392,98 @@ class TestHostComponents:
         assert got["solo.net"] == ("solo.net", 1)
 
 
+class TestHostPagerank:
+    def _links(self, tmp_path, rows, gated=None):
+        p = os.path.join(tmp_path, "links.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": pa.array([a for a, _ in rows], pa.string()),
+                    "dst_url": pa.array([b for _, b in rows], pa.string()),
+                    "gated": pa.array(gated or [True] * len(rows), pa.bool_()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    def test_planted_hosts_match_oracle(self, tmp_path, ray_session):
+        """Multi page-level links between the same host pair collapse
+        to ONE edge (out-degree 1), self-loops feed own rank, case is
+        folded, ungated rows drop — vs the unrolled DuckDB twin."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        rows = [
+            # a.com -> b.com realized by THREE page-level links
+            ("https://a.com/1", "https://b.com/1"),
+            ("https://A.com/2", "https://b.com/2"),
+            ("https://a.com/2", "https://B.COM/1"),
+            # hub: everyone links h.net
+            ("https://a.com/1", "https://h.net/"),
+            ("https://b.com/1", "https://h.net/"),
+            ("https://c.org/1", "https://h.net/"),
+            # c.org also links a.com; h.net links back to a.com only
+            ("https://c.org/1", "https://a.com/1"),
+            ("https://h.net/", "https://a.com/9"),
+            # self-linking-only host
+            ("https://solo.io/x", "https://solo.io/y"),
+            # ungated: must not appear
+            ("https://gone.com/x", "https://h.net/"),
+        ]
+        gated = [True] * 9 + [False]
+        p = self._links(tmp_path, rows, gated)
+        got = {
+            r["host"]: r["rank_fp"]
+            for r in graph.host_pagerank(str(tmp_path), links_path=p).take_all()
+        }
+        want = {
+            h: rf
+            for h, rf in duckdb.connect()
+            .execute(graph.host_pagerank_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+        # the hub with 3 distinct in-hosts outranks the pair-collapsed
+        # b.com (1 in-edge despite 3 page-level links), and gone.com is
+        # absent while the self-loop singleton survives as a node
+        assert got["h.net"] > got["b.com"]
+        assert "gone.com" not in got
+        assert "solo.io" in got
+
+    def test_randomized_matches_oracle(self, tmp_path, ray_session):
+        """Random host-level graph with dup links, ports, junk hosts —
+        bit-exact vs the SQL twin."""
+        import random
+
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        rng = random.Random(13)
+
+        def url():
+            scheme = rng.choice(["https://", "http://", ""])
+            host = rng.choice(["a.com", "B.org", "c.net:81", "d-e.io", "x.co", ""])
+            path = rng.choice(["/", "/p?q=1", "/x#f", ""])
+            return f"{scheme}{host}{path}"
+
+        rows = [(url(), url()) for _ in range(400)]
+        p = self._links(tmp_path, rows)
+        got = {
+            r["host"]: r["rank_fp"]
+            for r in graph.host_pagerank(str(tmp_path), links_path=p).take_all()
+        }
+        want = {
+            h: rf
+            for h, rf in duckdb.connect()
+            .execute(graph.host_pagerank_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+
+
 class TestDecontaminate:
     def test_planted_copy_is_flagged(self, planted_dir, ray_session):
         """planted_dir's benchmark holdout (doc_id % 50 == 0) is docs

@@ -29,7 +29,9 @@ __all__ = [
     "link_components",
     "host_graph",
     "host_components",
+    "host_pagerank",
     "pagerank_oracle_sql",
+    "host_pagerank_oracle_sql",
     "triangles_oracle_sql",
     "components_oracle_sql",
     "host_graph_oracle_sql",
@@ -56,7 +58,13 @@ def _links_path(sf_dir: str) -> str:
     return links
 
 
-def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path: str | None = None):
+def link_pagerank(
+    sf_dir: str,
+    iters: int = 5,
+    num_buckets: int = 32,
+    links_path: str | None = None,
+    links_ds=None,
+):
     """Fixed-point PageRank over the gated link graph, ``iters`` power
     iterations. Ray shape — the FUSED bucketed iteration: node ids are
     hashed once into ``num_buckets`` co-location buckets when the edge
@@ -80,9 +88,20 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
     is materialized, every per-round exchange carries pure int64 rows
     (~56 B/edge vs ~300 B with URL keys — at web scale the iteration
     is exchange-bandwidth-bound, so this is the dominant cost), and
-    one final keyed join maps ids back to URLs."""
-    links = rd.read_parquet(
-        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    one final keyed join maps ids back to URLs.
+
+    ``links_ds`` substitutes any links-shaped Dataset
+    (``src_url/dst_url/gated``) for the parquet read — the seam
+    :func:`host_pagerank` uses to rank host-level edges (same seam
+    contract as :func:`link_components`). Multi-edges count toward
+    out-degree, so a caller wanting simple-graph semantics must
+    dedupe before the seam."""
+    links = (
+        links_ds
+        if links_ds is not None
+        else rd.read_parquet(
+            links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+        )
     )
 
     M = (1 << 63) - 1  # keep ids non-negative int64 (bucketing uses %)
@@ -257,12 +276,22 @@ def link_pagerank(sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path
     )
 
 
-def pagerank_oracle_sql(links_path: str, iters: int = 5) -> str:
+def pagerank_oracle_sql(
+    links_path: str,
+    iters: int = 5,
+    base_sql: str | None = None,
+    url_col: str = "url",
+) -> str:
     """DuckDB oracle: the identical fixed-point power iteration,
-    unrolled ``iters`` times over the same links parquet."""
+    unrolled ``iters`` times over the same links parquet.
+    ``base_sql`` overrides the edge source (must yield ``src, dst``
+    string columns) — used by :func:`host_pagerank_oracle_sql`."""
+    base = base_sql or (
+        f"""SELECT src_url AS src, dst_url AS dst
+               FROM read_parquet('{links_path}') WHERE gated"""
+    )
     ctes = [
-        f"""e AS (SELECT src_url AS src, dst_url AS dst
-               FROM read_parquet('{links_path}') WHERE gated)""",
+        f"e AS ({base})",
         """nodes AS (SELECT DISTINCT n FROM
                (SELECT src AS n FROM e UNION ALL SELECT dst FROM e))""",
         """odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
@@ -284,7 +313,7 @@ def pagerank_oracle_sql(links_path: str, iters: int = 5) -> str:
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT n AS url, r AS rank_fp FROM r{iters}"
+        + f"\nSELECT n AS {url_col}, r AS rank_fp FROM r{iters}"
     )
 
 
@@ -1125,3 +1154,104 @@ def host_components_oracle_sql(links_path: str) -> str:
         f"FROM read_parquet('{links_path}') WHERE gated"
     )
     return components_oracle_sql(links_path, base_sql=base, url_col="host")
+
+
+def host_pagerank(
+    sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path: str | None = None
+):
+    """Host-level PageRank — the rank column of the published
+    host-webgraph product (Common Crawl ships exactly this: a host
+    graph plus per-host rank): fixed-point PageRank over the DISTINCT
+    host-pair edges of the gated link graph. Output ``(host,
+    rank_fp)`` with ``rank_fp`` the 2^20-scaled int64 rank, bit-exact
+    against the unrolled DuckDB twin.
+
+    Semantics pinned for both engines: one edge per distinct
+    ``(src_host, dst_host)`` pair (each pair contributes out-degree 1
+    regardless of how many page-level links realize it — the
+    unweighted simple host graph), self-loops kept (a host linking
+    itself feeds its own rank — and stays a node even when it links
+    nowhere else), hosts lowercased via the shared ``HOST_RE``.
+
+    Ray shape — a composition of existing primitives: the batch-local
+    host-pair collapse (polars RE2 + ``unique``, same as
+    :func:`host_components`) shrinks the exchange to distinct pairs
+    per batch, ONE ``groupby(bucket).map_groups`` exchange makes the
+    pairs globally distinct (bucketed by pair hash, so dupes of a pair
+    meet in one group; required because multi-edges would inflate
+    out-degree in the iteration), and the deduped links-shaped Dataset
+    feeds :func:`link_pagerank`'s ``links_ds`` seam — no new iteration
+    code. Exchange count: 1 + (iters + 1). Host strings cross the
+    pair-dedup wire once per distinct pair per batch; inside the
+    iteration they are int64 ids as usual.
+    """
+    links = rd.read_parquet(
+        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = batch.filter(batch.column("gated"))
+        df = pl.from_arrow(t.select(["src_url", "dst_url"]))
+        out = (
+            df.select(
+                src_url=pl.col("src_url")
+                .str.extract(HOST_RE, 1)
+                .fill_null("")
+                .str.to_lowercase(),
+                dst_url=pl.col("dst_url")
+                .str.extract(HOST_RE, 1)
+                .fill_null("")
+                .str.to_lowercase(),
+            )
+            .unique()
+            .with_columns(
+                bucket=(
+                    pl.concat_str(
+                        [pl.col("src_url"), pl.col("dst_url")], separator="\x1f"
+                    ).hash(seed=0)
+                    % np.uint64(num_buckets)
+                ).cast(pl.Int64)
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("src_url", pa.string()),
+                    ("dst_url", pa.string()),
+                    ("bucket", pa.int64()),
+                ]
+            )
+        )
+
+    def distinct_pairs(group: pa.Table) -> pa.Table:
+        g = group.group_by(["src_url", "dst_url"]).aggregate([])
+        return g.append_column("gated", pa.array([True] * g.num_rows, pa.bool_()))
+
+    pairs = (
+        links.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_pairs, batch_format="pyarrow")
+    )
+    ranks = link_pagerank(sf_dir, iters=iters, num_buckets=num_buckets, links_ds=pairs)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["host", "rank_fp"])
+
+    out_schema = pa.schema([("host", pa.string()), ("rank_fp", pa.int64())])
+    return rd.from_arrow(out_schema.empty_table()).union(
+        ranks.map_batches(rename, batch_format="pyarrow")
+    )
+
+
+def host_pagerank_oracle_sql(links_path: str, iters: int = 5) -> str:
+    """DuckDB oracle: the identical unrolled fixed-point iteration over
+    the DISTINCT host-pair edges (same ``HOST_RE`` both engines)."""
+    base = (
+        f"SELECT DISTINCT "
+        f"lower(regexp_extract(src_url, '{HOST_RE}', 1)) AS src, "
+        f"lower(regexp_extract(dst_url, '{HOST_RE}', 1)) AS dst "
+        f"FROM read_parquet('{links_path}') WHERE gated"
+    )
+    return pagerank_oracle_sql(links_path, iters, base_sql=base, url_col="host")
