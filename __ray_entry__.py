@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["host_pagerank"]
         ).host_pagerank(sf),
+        "anchor_texts": lambda sf: __import__(
+            "wbot_ray.pipelines.anchors", fromlist=["anchor_texts"]
+        ).anchor_texts(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -813,6 +816,13 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": host_graph_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "host_components": host_components_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "host_pagerank": host_pagerank_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "anchor_texts": __import__(
+            "wbot_ray.pipelines.anchors", fromlist=["anchor_texts_oracle_sql"]
+        ).anchor_texts_oracle_sql(
+            __import__(
+                "wbot_ray.pipelines.anchors", fromlist=["_anchors_path"]
+            )._anchors_path("/root/testdata/sf0.01")
+        ),
         "embed_docs": _embed_docs_oracle_sql(),
         "semantic_search": _semantic_search_oracle_sql(),
         "langid": _langid_oracle_sql(),

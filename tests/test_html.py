@@ -106,3 +106,63 @@ class TestParsePage:
         for cut in (0, 1, 7, 63, 128, 1000, len(body)):
             b = body[:cut]
             assert parse_page(b) == (find_links(b), extract_text(b)), cut
+
+
+class TestFindAnchors:
+    def test_basic_pairs_in_document_order(self):
+        from wbot_ray.html import find_anchors
+
+        body = (
+            b"<a href='/a'>first</a><p>between</p>"
+            b"<a href='/b'>two  words</a><a href='/a'>first</a>"
+        )
+        assert find_anchors(body) == [
+            ("/a", "first"), ("/b", "two words"), ("/a", "first"),
+        ]
+
+    def test_no_href_skipped_and_duplicate_attr_first_wins(self):
+        from wbot_ray.html import find_anchors
+
+        assert find_anchors(b"<a name='n'>skip</a><a href='/1' href='/2'>t</a>") == [
+            ("/1", "t")
+        ]
+
+    def test_new_anchor_implicitly_closes_open_one(self):
+        from wbot_ray.html import find_anchors
+
+        # HTML5 in-body rule: browsers never nest anchors
+        body = b"<a href='/x'>outer <a href='/y'>inner</a> tail"
+        assert find_anchors(body) == [("/x", "outer"), ("/y", "inner")]
+
+    def test_self_closed_empty_text_and_truncation_flush(self):
+        from wbot_ray.html import find_anchors
+
+        assert find_anchors(b"<a href='/s'/>rest") == [("/s", "")]
+        assert find_anchors(b"<a href='/t'>cut off mid") == [("/t", "cut off mid")]
+
+    def test_inner_text_matches_extract_text_definition(self):
+        from wbot_ray.html import find_anchors
+
+        body = (
+            b"<a href='/k'>keep <b>bold</b><script>var x=1</script>"
+            b"<style>p{}</style> after&amp;amp</a>"
+        )
+        assert find_anchors(body) == [("/k", "keep bold after&amp")]
+
+    def test_empty_and_invalid_bytes(self):
+        from wbot_ray.html import find_anchors
+
+        assert find_anchors(b"") == []
+        assert find_anchors(b"<a href='/b'>y\xff z</a>") == [("/b", "y� z")]
+
+    def test_hrefs_agree_with_find_links_a_group(self):
+        """find_anchors' href sequence == find_links' a[href] group on
+        real fixture pages (same collection rule, one more column)."""
+        from wbot_ray.html import find_anchors, find_links
+        from wbot_ray.sources.fixtures import gen_pages
+
+        for html in gen_pages("tiny").column("html").to_pylist()[:40]:
+            body = html.encode() if isinstance(html, str) else html
+            hrefs = [h for h, _ in find_anchors(body)]
+            # the a[href] group is the PREFIX of find_links' grouped order
+            assert find_links(body)[: len(hrefs)] == hrefs

@@ -1484,6 +1484,133 @@ class TestHostPagerank:
         assert got == want
 
 
+class TestAnchorTexts:
+    def _pages(self, tmp_path, rows):
+        p = os.path.join(tmp_path, "pages.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([u for u, _ in rows], pa.string()),
+                    "html": pa.array([h for _, h in rows], pa.binary()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    def test_planted_anchors_match_oracle(self, tmp_path, ray_session):
+        """Relative hrefs canonicalize onto the page url, counts fold
+        across pages, the top anchor breaks ties lexicographically,
+        unresolvable hrefs drop — vs the side-table SQL twin AND pinned
+        expectations."""
+        import duckdb
+
+        from wbot_ray.config import CrawlConfig
+        from wbot_ray.pipelines import anchors
+
+        rows = [
+            (
+                "https://a.com/p1",
+                b"<a href='/t'>home</a><a href='/t'>home</a>"
+                b"<a href='https://b.com/x'>ext</a>"
+                b"<a href='https://bad.invalidtld/q'>j</a>",
+            ),
+            (
+                "https://a.com/p2",
+                b"<a href='/t'>start</a><a href='/t'>home</a>"
+                b"<a href='/only'>one</a>",
+            ),
+            # tie case: /z gets 'aa' x1 and 'bb' x1 -> top must be 'aa'
+            ("https://b.com/p", b"<a href='/z'>bb</a><a href='/z'>aa</a>"),
+        ]
+        p = self._pages(tmp_path, rows)
+        got = {
+            r["dst_url"]: (r["n_anchors"], r["n_texts"], r["top_anchor"], r["top_cnt"])
+            for r in anchors.anchor_texts(
+                str(tmp_path), pages_path=p, max_body=1 << 20
+            ).take_all()
+        }
+        side = anchors.write_anchor_table(
+            p, os.path.join(str(tmp_path), "oracle"), CrawlConfig(max_body_size=1 << 20)
+        )
+        want = {
+            d: (n, t, top, tc)
+            for d, n, t, top, tc in duckdb.connect()
+            .execute(anchors.anchor_texts_oracle_sql(side))
+            .fetchall()
+        }
+        assert got == want
+        assert got["https://a.com/t"] == (4, 2, "home", 3)
+        assert got["https://b.com/z"] == (2, 2, "aa", 1)
+        assert not any("invalidtld" in d for d in got)
+
+    def test_truncation_is_applied_before_parse(self, tmp_path, ray_session):
+        """Anchors past max_body never appear — the M7 slice the crawl
+        itself applies (engine and side table agree on the same cut)."""
+        import duckdb
+
+        from wbot_ray.config import CrawlConfig
+        from wbot_ray.pipelines import anchors
+
+        head = b"<a href='/kept'>k</a>"
+        body = head + b"x" * 200 + b"<a href='/cut'>c</a>"
+        p = self._pages(tmp_path, [("https://a.com/p", body)])
+        cut = len(head) + 100
+        got = {
+            r["dst_url"]
+            for r in anchors.anchor_texts(
+                str(tmp_path), pages_path=p, max_body=cut
+            ).take_all()
+        }
+        assert got == {"https://a.com/kept"}
+        side = anchors.write_anchor_table(
+            p, os.path.join(str(tmp_path), "oracle"), CrawlConfig(max_body_size=cut)
+        )
+        want = {
+            d for (d,) in duckdb.connect()
+            .execute(f"SELECT DISTINCT dst_url FROM read_parquet('{side}')")
+            .fetchall()
+        }
+        assert want == got
+
+    def test_randomized_matches_oracle(self, tmp_path, ray_session):
+        """Random pages with shared anchor vocabulary — fold + arg-max
+        pinned cross-engine."""
+        import random
+
+        import duckdb
+
+        from wbot_ray.config import CrawlConfig
+        from wbot_ray.pipelines import anchors
+
+        rng = random.Random(7)
+        texts = ["home", "next", "prev", "more info", "", "download"]
+        rows = []
+        for i in range(60):
+            parts = []
+            for _ in range(rng.randrange(0, 8)):
+                href = rng.choice(["/a", "/b", "x/y", "https://c.io/z", "?q=1"])
+                parts.append(f"<a href='{href}'>{rng.choice(texts)}</a>")
+            rows.append((f"https://s{rng.randrange(3)}.com/p{i}", "".join(parts).encode()))
+        p = self._pages(tmp_path, rows)
+        got = {
+            r["dst_url"]: (r["n_anchors"], r["n_texts"], r["top_anchor"], r["top_cnt"])
+            for r in anchors.anchor_texts(
+                str(tmp_path), pages_path=p, max_body=1 << 20
+            ).take_all()
+        }
+        side = anchors.write_anchor_table(
+            p, os.path.join(str(tmp_path), "oracle"), CrawlConfig(max_body_size=1 << 20)
+        )
+        want = {
+            d: (n, t, top, tc)
+            for d, n, t, top, tc in duckdb.connect()
+            .execute(anchors.anchor_texts_oracle_sql(side))
+            .fetchall()
+        }
+        assert got == want
+
+
 class TestDecontaminate:
     def test_planted_copy_is_flagged(self, planted_dir, ray_session):
         """planted_dir's benchmark holdout (doc_id % 50 == 0) is docs

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from html.parser import HTMLParser
 
-__all__ = ["find_links", "extract_text", "parse_page"]
+__all__ = ["find_links", "find_anchors", "extract_text", "parse_page"]
 
 # tag -> attribute, in the reference's selector-group order (wbot.go:171-195)
 _GROUPS: tuple[tuple[str, str], ...] = (
@@ -75,6 +75,83 @@ def find_links(body: bytes) -> list[str]:
     for g in p.groups:
         out.extend(g)
     return out
+
+
+class _AnchorCollector(HTMLParser):
+    """``(href, inner text)`` per ``<a href>`` element, document order.
+
+    Semantics (pinned by ``tests/test_html.py``):
+
+    * only ``<a>`` elements whose FIRST ``href`` attribute is present
+      (first occurrence wins, like ``_LinkCollector``);
+    * a new ``<a>`` start tag implicitly closes any open anchor — the
+      HTML5 in-body insertion rule (browsers never nest anchors);
+    * inner text follows ``extract_text``'s definition: text nodes
+      outside script/style/template/noscript, whitespace-normalized,
+      space-joined — so an anchor's text is exactly the slice of the
+      page text it contributes;
+    * ``<a href=x/>`` (self-closed) yields ``(x, "")``; an anchor left
+      open at EOF (truncated body) flushes with what it collected.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._chunks: list[str] = []
+        self._skip_depth = 0
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.anchors.append((self._href, " ".join(self._chunks)))
+        self._href, self._chunks = None, []
+
+    @staticmethod
+    def _first_href(attrs: list[tuple[str, str | None]]) -> str | None:
+        for name, value in attrs:
+            if name == "href":
+                return value
+        return None
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "a":
+            self._flush()
+            self._href = self._first_href(attrs)
+        elif tag in _SKIP_TEXT_TAGS and tag not in _VOID:
+            self._skip_depth += 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "a":
+            self._flush()
+            href = self._first_href(attrs)
+            if href is not None:
+                self.anchors.append((href, ""))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+        elif tag in _SKIP_TEXT_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._href is None or self._skip_depth:
+            return
+        self._chunks.extend(data.split())
+
+
+def find_anchors(body: bytes) -> list[tuple[str, str]]:
+    """``(href, anchor text)`` pairs for the body's ``<a href>``
+    elements, document order — the per-page fact behind anchor-text
+    aggregation (what search indexes store per target URL). Parse
+    errors yield whatever was collected so far, like ``find_links``."""
+    p = _AnchorCollector()
+    try:
+        p.feed(body.decode("utf-8", "replace"))
+        p.close()
+    except Exception:
+        pass
+    p._flush()
+    return p.anchors
 
 
 _SKIP_TEXT_TAGS = frozenset({"script", "style", "template", "noscript"})
