@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_visited": crawlq.crawl_visited,
         "crawl_results": crawlq.crawl_results,
         "crawl_metrics": crawlq.crawl_metrics,
+        "crawl_depth_hist": crawlq.crawl_depth_hist,
         "crawl_text_stats": crawlq.crawl_text_stats,
         "export_corpus": crawlq.export_corpus,
         # -- text analysis

@@ -29,7 +29,14 @@ def oracle_sqls(ray_session):
 
 
 @pytest.mark.parametrize(
-    "name", ["crawl_visited", "crawl_results", "crawl_metrics", "crawl_text_stats"]
+    "name",
+    [
+        "crawl_visited",
+        "crawl_results",
+        "crawl_metrics",
+        "crawl_text_stats",
+        "crawl_depth_hist",
+    ],
 )
 def test_crawl_query_matches_duckdb_bfs(name, oracle_sqls, ray_session):
     from wbot_ray.pipelines import crawlq
@@ -53,6 +60,25 @@ def test_visited_order_is_bfs_rank(ray_session, oracle_sqls):
     vis = crawlq.crawl_visited(SF_TINY).to_pandas()
     assert list(vis["crawl_ord"]) == list(range(len(vis)))
     assert vis["depth"].is_monotonic_increasing
+
+
+def test_depth_hist_partitions_ord_space(ray_session):
+    """Each depth's [first_ord, last_ord] interval is dense and the
+    intervals tile [0, N) in depth order — the BFS contiguity claim."""
+    from wbot_ray.pipelines import crawlq
+
+    h = (
+        crawlq.crawl_depth_hist(SF_TINY)
+        .to_pandas()
+        .sort_values("depth")
+        .reset_index(drop=True)
+    )
+    nxt = 0
+    for _, r in h.iterrows():
+        assert r["first_ord"] == nxt
+        assert r["last_ord"] - r["first_ord"] + 1 == r["n_urls"]
+        nxt = r["last_ord"] + 1
+    assert nxt == h["n_urls"].sum()
 
 
 def test_export_corpus_roundtrip_and_resume(ray_session):

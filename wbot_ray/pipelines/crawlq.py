@@ -32,6 +32,7 @@ __all__ = [
     "crawl_visited",
     "crawl_results",
     "crawl_metrics",
+    "crawl_depth_hist",
     "crawl_text_stats",
     "export_corpus",
     "oracle_entries",
@@ -89,6 +90,50 @@ def crawl_visited(sf_dir: str):
     """Every fetched URL in exact BFS crawl order (sorted Dataset — the
     caller streams or writes it; nothing materializes driver-side)."""
     return crawl_run_for(sf_dir).visited_dataset()
+
+
+def crawl_depth_hist(sf_dir: str):
+    """Frontier-growth profile: per BFS depth, how many URLs were
+    fetched and the contiguous ``crawl_ord`` range they occupy (BFS
+    order means each depth owns one dense ord interval — the profile a
+    crawl operator watches to size the next round). Ray shape: batch-
+    local partials over the streamed visited Dataset (depth, n, min,
+    max per batch) → one tiny keyed fold; no row reaches the driver."""
+    import pyarrow as pa
+
+    ds = crawl_run_for(sf_dir).visited_dataset()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["depth", "crawl_ord"]).group_by("depth").aggregate(
+            [("crawl_ord", "count"), ("crawl_ord", "min"), ("crawl_ord", "max")]
+        )
+        return pa.table(
+            {
+                "depth": g.column("depth").cast(pa.int64()),
+                "n": g.column("crawl_ord_count").cast(pa.int64()),
+                "mn": g.column("crawl_ord_min").cast(pa.int64()),
+                "mx": g.column("crawl_ord_max").cast(pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by("depth").aggregate(
+            [("n", "sum"), ("mn", "min"), ("mx", "max")]
+        )
+        return pa.table(
+            {
+                "depth": g.column("depth").cast(pa.int64()),
+                "n_urls": g.column("n_sum").cast(pa.int64()),
+                "first_ord": g.column("mn_min").cast(pa.int64()),
+                "last_ord": g.column("mx_max").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("depth")
+        .map_groups(fold, batch_format="pyarrow")
+    )
 
 
 def crawl_results(sf_dir: str):
@@ -221,6 +266,13 @@ def oracle_entries(scale: str = "small") -> dict[str, str]:
     sqls["export_corpus"] = f"""
         SELECT lang AS part, CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM ({sqls['crawl_results']}) GROUP BY lang
+    """
+    sqls["crawl_depth_hist"] = f"""
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(MIN(crawl_ord) AS BIGINT) AS first_ord,
+               CAST(MAX(crawl_ord) AS BIGINT) AS last_ord
+        FROM ({sqls['crawl_visited']}) GROUP BY depth
     """
     sqls["crawl_text_stats"] = f"""
         SELECT url,
