@@ -139,6 +139,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": lambda sf: __import__(
             "wbot_ray.pipelines.anchors", fromlist=["anchor_texts"]
         ).anchor_texts(sf),
+        "url_features": lambda sf: __import__(
+            "wbot_ray.pipelines.urlstats", fromlist=["url_features"]
+        ).url_features(sf),
+        "link_gate_stats": lambda sf: __import__(
+            "wbot_ray.pipelines.urlstats", fromlist=["link_gate_stats"]
+        ).link_gate_stats(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -824,6 +830,16 @@ def oracle_sql() -> dict[str, str]:
                 "wbot_ray.pipelines.anchors", fromlist=["_anchors_path"]
             )._anchors_path("/root/testdata/sf0.01")
         ),
+        "url_features": __import__(
+            "wbot_ray.pipelines.urlstats", fromlist=["url_features_oracle_sql"]
+        ).url_features_oracle_sql(
+            __import__(
+                "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
+            )._pages_path_for("/root/testdata/sf0.01")
+        ),
+        "link_gate_stats": __import__(
+            "wbot_ray.pipelines.urlstats", fromlist=["link_gate_stats_oracle_sql"]
+        ).link_gate_stats_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "embed_docs": _embed_docs_oracle_sql(),
         "semantic_search": _semantic_search_oracle_sql(),
         "langid": _langid_oracle_sql(),

@@ -1611,6 +1611,122 @@ class TestAnchorTexts:
         assert got == want
 
 
+class TestUrlFeatures:
+    def _pages(self, tmp_path, urls):
+        p = os.path.join(tmp_path, "pages.parquet")
+        pq.write_table(pa.table({"url": pa.array(urls, pa.string())}), p)
+        return p
+
+    def test_adversarial_urls_match_oracle(self, tmp_path, ray_session):
+        """Query-in-fragment, fragment-in-query, empty path, dotted
+        dirs, ports, uppercase — both engines compile the same RE2, so
+        every row must agree; plus pinned anatomy expectations."""
+        import duckdb
+
+        from wbot_ray.pipelines import urlstats
+
+        urls = [
+            "https://a.com/x/y/z.html?a=1&b=2&c=3",
+            "https://A.COM:8080/",
+            "http://b.org",                      # no path at all
+            "https://c.net/p#frag?notquery=1",   # '?' after '#'
+            "https://c.net/p?q=1#frag",
+            "https://d.io/dir.v2/file",          # dot in dir, no ext
+            "https://d.io/archive.tar.gz",
+            "ftp://e.gov/a//b/?x",               # empty segment, bare '?'
+            "no-scheme-at-all/path?y",
+            "https://f.com/?#",
+        ]
+        p = self._pages(tmp_path, urls)
+        got = {
+            r["url"]: (
+                r["scheme"], r["host"], r["path_depth"],
+                r["n_params"], r["has_fragment"], r["ext"],
+            )
+            for r in urlstats.url_features(str(tmp_path), pages_path=p).take_all()
+        }
+        want = {
+            u: (s, h, d, n, f, e)
+            for u, s, h, d, n, f, e in duckdb.connect()
+            .execute(urlstats.url_features_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+        assert got["https://a.com/x/y/z.html?a=1&b=2&c=3"] == (
+            "https", "a.com", 3, 3, False, "html",
+        )
+        assert got["https://A.COM:8080/"] == ("https", "a.com:8080", 1, 0, False, "")
+        assert got["http://b.org"] == ("http", "b.org", 0, 0, False, "")
+        assert got["https://d.io/archive.tar.gz"] == ("https", "d.io", 1, 0, False, "gz")
+        assert got["https://c.net/p?q=1#frag"][4] is True
+
+    def test_randomized_matches_oracle(self, tmp_path, ray_session):
+        import random
+
+        import duckdb
+
+        from wbot_ray.pipelines import urlstats
+
+        rng = random.Random(23)
+        frag = ["", "#f", "#a?b", "#"]
+        qs = ["", "?", "?a=1", "?a=1&b=2", "?&", "?a&&b"]
+        paths = ["", "/", "/x", "/x/y.z", "/x.y/z", "//", "/a.PDF"]
+        hosts = ["a.com", "B.org:9", "c-d.net", ""]
+        schemes = ["https://", "http://", "", "s3://"]
+        urls = list(
+            {
+                f"{rng.choice(schemes)}{rng.choice(hosts)}{rng.choice(paths)}"
+                f"{rng.choice(qs)}{rng.choice(frag)}"
+                for _ in range(300)
+            }
+        )
+        p = self._pages(tmp_path, urls)
+        got = {
+            r["url"]: (
+                r["scheme"], r["host"], r["path_depth"],
+                r["n_params"], r["has_fragment"], r["ext"],
+            )
+            for r in urlstats.url_features(str(tmp_path), pages_path=p).take_all()
+        }
+        want = {
+            u: (s, h, d, n, f, e)
+            for u, s, h, d, n, f, e in duckdb.connect()
+            .execute(urlstats.url_features_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+
+    def test_link_gate_stats_matches_oracle(self, tmp_path, ray_session):
+        import duckdb
+
+        from wbot_ray.pipelines import urlstats
+
+        p = os.path.join(tmp_path, "links.parquet")
+        roots = ["a.com", "b.org", "a.com", "a.com", "c.net", "b.org"]
+        gated = [True, False, True, False, True, True]
+        pq.write_table(
+            pa.table(
+                {
+                    "dst_root": pa.array(roots, pa.string()),
+                    "gated": pa.array(gated, pa.bool_()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["dst_root"]: (r["n_links"], r["n_gated"], r["n_blocked"])
+            for r in urlstats.link_gate_stats(str(tmp_path), links_path=p).take_all()
+        }
+        want = {
+            root: (n, g, b)
+            for root, n, g, b in duckdb.connect()
+            .execute(urlstats.link_gate_stats_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+        assert got["a.com"] == (3, 2, 1)
+
+
 class TestDecontaminate:
     def test_planted_copy_is_flagged(self, planted_dir, ray_session):
         """planted_dir's benchmark holdout (doc_id % 50 == 0) is docs
