@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_gate_stats": lambda sf: __import__(
             "wbot_ray.pipelines.urlstats", fromlist=["link_gate_stats"]
         ).link_gate_stats(sf),
+        "url_blocklist": lambda sf: __import__(
+            "wbot_ray.pipelines.urlstats", fromlist=["url_blocklist"]
+        ).url_blocklist(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -840,6 +843,13 @@ def oracle_sql() -> dict[str, str]:
         "link_gate_stats": __import__(
             "wbot_ray.pipelines.urlstats", fromlist=["link_gate_stats_oracle_sql"]
         ).link_gate_stats_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "url_blocklist": __import__(
+            "wbot_ray.pipelines.urlstats", fromlist=["url_blocklist_oracle_sql"]
+        ).url_blocklist_oracle_sql(
+            __import__(
+                "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
+            )._pages_path_for("/root/testdata/sf0.01")
+        ),
         "embed_docs": _embed_docs_oracle_sql(),
         "semantic_search": _semantic_search_oracle_sql(),
         "langid": _langid_oracle_sql(),

@@ -1726,6 +1726,40 @@ class TestUrlFeatures:
         assert got == want
         assert got["a.com"] == (3, 2, 1)
 
+    def test_url_blocklist_suffix_semantics(self, tmp_path, ray_session):
+        """Suffix-closed domain matching: subdomains block, lookalike
+        prefixes don't; path regex is case-insensitive; parity with the
+        SQL twin."""
+        import duckdb
+
+        from wbot_ray.pipelines import urlstats
+
+        urls = [
+            "https://notsite0.com/p",          # exact -> dom_blocked
+            "https://a.notsite0.com/p",        # subdomain -> dom_blocked
+            "https://xnotsite0.com/p",         # lookalike -> keep
+            "https://ok.com/CHAIN/9",          # (?i) path hit
+            "https://ok.com/chained/9",        # needs /chain/ segment -> keep
+            "https://ok.com/fine",
+        ]
+        p = self._pages(tmp_path, urls)
+        got = {
+            r["url"]: (r["dom_blocked"], r["path_blocked"], r["keep"])
+            for r in urlstats.url_blocklist(str(tmp_path), pages_path=p).take_all()
+        }
+        want = {
+            u: (d, pb, k)
+            for u, _h, d, pb, k in duckdb.connect()
+            .execute(urlstats.url_blocklist_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+        assert got["https://notsite0.com/p"] == (True, False, False)
+        assert got["https://a.notsite0.com/p"] == (True, False, False)
+        assert got["https://xnotsite0.com/p"] == (False, False, True)
+        assert got["https://ok.com/CHAIN/9"] == (False, True, False)
+        assert got["https://ok.com/chained/9"] == (False, False, True)
+
 
 class TestDecontaminate:
     def test_planted_copy_is_flagged(self, planted_dir, ray_session):

@@ -28,6 +28,10 @@ __all__ = [
     "url_features_oracle_sql",
     "link_gate_stats",
     "link_gate_stats_oracle_sql",
+    "url_blocklist",
+    "url_blocklist_oracle_sql",
+    "BLOCKED_DOMAINS",
+    "BLOCK_PATH_RE",
 ]
 
 # shared RE2 patterns — compiled identically by polars and DuckDB
@@ -182,4 +186,86 @@ def link_gate_stats_oracle_sql(links_path: str) -> str:
                CAST(SUM(CASE WHEN gated THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked
         FROM read_parquet('{links_path}')
         GROUP BY dst_root
+    """
+
+
+# --- URL blocklist gate (the CCNet/RefinedWeb-style domain+path filter) ---
+#
+# A real deployment loads a large curated list (UT1, internal spam feeds)
+# and broadcasts it once (ray.put) to every gate task; the demo list is
+# deterministic and tiny but the plumbing — suffix-closed domain matching,
+# an RE2 path pattern shared verbatim with the oracle, a stateless
+# map_batches gate over a single-column read — is the production shape.
+BLOCKED_DOMAINS: tuple[str, ...] = ("notsite0.com", "sub.site0.com", "ads.example")
+BLOCK_PATH_RE = r"(?i)/(chain|casino|tracker)/"
+
+
+def url_blocklist(
+    sf_dir: str,
+    pages_path: str | None = None,
+    blocked_domains: tuple[str, ...] = BLOCKED_DOMAINS,
+    block_path_re: str = BLOCK_PATH_RE,
+):
+    """Per-URL blocklist audit: ``(url, host, dom_blocked, path_blocked,
+    keep)``. A host is domain-blocked when it equals a blocked domain or
+    is any subdomain of one (suffix-closed — the standard blocklist
+    semantics); a path is blocked when the shared RE2 pattern matches
+    the URL's path component. ``keep`` = neither. Stateless single-pass
+    gate; the list rides the task closure (at list sizes beyond a few
+    MB, swap to ``ray.put`` + object-ref lookup — same gate code)."""
+    pages = rd.read_parquet(pages_path or _pages_path_for(sf_dir), columns=["url"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["url"])).with_columns(
+            host=pl.col("url").str.extract(HOST_RE, 1).fill_null("").str.to_lowercase(),
+            path=pl.col("url").str.extract(PATH_RE, 1).fill_null(""),
+        )
+        dom = pl.lit(False)
+        for b in blocked_domains:
+            dom = dom | (pl.col("host") == b) | pl.col("host").str.ends_with("." + b)
+        out = df.with_columns(
+            dom_blocked=dom,
+            path_blocked=pl.col("path").str.contains(block_path_re),
+        ).with_columns(keep=~(pl.col("dom_blocked") | pl.col("path_blocked")))
+        return out.select(
+            ["url", "host", "dom_blocked", "path_blocked", "keep"]
+        ).to_arrow().cast(
+            pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("host", pa.string()),
+                    ("dom_blocked", pa.bool_()),
+                    ("path_blocked", pa.bool_()),
+                    ("keep", pa.bool_()),
+                ]
+            )
+        )
+
+    return pages.map_batches(gate, batch_format="pyarrow")
+
+
+def url_blocklist_oracle_sql(
+    pages_path: str,
+    blocked_domains: tuple[str, ...] = BLOCKED_DOMAINS,
+    block_path_re: str = BLOCK_PATH_RE,
+) -> str:
+    dom = " OR ".join(
+        f"host = '{b}' OR host LIKE '%.{b}'" for b in blocked_domains
+    )
+    # RE2 pattern shared verbatim; escape single quotes for the SQL literal
+    pat = block_path_re.replace("'", "''")
+    return f"""
+        WITH p AS (
+          SELECT url,
+                 lower(COALESCE(regexp_extract(url, '{HOST_RE}', 1), '')) AS host,
+                 COALESCE(regexp_extract(url, '{PATH_RE}', 1), '') AS path
+          FROM read_parquet('{pages_path}')
+        )
+        SELECT url, host,
+               ({dom}) AS dom_blocked,
+               regexp_matches(path, '{pat}') AS path_blocked,
+               NOT (({dom}) OR regexp_matches(path, '{pat}')) AS keep
+        FROM p
     """
