@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": lambda sf: __import__(
             "wbot_ray.pipelines.maintenance", fromlist=["corpus_diff"]
         ).corpus_diff(sf),
+        "snapshot_latest": lambda sf: __import__(
+            "wbot_ray.pipelines.maintenance", fromlist=["snapshot_latest"]
+        ).snapshot_latest(sf),
         # -- graph analytics over the crawl link graph
         "link_pagerank": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_pagerank"]
@@ -942,6 +945,13 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": __import__(
             "wbot_ray.pipelines.maintenance", fromlist=["corpus_diff_oracle_sql"]
         ).corpus_diff_oracle_sql(),
+        "snapshot_latest": __import__(
+            "wbot_ray.pipelines.maintenance", fromlist=["snapshot_latest_oracle_sql"]
+        ).snapshot_latest_oracle_sql(
+            __import__(
+                "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
+            )._pages_path_for("/root/testdata/sf0.01")
+        ),
         "corpus_filter": f"""
             WITH g AS (
               SELECT doc_id, md5(text) AS fp,

@@ -1761,6 +1761,64 @@ class TestUrlFeatures:
         assert got["https://ok.com/chained/9"] == (False, False, True)
 
 
+class TestSnapshotLatest:
+    def test_planted_snapshots_match_oracle(self, tmp_path, ray_session):
+        """Urls chosen to hit every synthesis arm (len%3==1 →
+        re-crawl, len%7==2 → second re-crawl), plus a url DUPLICATED
+        in the raw input with different timestamps — the cross-batch
+        argmax the operator must fold; parity with the SQL twin and
+        pinned counts."""
+        import datetime as dt
+
+        import duckdb
+
+        from wbot_ray.pipelines import maintenance
+
+        def u(n: int, tag: str) -> str:
+            # a url of exactly n chars: scheme+host = 14 chars
+            base = f"https://s.com/{tag}"
+            return base + "x" * (n - len(base))
+
+        t0 = dt.datetime(2024, 5, 1)
+        rows = [
+            (u(22, "a"), t0, "alpha text"),        # 22%3=1 -> 2 snapshots
+            (u(23, "b"), t0, "beta"),              # 23%7=2 -> 2 snapshots
+            (u(28, "c"), t0, "gamma"),             # 28%3=1 and 28%7=0 -> 2
+            (u(24, "d"), t0, "delta"),             # neither -> 1
+            # duplicate raw url, later capture wins; 24%3=0, 24%7=3
+            (u(24, "d"), t0 + dt.timedelta(days=2), "delta longer text"),
+        ]
+        p = os.path.join(tmp_path, "pages.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "text": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["url"]: (r["warc_ts"], r["n_chars"], r["n_snapshots"])
+            for r in maintenance.snapshot_latest(
+                str(tmp_path), pages_path=p
+            ).take_all()
+        }
+        want = {
+            url: (ts, nc, ns)
+            for url, ts, nc, ns in duckdb.connect()
+            .execute(maintenance.snapshot_latest_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+        assert got[u(22, "a")] == (t0 + dt.timedelta(hours=1), 18, 2)
+        assert got[u(23, "b")] == (t0 + dt.timedelta(hours=2), 18, 2)
+        assert got[u(24, "d")] == (
+            t0 + dt.timedelta(days=2), len("delta longer text"), 2,
+        )
+
+
 class TestDecontaminate:
     def test_planted_copy_is_flagged(self, planted_dir, ray_session):
         """planted_dir's benchmark holdout (doc_id % 50 == 0) is docs

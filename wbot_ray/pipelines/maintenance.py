@@ -22,6 +22,8 @@ __all__ = [
     "compact_corpus",
     "corpus_diff",
     "corpus_diff_oracle_sql",
+    "snapshot_latest",
+    "snapshot_latest_oracle_sql",
     "LAST_COMPACT_STATS",
 ]
 
@@ -201,4 +203,160 @@ def corpus_diff_oracle_sql() -> str:
                     ELSE 'changed' END AS status
         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.m <> n.m
+    """
+
+
+def _recrawl_batches(batch: pa.Table) -> pa.Table:
+    """Slim multi-snapshot rows for one pages batch: the original
+    snapshot plus the deterministic re-crawls (rule shared with the
+    SQL oracle): urls with ``length(url) % 3 == 1`` gain a snapshot
+    1 h later with ``text || ' updated'``; urls with ``length(url) %
+    7 == 2`` gain another 2 h later with ``text || ' updated twice'``.
+    Only ``(url, warc_ts, n_chars)`` leave the task — html/text never
+    enter the exchange."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["url", "warc_ts", "text"])).with_columns(
+        n_chars=pl.col("text").str.len_chars().cast(pl.Int64)
+    ).drop("text")
+    ulen = pl.col("url").str.len_chars()
+    snap1 = df.filter(ulen % 3 == 1).with_columns(
+        warc_ts=pl.col("warc_ts") + pl.duration(hours=1),
+        n_chars=pl.col("n_chars") + 8,  # len(' updated')
+    )
+    snap2 = df.filter(ulen % 7 == 2).with_columns(
+        warc_ts=pl.col("warc_ts") + pl.duration(hours=2),
+        n_chars=pl.col("n_chars") + 14,  # len(' updated twice')
+    )
+    return pl.concat([df, snap1, snap2]).to_arrow().cast(
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+                ("n_chars", pa.int64()),
+            ]
+        )
+    )
+
+
+def snapshot_latest(sf_dir: str, num_buckets: int = 32, pages_path: str | None = None):
+    """Latest-snapshot-per-URL — the re-crawl dedup every periodically
+    refreshed web corpus runs (Common Crawl keeps one record per
+    (url, capture); a training corpus keeps the NEWEST capture): one
+    row per url with ``(url, warc_ts, n_chars, n_snapshots)`` of the
+    most recent snapshot. The multi-snapshot input is synthesized
+    deterministically from the pages table (rule in
+    :func:`_recrawl_batches`) so the DuckDB oracle rebuilds the exact
+    same snapshot stream in SQL; the operator itself never sees the
+    rule — it argmax-folds whatever (url, warc_ts) rows arrive.
+
+    Ray shape — partial argmax before the shuffle: each batch is
+    reduced to one candidate row per url (batch-local sort + first)
+    with a batch-local snapshot count, then ONE
+    ``groupby(bucket(url)).map_groups`` fold finishes the argmax and
+    sums the counts. The exchange carries ≤ one 40-byte row per url
+    per batch; html/text stay in the scan tasks. Ties (impossible by
+    construction — re-crawl offsets are distinct) are still totally
+    ordered by (warc_ts, n_chars, url) so the fold is deterministic
+    on any input."""
+    import numpy as np
+    import ray.data as rd
+
+    if pages_path is None:
+        from wbot_ray.pipelines.crawlq import _pages_path, scale_for_sf
+
+        pages_path = _pages_path(scale_for_sf(sf_dir))
+    pages = rd.read_parquet(pages_path, columns=["url", "warc_ts", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        snaps = pl.from_arrow(_recrawl_batches(batch))
+        df = (
+            snaps.sort(
+                ["url", "warc_ts", "n_chars"], descending=[False, True, True]
+            )
+            .group_by("url", maintain_order=True)
+            .agg(
+                warc_ts=pl.col("warc_ts").first(),
+                n_chars=pl.col("n_chars").first(),
+                n_snapshots=pl.len().cast(pl.Int64),
+            )
+            .with_columns(
+                bucket=(pl.col("url").hash(seed=0) % np.uint64(num_buckets)).cast(
+                    pl.Int64
+                )
+            )
+        )
+        return df.select(["bucket", "url", "warc_ts", "n_chars", "n_snapshots"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("url", pa.string()),
+                    ("warc_ts", pa.timestamp("us")),
+                    ("n_chars", pa.int64()),
+                    ("n_snapshots", pa.int64()),
+                ]
+            )
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(group.select(["url", "warc_ts", "n_chars", "n_snapshots"]))
+            .sort(["url", "warc_ts", "n_chars"], descending=[False, True, True])
+            .group_by("url", maintain_order=True)
+            .agg(
+                warc_ts=pl.col("warc_ts").first(),
+                n_chars=pl.col("n_chars").first(),
+                n_snapshots=pl.col("n_snapshots").sum(),
+            )
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("warc_ts", pa.timestamp("us")),
+                    ("n_chars", pa.int64()),
+                    ("n_snapshots", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def snapshot_latest_oracle_sql(pages_path: str) -> str:
+    """DuckDB oracle: rebuild the same snapshot stream (same rule),
+    window argmax + count per url."""
+    return f"""
+        WITH base AS (
+          SELECT url, warc_ts,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM read_parquet('{pages_path}')
+        ),
+        snaps AS (
+          SELECT url, warc_ts, n_chars FROM base
+          UNION ALL
+          SELECT url, warc_ts + INTERVAL 1 HOUR, n_chars + 8
+          FROM base WHERE length(url) % 3 = 1
+          UNION ALL
+          SELECT url, warc_ts + INTERVAL 2 HOUR, n_chars + 14
+          FROM base WHERE length(url) % 7 = 2
+        ),
+        r AS (
+          SELECT url, warc_ts, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY url ORDER BY warc_ts DESC, n_chars DESC
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY url) AS n_snapshots
+          FROM snaps
+        )
+        SELECT url, warc_ts, n_chars, CAST(n_snapshots AS BIGINT) AS n_snapshots
+        FROM r WHERE rn = 1
     """
