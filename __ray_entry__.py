@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["host_pagerank"]
         ).host_pagerank(sf),
+        "frontier_priority": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["frontier_priority"]
+        ).frontier_priority(sf),
         "anchor_texts": lambda sf: __import__(
             "wbot_ray.pipelines.anchors", fromlist=["anchor_texts"]
         ).anchor_texts(sf),
@@ -813,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
     from wbot_ray.pipelines.graph import (
         _links_path,
         components_oracle_sql,
+        frontier_priority_oracle_sql,
         host_components_oracle_sql,
         host_graph_oracle_sql,
         host_pagerank_oracle_sql,
@@ -829,6 +833,12 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": host_graph_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "host_components": host_components_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "host_pagerank": host_pagerank_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "frontier_priority": frontier_priority_oracle_sql(
+            _links_path("/root/testdata/sf0.01"),
+            __import__(
+                "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
+            )._pages_path_for("/root/testdata/sf0.01"),
+        ),
         "anchor_texts": __import__(
             "wbot_ray.pipelines.anchors", fromlist=["anchor_texts_oracle_sql"]
         ).anchor_texts_oracle_sql(

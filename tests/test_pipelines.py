@@ -1483,6 +1483,46 @@ class TestHostPagerank:
         }
         assert got == want
 
+    def test_frontier_priority_matches_oracle(self, tmp_path, ray_session):
+        """Broadcast rank join + integer depth damping: a page on a
+        never-linked host scores 0; deeper paths on the same host
+        score strictly less; parity with the composed SQL twin."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        links = [
+            ("https://a.com/1", "https://b.com/1"),
+            ("https://b.com/1", "https://a.com/1"),
+            ("https://a.com/2", "https://b.com/2"),
+        ]
+        lp = self._links(tmp_path, links)
+        pages = [
+            "https://a.com/x",
+            "https://a.com/x/y/z",
+            "https://never.io/p",
+            "https://b.com/",
+        ]
+        pp = os.path.join(tmp_path, "pages.parquet")
+        pq.write_table(pa.table({"url": pa.array(pages, pa.string())}), pp)
+        got = {
+            r["url"]: (r["host"], r["rank_fp"], r["path_depth"], r["priority_fp"])
+            for r in graph.frontier_priority(
+                str(tmp_path), links_path=lp, pages_path=pp
+            ).take_all()
+        }
+        want = {
+            u: (h, rf, d, pr)
+            for u, h, rf, d, pr in duckdb.connect()
+            .execute(graph.frontier_priority_oracle_sql(lp, pp))
+            .fetchall()
+        }
+        assert got == want
+        assert got["https://never.io/p"][1] == 0
+        assert got["https://a.com/x/y/z"][3] < got["https://a.com/x"][3]
+        a_rank = got["https://a.com/x"][1]
+        assert got["https://a.com/x"][3] == a_rank // 2  # depth 1
+
 
 class TestAnchorTexts:
     def _pages(self, tmp_path, rows):

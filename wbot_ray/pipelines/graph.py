@@ -30,8 +30,10 @@ __all__ = [
     "host_graph",
     "host_components",
     "host_pagerank",
+    "frontier_priority",
     "pagerank_oracle_sql",
     "host_pagerank_oracle_sql",
+    "frontier_priority_oracle_sql",
     "triangles_oracle_sql",
     "components_oracle_sql",
     "host_graph_oracle_sql",
@@ -1255,3 +1257,107 @@ def host_pagerank_oracle_sql(links_path: str, iters: int = 5) -> str:
         f"FROM read_parquet('{links_path}') WHERE gated"
     )
     return pagerank_oracle_sql(links_path, iters, base_sql=base, url_col="host")
+
+
+def frontier_priority(
+    sf_dir: str,
+    iters: int = 5,
+    num_buckets: int = 32,
+    links_path: str | None = None,
+    pages_path: str | None = None,
+):
+    """Rank-weighted URL priority — the score a frontier scheduler
+    orders its queue by (OPIC/PageRank-guided crawling): per corpus
+    URL, ``priority_fp = host_rank_fp // (1 + path_depth)`` — the
+    host's fixed-point PageRank damped by how deep the path is (deep
+    paths on a good host still beat shallow paths on a bad one until
+    the depth penalty wins). Output: ``(url, host, rank_fp,
+    path_depth, priority_fp)``; a host absent from the link graph
+    scores rank 0 (never-linked site). Pure-integer scoring — exact
+    in SQL.
+
+    Ray shape — the broadcast-join pattern (``cust_order_stats``):
+    :func:`host_pagerank`'s output is tiny (one row per host), so it
+    is materialized once, ``ray.put`` once, and every pages batch does
+    a vectorized Arrow left join against it — no shuffle of the pages
+    side at all; one single-column pruned read + a stateless map. At
+    ~10^8 hosts swap the broadcast for a keyed join on bucket(host) —
+    the same seam the dimension joins document."""
+    import ray
+
+    from wbot_ray.pipelines.urlstats import PATH_RE, _pages_path_for
+
+    ranks = host_pagerank(
+        sf_dir, iters=iters, num_buckets=num_buckets, links_path=links_path
+    ).materialize()
+    parts = [t for t in ray.get(ranks.to_arrow_refs()) if t.num_rows]
+    rank_tbl = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.schema([("host", pa.string()), ("rank_fp", pa.int64())]).empty_table()
+    )
+    ref = ray.put(rank_tbl.combine_chunks())
+
+    pages = rd.read_parquet(pages_path or _pages_path_for(sf_dir), columns=["url"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.compute as pc
+
+        dim = ray.get(ref)
+        df = pl.from_arrow(batch.select(["url"])).with_columns(
+            host=pl.col("url").str.extract(HOST_RE, 1).fill_null("").str.to_lowercase(),
+            path=pl.col("url").str.extract(PATH_RE, 1).fill_null(""),
+        ).with_columns(
+            path_depth=pl.col("path").str.count_matches("/", literal=True).cast(pl.Int64)
+        )
+        t = df.select(["url", "host", "path_depth"]).to_arrow().cast(
+            pa.schema(
+                [("url", pa.string()), ("host", pa.string()), ("path_depth", pa.int64())]
+            )
+        )
+        j = t.join(dim, keys="host", join_type="left outer")
+        rank = pc.fill_null(j.column("rank_fp"), 0)
+        depth = j.column("path_depth")
+        import numpy as np
+
+        pr = rank.to_numpy(zero_copy_only=False).astype(np.int64) // (
+            1 + depth.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "url": j.column("url"),
+                "host": j.column("host"),
+                "rank_fp": rank.cast(pa.int64()),
+                "path_depth": depth,
+                "priority_fp": pa.array(pr, pa.int64()),
+            }
+        )
+
+    return pages.map_batches(score, batch_format="pyarrow")
+
+
+def frontier_priority_oracle_sql(
+    links_path: str, pages_path: str, iters: int = 5
+) -> str:
+    """DuckDB twin: the unrolled host-pagerank CTE left-joined onto
+    the same RE2 URL anatomy, same integer damping."""
+    from wbot_ray.pipelines.urlstats import PATH_RE
+
+    hr = host_pagerank_oracle_sql(links_path, iters)
+    return f"""
+        WITH hr AS ({hr}),
+        p AS (
+          SELECT url,
+                 lower(COALESCE(regexp_extract(url, '{HOST_RE}', 1), '')) AS host,
+                 COALESCE(regexp_extract(url, '{PATH_RE}', 1), '') AS path
+          FROM read_parquet('{pages_path}')
+        )
+        SELECT p.url, p.host,
+               CAST(COALESCE(hr.rank_fp, 0) AS BIGINT) AS rank_fp,
+               CAST(length(path) - length(replace(path, '/', '')) AS BIGINT) AS path_depth,
+               CAST(COALESCE(hr.rank_fp, 0)
+                    // (1 + length(path) - length(replace(path, '/', '')))
+                    AS BIGINT) AS priority_fp
+        FROM p LEFT JOIN hr ON hr.host = p.host
+    """
