@@ -220,6 +220,14 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "link_components",
         "host_graph",
         "host_components",
+        "host_pagerank",
+        "frontier_priority",
+        "anchor_texts",
+        "url_features",
+        "url_blocklist",
+        "link_gate_stats",
+        "snapshot_latest",
+        "crawl_depth_hist",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -1451,6 +1451,15 @@ class TestHostPagerank:
         assert got["h.net"] > got["b.com"]
         assert "gone.com" not in got
         assert "solo.io" in got
+        # the DISTRIBUTED path (local_threshold=0) is bit-identical —
+        # the local tiny-graph shortcut is a scheduler choice only
+        dist = {
+            r["host"]: r["rank_fp"]
+            for r in graph.host_pagerank(
+                str(tmp_path), links_path=p, local_threshold=0
+            ).take_all()
+        }
+        assert dist == want
 
     def test_randomized_matches_oracle(self, tmp_path, ray_session):
         """Random host-level graph with dup links, ports, junk hosts —

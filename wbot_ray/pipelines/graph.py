@@ -1159,7 +1159,11 @@ def host_components_oracle_sql(links_path: str) -> str:
 
 
 def host_pagerank(
-    sf_dir: str, iters: int = 5, num_buckets: int = 32, links_path: str | None = None
+    sf_dir: str,
+    iters: int = 5,
+    num_buckets: int = 8,
+    links_path: str | None = None,
+    local_threshold: int = 100_000,
 ):
     """Host-level PageRank — the rank column of the published
     host-webgraph product (Common Crawl ships exactly this: a host
@@ -1186,6 +1190,21 @@ def host_pagerank(
     code. Exchange count: 1 + (iters + 1). Host strings cross the
     pair-dedup wire once per distinct pair per batch; inside the
     iteration they are int64 ids as usual.
+
+    ``num_buckets`` defaults low: the host graph is orders of
+    magnitude smaller than the link graph, and on an iterative
+    exchange the per-round latency scales with block/partition count,
+    not bytes — scale buckets with the CLUSTER (e.g. ~2× cores) when
+    the host set is genuinely large (10^8 hosts), exactly like
+    ``link_pagerank``.
+
+    Below ``local_threshold`` distinct pairs the power iteration runs
+    DRIVER-side on the (already tiny, already materialized) pair set —
+    the crawl driver's local-tiny-round pattern: a scheduler choice,
+    not a semantic one; the same exact integer ops run either way
+    (``tests/test_pipelines.py::TestHostPagerank`` pins both paths to
+    one oracle). Iterative Dataset exchanges cost seconds of fixed
+    latency per round, which dwarfs a sub-100k-edge graph's compute.
     """
     links = rd.read_parquet(
         links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
@@ -1231,19 +1250,59 @@ def host_pagerank(
         g = group.group_by(["src_url", "dst_url"]).aggregate([])
         return g.append_column("gated", pa.array([True] * g.num_rows, pa.bool_()))
 
+    # materialize the deduped pairs ONCE: the seam consumes links twice
+    # (edge list + nodemap) and would otherwise re-run the whole
+    # scan+dedup pipeline per consumer; the materialized set is tiny
+    # (distinct host pairs)
     pairs = (
         links.map_batches(to_pairs, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(distinct_pairs, batch_format="pyarrow")
+        .materialize()
     )
+    out_schema = pa.schema([("host", pa.string()), ("rank_fp", pa.int64())])
+
+    if pairs.count() <= local_threshold:
+        import ray
+
+        tbl = pa.concat_tables(
+            [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        ) if pairs.count() else None
+        if tbl is None:
+            return rd.from_arrow(out_schema.empty_table())
+        return rd.from_arrow(_pagerank_local(tbl, iters, out_schema))
+
     ranks = link_pagerank(sf_dir, iters=iters, num_buckets=num_buckets, links_ds=pairs)
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["host", "rank_fp"])
 
-    out_schema = pa.schema([("host", pa.string()), ("rank_fp", pa.int64())])
     return rd.from_arrow(out_schema.empty_table()).union(
         ranks.map_batches(rename, batch_format="pyarrow")
+    )
+
+
+def _pagerank_local(edges: pa.Table, iters: int, out_schema: pa.schema) -> pa.Table:
+    """Driver-side exact integer power iteration over a small edge
+    table (``src_url``/``dst_url`` string columns) — bit-identical to
+    the distributed path and the SQL twin: per-edge contribution
+    ``r // out_degree`` (floor), fold ``BASE + (85·Σ)//100``."""
+    srcs = edges.column("src_url").to_pylist()
+    dsts = edges.column("dst_url").to_pylist()
+    nodes = sorted(set(srcs) | set(dsts))
+    idx = {n: i for i, n in enumerate(nodes)}
+    si = np.fromiter((idx[s] for s in srcs), dtype=np.int64, count=len(srcs))
+    di = np.fromiter((idx[d] for d in dsts), dtype=np.int64, count=len(dsts))
+    od = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(od, si, 1)
+    r = np.full(len(nodes), ONE, dtype=np.int64)
+    for _ in range(iters):
+        s = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(s, di, r[si] // od[si])
+        r = BASE + (DAMP_NUM * s) // DAMP_DEN
+    return pa.table(
+        {"host": pa.array(nodes, pa.string()), "rank_fp": pa.array(r, pa.int64())},
+        schema=out_schema,
     )
 
 
