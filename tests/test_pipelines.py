@@ -1390,6 +1390,15 @@ class TestHostComponents:
         assert got["c.com"] == ("a.com", 3)
         assert got["x.org"] == ("x.org", 2)
         assert got["solo.net"] == ("solo.net", 1)
+        # the DISTRIBUTED star-contraction path (local_threshold=0)
+        # returns the identical labeling — scheduler choice only
+        dist = {
+            r["host"]: (r["comp"], r["comp_size"])
+            for r in graph.host_components(
+                str(tmp_path), links_path=p, local_threshold=0
+            ).take_all()
+        }
+        assert dist == want
 
 
 class TestHostPagerank:

@@ -1085,7 +1085,10 @@ def host_graph_oracle_sql(links_path: str) -> str:
 
 
 def host_components(
-    sf_dir: str, num_buckets: int = 32, links_path: str | None = None
+    sf_dir: str,
+    num_buckets: int = 32,
+    links_path: str | None = None,
+    local_threshold: int = 100_000,
 ):
     """Site-island detection: weakly connected components over the
     HOST graph — which groups of sites form closed link neighborhoods
@@ -1138,13 +1141,73 @@ def host_components(
             )
         )
 
-    pairs = links.map_batches(to_host_pairs, batch_format="pyarrow")
+    pairs = links.map_batches(to_host_pairs, batch_format="pyarrow").materialize()
+
+    # local tiny-graph shortcut (same scheduler choice as
+    # host_pagerank): below the threshold run an exact union-find
+    # driver-side on the already-collapsed distinct host pairs —
+    # identical output contract, pinned against the distributed path
+    if pairs.count() <= local_threshold:
+        import ray
+
+        out_schema = pa.schema(
+            [("host", pa.string()), ("comp", pa.string()), ("comp_size", pa.int64())]
+        )
+        tbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        if not tbls:
+            return rd.from_arrow(out_schema.empty_table())
+        tbl = pa.concat_tables(tbls)
+        return rd.from_arrow(_components_local(tbl, out_schema))
+
     comps = link_components(sf_dir, num_buckets=num_buckets, links_ds=pairs)
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["host", "comp", "comp_size"])
 
     return comps.map_batches(rename, batch_format="pyarrow")
+
+
+def _components_local(edges: pa.Table, out_schema: pa.schema) -> pa.Table:
+    """Driver-side exact union-find over a small ``src_url/dst_url``
+    edge table — same semantics as the large-star/small-star path:
+    self-loops keep a node without adding connectivity, the component
+    representative is the lexicographically smallest member."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    srcs = edges.column("src_url").to_pylist()
+    dsts = edges.column("dst_url").to_pylist()
+    for n in srcs + dsts:
+        parent.setdefault(n, n)
+    for a, b in zip(srcs, dsts):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[str, list[str]] = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    hosts, comps, sizes = [], [], []
+    for members in groups.values():
+        rep = min(members)
+        for m in members:
+            hosts.append(m)
+            comps.append(rep)
+            sizes.append(len(members))
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "comp": pa.array(comps, pa.string()),
+            "comp_size": pa.array(sizes, pa.int64()),
+        },
+        schema=out_schema,
+    )
 
 
 def host_components_oracle_sql(links_path: str) -> str:
