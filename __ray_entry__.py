@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _typed_query(dedup.dup_clusters, ("doc_id", "cluster_id")),
         "dedup_keep": dedup.dedup_keep,
         "dedup_segments": dedup.dedup_segments,
+        "dup_spans": dedup.dup_spans,
         # -- training-data prep
         "sample_hash": training.sample_hash,
         "pack_sequences": training.pack_sequences,
@@ -913,6 +914,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.passes
         """,
         "dedup_segments": _segments_oracle_sql(),
+        "dup_spans": __import__(
+            "wbot_ray.pipelines.dedup", fromlist=["dup_spans_oracle_sql"]
+        ).dup_spans_oracle_sql(),
         "freq_quality": _freq_quality_oracle_sql(),
         "term_search": _term_search_oracle_sql(),
         "phrase_search": __import__(

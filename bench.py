@@ -228,6 +228,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "link_gate_stats",
         "snapshot_latest",
         "crawl_depth_hist",
+        "dup_spans",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -207,6 +207,47 @@ class TestDedup:
         assert got[2]["text_clean"] == "" and got[2]["n_segs"] == 1
         assert got[2]["n_dropped"] == 1
 
+    def test_dup_spans_catches_unaligned_copy(self, ray_session, tmp_path):
+        """A 25-token span pasted mid-document (offset 7 — misaligned
+        with any fixed 16-token boundary) still collides in stride-1
+        windows; within-doc repetition alone does NOT count; parity
+        with the SQL twin."""
+        import duckdb
+
+        W = dedup.WIN_WORDS  # 20
+        span = [f"s{i}" for i in range(25)]
+        doc0 = " ".join(span + [f"x{i}" for i in range(10)])
+        doc1 = " ".join([f"y{i}" for i in range(7)] + span + [f"z{i}" for i in range(5)])
+        doc2 = " ".join([f"q{i % 3}" for i in range(40)])  # self-repetitive only
+        doc3 = " ".join(f"u{i}" for i in range(W - 1))  # too short: 0 windows
+        rows = {0: doc0, 1: doc1, 2: doc2, 3: doc3}
+        p = os.path.join(tmp_path, "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(rows), pa.int64()),
+                    "text": pa.array(list(rows.values()), pa.string()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in dedup.dup_spans(str(tmp_path)).take_all()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        want = {
+            d: (w, x) for d, w, x in con.execute(dedup.dup_spans_oracle_sql()).fetchall()
+        }
+        assert got == want
+        # the shared 25-token span yields 25-20+1 = 6 duplicated windows
+        # on each side, regardless of the paste offset
+        assert got[0] == (35 - W + 1, 6)
+        assert got[1] == (37 - W + 1, 6)
+        assert got[2][1] == 0  # self-repetition is not cross-doc dup
+        assert got[3] == (0, 0)
+
     def test_minhash_deterministic(self, planted_dir):
         a = sorted(_pairs(dedup.dedup_minhash(planted_dir, threshold=0.5)))
         b = sorted(_pairs(dedup.dedup_minhash(planted_dir, threshold=0.5)))

@@ -45,6 +45,8 @@ __all__ = [
     "dup_clusters",
     "dedup_keep",
     "dedup_segments",
+    "dup_spans",
+    "dup_spans_oracle_sql",
     "dedup_exact",
     "dedup_ngram",
     "dedup_minhash",
@@ -853,3 +855,159 @@ def dedup_segments(sf_dir: str, seg_words: int = SEG_WORDS, num_buckets: int = 6
         .groupby("bucket")
         .map_groups(rebuild, batch_format="pyarrow")
     )
+
+
+WIN_WORDS = 20  # duplicated-span window: 20 consecutive tokens
+
+
+def dup_spans(sf_dir: str, win_words: int = WIN_WORDS, num_buckets: int = 64):
+    """Sliding-window exact duplicate-SPAN detection — the detection
+    phase of suffix-array exact-substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022):
+    every ``win_words``-token window (stride 1) of every document is
+    hashed, and a window is *duplicated* when its exact text occurs in
+    ≥ 2 DISTINCT documents. Unlike :func:`dedup_segments` (fixed
+    16-token boundaries), stride-1 windows catch UNALIGNED copies — a
+    span pasted mid-sentence still collides. Output per document:
+    ``(doc_id, n_windows, n_dup_windows)`` (docs shorter than the
+    window report ``0, 0``).
+
+    Identity = md5 of the window text, carried as two int64 halves
+    (16 B) — window TEXT never crosses the wire, so the exchange is
+    ~32 B × tokens-per-doc rows: slim but proportional to the token
+    stream, exactly the suffix-array cost class; the stride and window
+    are parameters when that budget needs cutting.
+
+    Ray shape — two slim keyed exchanges:
+
+    1. explode → ``(bucket(h), h0, h1, doc_id)`` per window;
+       ``groupby(bucket)`` → per-group hash fold marks hashes with
+       ≥ 2 distinct docs and emits per-(doc, bucket) partial dup
+       counts — duplicated-window COUNTS leave the group, never
+       window coordinates;
+    2. the dup partials union the explode-time per-doc window totals
+       (discriminated rows) and fold on ``bucket(doc_id)`` into the
+       final per-doc pair.
+    """
+    import pyarrow.compute as pc
+
+    def _doc_bucket(ids: np.ndarray) -> np.ndarray:
+        return (ids & ((1 << 62) - 1)) % num_buckets
+
+    def explode(batch: pa.Table) -> pa.Table:
+        """Window rows keyed by bucket(hash) in [0, B); per-doc window
+        TOTALS ride the same exchange as already-final partials, keyed
+        into the disjoint bucket range [B, 2B) by bucket(doc_id) — no
+        single hot pass-through group, no second tokenize pass."""
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_b, o_h0, o_h1, o_id = [], [], [], []
+        tot_id, tot_n = [], []
+        for did, txt in zip(ids, texts):
+            toks = txt.split(" ")
+            nwin = max(0, len(toks) - win_words + 1)
+            tot_id.append(did)
+            tot_n.append(nwin)
+            for i in range(nwin):
+                dg = hashlib.md5(" ".join(toks[i : i + win_words]).encode()).digest()
+                h0 = int.from_bytes(dg[:8], "big", signed=True)
+                h1 = int.from_bytes(dg[8:], "big", signed=True)
+                o_b.append((h0 & ((1 << 63) - 1)) % num_buckets)
+                o_h0.append(h0)
+                o_h1.append(h1)
+                o_id.append(did)
+        tot_b = (num_buckets + _doc_bucket(np.asarray(tot_id, dtype=np.int64))).tolist()
+        return pa.table(
+            {
+                "bucket": pa.array(o_b + tot_b, pa.int64()),
+                "h0": pa.array(o_h0 + [0] * len(tot_id), pa.int64()),
+                "h1": pa.array(o_h1 + [0] * len(tot_id), pa.int64()),
+                "doc_id": pa.array(o_id + tot_id, pa.int64()),
+                "n": pa.array([1] * len(o_id) + tot_n, pa.int64()),
+            }
+        )
+
+    def mark(group: pa.Table) -> pa.Table:
+        """Hash-bucket groups emit per-doc DUP partial counts (kind 1);
+        totals-bucket groups fold their per-doc totals (kind 0). Both
+        come out keyed by bucket(doc_id) for the final exchange."""
+        if group.num_rows and group.column("bucket")[0].as_py() >= num_buckets:
+            part = group.group_by("doc_id").aggregate([("n", "sum")])
+            kind = 0
+        else:
+            g = group.group_by(["h0", "h1"]).aggregate([("doc_id", "count_distinct")])
+            dup = g.filter(
+                pc.greater_equal(g.column("doc_id_count_distinct"), 2)
+            ).select(["h0", "h1"])
+            hits = group.join(dup, keys=["h0", "h1"], join_type="inner")
+            part = hits.group_by("doc_id").aggregate([("n", "sum")])
+            kind = 1
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_bucket": pa.array(_doc_bucket(ids), pa.int64()),
+                "doc_id": part.column("doc_id"),
+                "kind": pa.array([kind] * part.num_rows, pa.int64()),
+                "n": part.column("n_sum"),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(group.select(["doc_id", "kind", "n"]))
+            .group_by("doc_id")
+            .agg(
+                n_windows=pl.col("n").filter(pl.col("kind") == 0).sum(),
+                n_dup_windows=pl.col("n").filter(pl.col("kind") == 1).sum(),
+            )
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_windows", pa.int64()),
+                    ("n_dup_windows", pa.int64()),
+                ]
+            )
+        )
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mark, batch_format="pyarrow")
+        .groupby("doc_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def dup_spans_oracle_sql(win_words: int = WIN_WORDS) -> str:
+    """DuckDB twin: the same stride-1 windows via list slicing, md5
+    identity, ≥2-distinct-docs rule, per-doc fold."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        w AS (
+          SELECT doc_id,
+                 md5(array_to_string(toks[i + 1 : i + {win_words}], ' ')) AS h
+          FROM t, UNNEST(range(len(toks) - {win_words} + 1)) AS u(i)
+        ),
+        dup AS (
+          SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        perdoc AS (
+          SELECT w.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_windows,
+                 CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows
+          FROM w LEFT JOIN dup ON dup.h = w.h
+          GROUP BY w.doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(p.n_windows, 0) AS n_windows,
+               COALESCE(p.n_dup_windows, 0) AS n_dup_windows
+        FROM t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+    """
