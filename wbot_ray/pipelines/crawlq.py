@@ -34,6 +34,7 @@ __all__ = [
     "crawl_metrics",
     "crawl_depth_hist",
     "crawl_text_stats",
+    "host_text_stats",
     "export_corpus",
     "oracle_entries",
 ]
@@ -199,6 +200,82 @@ def crawl_text_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def host_text_stats(sf_dir: str, num_buckets: int = 32):
+    """Per-HOST fetched-text volume over the crawl's own results — the
+    per-site yield table a crawl operator reads after a run (which
+    sites produced how much text): ``(host, n_pages, total_chars,
+    total_tokens)`` for successful fetches. Host = lowercased URL
+    authority via the shared ``HOST_RE`` (cross-engine exact). Batch-
+    local partials over the streamed results, one tiny keyed fold."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    run = crawl_run_for(sf_dir)
+    ds = run.results_dataset(columns=["url", "status", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ok = batch.filter(pc.equal(batch.column("status"), 200))
+        from wbot_ray.pipelines.graph import HOST_RE
+
+        df = (
+            pl.from_arrow(ok.select(["url", "text"]))
+            .with_columns(
+                host=pl.col("url")
+                .str.extract(HOST_RE, 1)
+                .fill_null("")
+                .str.to_lowercase(),
+                nc=pl.col("text").str.len_chars().cast(pl.Int64),
+                nt=(pl.col("text").str.count_matches(" ", literal=True) + 1).cast(
+                    pl.Int64
+                ),
+            )
+            .group_by("host")
+            .agg(
+                n=pl.len().cast(pl.Int64),
+                c=pl.col("nc").sum(),
+                t=pl.col("nt").sum(),
+            )
+            .with_columns(
+                bucket=(pl.col("host").hash(seed=0) % np.uint64(num_buckets)).cast(
+                    pl.Int64
+                )
+            )
+        )
+        return df.select(["bucket", "host", "n", "c", "t"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("host", pa.string()),
+                    ("n", pa.int64()),
+                    ("c", pa.int64()),
+                    ("t", pa.int64()),
+                ]
+            )
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.group_by("host").aggregate(
+            [("n", "sum"), ("c", "sum"), ("t", "sum")]
+        )
+        return pa.table(
+            {
+                "host": g.column("host"),
+                "n_pages": g.column("n_sum").cast(pa.int64()),
+                "total_chars": g.column("c_sum").cast(pa.int64()),
+                "total_tokens": g.column("t_sum").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
 def export_corpus(sf_dir: str):
     """Crawl → training-data handoff ON DISK: the crawl's successful
     fetches exported as a documents-shaped corpus
@@ -273,6 +350,15 @@ def oracle_entries(scale: str = "small") -> dict[str, str]:
                CAST(MIN(crawl_ord) AS BIGINT) AS first_ord,
                CAST(MAX(crawl_ord) AS BIGINT) AS last_ord
         FROM ({sqls['crawl_visited']}) GROUP BY depth
+    """
+    from wbot_ray.pipelines.graph import HOST_RE
+
+    sqls["host_text_stats"] = f"""
+        SELECT lower(COALESCE(regexp_extract(url, '{HOST_RE}', 1), '')) AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM ({sqls['crawl_results']}) GROUP BY 1
     """
     sqls["crawl_text_stats"] = f"""
         SELECT url,
