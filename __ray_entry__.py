@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep": dedup.dedup_keep,
         "dedup_segments": dedup.dedup_segments,
         "dup_spans": dedup.dup_spans,
+        "dedup_span_apply": dedup.dedup_span_apply,
         # -- training-data prep
         "sample_hash": training.sample_hash,
         "pack_sequences": training.pack_sequences,
@@ -918,6 +919,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": __import__(
             "wbot_ray.pipelines.dedup", fromlist=["dup_spans_oracle_sql"]
         ).dup_spans_oracle_sql(),
+        "dedup_span_apply": __import__(
+            "wbot_ray.pipelines.dedup", fromlist=["dedup_span_apply_oracle_sql"]
+        ).dedup_span_apply_oracle_sql(),
         "freq_quality": _freq_quality_oracle_sql(),
         "term_search": _term_search_oracle_sql(),
         "phrase_search": __import__(

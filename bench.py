@@ -229,6 +229,8 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "snapshot_latest",
         "crawl_depth_hist",
         "dup_spans",
+        "dedup_span_apply",
+        "host_text_stats",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -248,6 +248,45 @@ class TestDedup:
         assert got[2][1] == 0  # self-repetition is not cross-doc dup
         assert got[3] == (0, 0)
 
+    def test_dedup_span_apply_first_wins(self, ray_session, tmp_path):
+        """Global-first-wins span removal: the earliest (doc_id, start)
+        occurrence keeps its text; the unaligned later copy loses its
+        whole span; an untouched doc round-trips; parity with SQL."""
+        import duckdb
+
+        W = dedup.WIN_WORDS
+        span = [f"s{i}" for i in range(W)]  # exactly one window
+        doc0 = " ".join(span + [f"x{i}" for i in range(4)])
+        doc1 = " ".join([f"y{i}" for i in range(3)] + span)
+        doc2 = " ".join(f"z{i}" for i in range(30))
+        rows = {0: doc0, 1: doc1, 2: doc2}
+        p = os.path.join(tmp_path, "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(rows), pa.int64()),
+                    "text": pa.array(list(rows.values()), pa.string()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+            for r in dedup.dedup_span_apply(str(tmp_path)).take_all()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        want = {
+            d: (tc, nt, nr)
+            for d, tc, nt, nr in con.execute(
+                dedup.dedup_span_apply_oracle_sql()
+            ).fetchall()
+        }
+        assert got == want
+        assert got[0] == (doc0, W + 4, 0)  # first occurrence untouched
+        assert got[1] == ("y0 y1 y2", W + 3, W)  # later copy stripped
+        assert got[2] == (doc2, 30, 0)
+
     def test_minhash_deterministic(self, planted_dir):
         a = sorted(_pairs(dedup.dedup_minhash(planted_dir, threshold=0.5)))
         b = sorted(_pairs(dedup.dedup_minhash(planted_dir, threshold=0.5)))

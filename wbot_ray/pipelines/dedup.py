@@ -47,6 +47,8 @@ __all__ = [
     "dedup_segments",
     "dup_spans",
     "dup_spans_oracle_sql",
+    "dedup_span_apply",
+    "dedup_span_apply_oracle_sql",
     "dedup_exact",
     "dedup_ngram",
     "dedup_minhash",
@@ -1010,4 +1012,202 @@ def dup_spans_oracle_sql(win_words: int = WIN_WORDS) -> str:
                COALESCE(p.n_windows, 0) AS n_windows,
                COALESCE(p.n_dup_windows, 0) AS n_dup_windows
         FROM t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+    """
+
+
+def dedup_span_apply(sf_dir: str, win_words: int = WIN_WORDS, num_buckets: int = 64):
+    """The APPLY phase of exact-substring dedup (Lee et al. 2022):
+    rebuild every document with its later-duplicate spans REMOVED.
+    Rule (deterministic and cross-engine exact): every ``win_words``-
+    token stride-1 window whose exact text occurs ≥ 2 times anywhere
+    in the corpus (within-doc repeats count) keeps only its GLOBAL
+    first occurrence — ``min (doc_id, start)`` — and every other
+    occurrence's token range ``[start, start + win)`` is deleted;
+    overlapping deleted ranges union. A position covered by a losing
+    window is removed even where it also overlaps the winning window —
+    the simple position-mask rule both engines share (the published
+    algorithm's byte-exact span arithmetic would need a suffix array;
+    this is the streaming approximation of its effect). Output:
+    ``(doc_id, text_clean, n_tokens, n_removed)``.
+
+    Ray shape — two exchanges, the :func:`dedup_segments` pattern:
+
+    1. explode → slim ``(bucket(h), h0, h1, doc_id, start)`` rows; one
+       lexsort per hash-bucket group marks every non-first occurrence
+       and emits LOSER coordinates only;
+    2. losers + corpus co-partitioned on ``bucket(doc_id)``; one task
+       per bucket rebuilds its documents with a numpy position mask.
+    Untouched documents take the identity fast path (single-space
+    token split/join is lossless).
+    """
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_b, o_h0, o_h1, o_id, o_st = [], [], [], [], []
+        for did, txt in zip(ids, texts):
+            toks = txt.split(" ")
+            for i in range(max(0, len(toks) - win_words + 1)):
+                dg = hashlib.md5(" ".join(toks[i : i + win_words]).encode()).digest()
+                h0 = int.from_bytes(dg[:8], "big", signed=True)
+                h1 = int.from_bytes(dg[8:], "big", signed=True)
+                o_b.append((h0 & ((1 << 63) - 1)) % num_buckets)
+                o_h0.append(h0)
+                o_h1.append(h1)
+                o_id.append(did)
+                o_st.append(i)
+        return pa.table(
+            {
+                "bucket": pa.array(o_b, pa.int64()),
+                "h0": pa.array(o_h0, pa.int64()),
+                "h1": pa.array(o_h1, pa.int64()),
+                "doc_id": pa.array(o_id, pa.int64()),
+                "start": pa.array(o_st, pa.int64()),
+            }
+        )
+
+    def to_losers(group: pa.Table) -> pa.Table:
+        h0 = group.column("h0").to_numpy(zero_copy_only=False)
+        h1 = group.column("h1").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        st = group.column("start").to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, did, h1, h0))
+        h0s, h1s = h0[order], h1[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (h0s[1:] != h0s[:-1]) | (h1s[1:] != h1s[:-1])
+        lose = order[~first]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[lose], pa.int64()),
+                "start": pa.array(st[lose], pa.int64()),
+            }
+        )
+
+    losers = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(to_losers, batch_format="pyarrow")
+    )
+
+    def tag_losers(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        return pa.table(
+            {
+                "bucket": _bucket_col(ids, num_buckets),
+                "doc_id": ids,
+                "text": pa.nulls(t.num_rows, pa.string()),
+                "start": t.column("start"),
+            }
+        )
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        return pa.table(
+            {
+                "bucket": _bucket_col(ids, num_buckets),
+                "doc_id": ids,
+                "text": t.column("text"),
+                "start": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text_clean", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        is_doc = pc.invert(pc.is_null(group.column("text")))
+        l = group.filter(pc.invert(is_doc))
+        starts: dict[int, list[int]] = {}
+        for did, st in zip(
+            l.column("doc_id").to_pylist(), l.column("start").to_pylist()
+        ):
+            starts.setdefault(did, []).append(st)
+        docs = group.filter(is_doc)
+        o_id, o_txt, o_nt, o_nr = [], [], [], []
+        for did, txt in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        ):
+            toks = txt.split(" ")
+            o_id.append(did)
+            o_nt.append(len(toks))
+            sts = starts.get(did)
+            if not sts:
+                o_txt.append(txt)
+                o_nr.append(0)
+                continue
+            mask = np.zeros(len(toks), dtype=bool)
+            for s in sts:
+                mask[s : s + win_words] = True
+            o_txt.append(" ".join(t for t, m in zip(toks, mask) if not m))
+            o_nr.append(int(mask.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "text_clean": pa.array(o_txt, pa.string()),
+                "n_tokens": pa.array(o_nt, pa.int64()),
+                "n_removed": pa.array(o_nr, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    corpus = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        corpus.map_batches(tag_corpus, batch_format="pyarrow")
+        .union(losers.map_batches(tag_losers, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )
+
+
+def dedup_span_apply_oracle_sql(win_words: int = WIN_WORDS) -> str:
+    """DuckDB twin: same windows, global-first-wins rank, position-mask
+    union, ordered token rebuild."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        w AS (
+          SELECT doc_id, i,
+                 md5(array_to_string(toks[i + 1 : i + {win_words}], ' ')) AS h
+          FROM t, UNNEST(range(len(toks) - {win_words} + 1)) AS u(i)
+        ),
+        r AS (
+          SELECT doc_id, i, h,
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+                 COUNT(*) OVER (PARTITION BY h) AS cnt
+          FROM w
+        ),
+        losers AS (SELECT doc_id, i FROM r WHERE cnt >= 2 AND rn > 1),
+        cov AS (
+          SELECT DISTINCT losers.doc_id, losers.i + d.d AS p
+          FROM losers, UNNEST(range({win_words})) AS d(d)
+        ),
+        pos AS (
+          SELECT t.doc_id, u.i AS p, t.toks[u.i + 1] AS tok
+          FROM t, UNNEST(range(len(t.toks))) AS u(i)
+        ),
+        kept AS (
+          SELECT pos.doc_id, pos.p, pos.tok
+          FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+          WHERE cov.p IS NULL
+        ),
+        agg AS (
+          SELECT doc_id,
+                 COALESCE(array_to_string(list(tok ORDER BY p), ' '), '') AS text_clean,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(agg.text_clean, '') AS text_clean,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+        FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
     """
