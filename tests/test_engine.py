@@ -68,6 +68,18 @@ class TestEngineConformance:
         assert oracle.metrics["successful_requests"] > 5
         _assert_conformance(oracle, run)
 
+    def test_tiny_bloom_seen_filter(self, tmp_root):
+        """seen_filter="bloom" swaps the shard fast path; the exact
+        digest set stays authoritative, so the visited set, results and
+        metrics must match the sequential oracle bit-for-bit."""
+        cfg = CrawlConfig(
+            max_depth=4, num_buckets=4, seen_shards=2, seen_filter="bloom"
+        )
+        oracle, run = _run_both(
+            tmp_root, "tiny_bloom", "tiny", seeds_for_scale("tiny", 2), cfg
+        )
+        _assert_conformance(oracle, run)
+
     def test_tiny_distributed_path(self, tmp_root):
         """local_round_threshold=0 forces every round through the full
         distributed pipeline (groupby shuffles + Dataset sort); output

@@ -43,6 +43,61 @@ class TestCuckooFilter:
         assert all(cf.contains(h) for h in hs)  # "no" must stay reliable
 
 
+class TestBloomFilter:
+    def test_no_false_negatives(self):
+        from wbot_ray.state.bloom import BloomFilter
+
+        bf = BloomFilter(capacity=1000)
+        hs = _hashes(900, seed=4)
+        for h in hs:
+            bf.add(h)
+        assert all(bf.contains(h) for h in hs)
+        assert bf.contains_many(np.array(hs, dtype=np.uint64)).all()
+
+    def test_low_false_positive_rate(self):
+        from wbot_ray.state.bloom import BloomFilter
+
+        bf = BloomFilter(capacity=2000)
+        for h in _hashes(1500, seed=5):
+            bf.add(h)
+        probe = np.array(_hashes(5000, seed=6), dtype=np.uint64)
+        assert bf.contains_many(probe).mean() < 0.02  # ~10 bits/entry, k=7
+
+    def test_rebuild_contract_matches_cuckoo(self):
+        """The shard growth path constructs ``type(f)(new_capacity)`` and
+        re-adds — the bloom must honor the same contract."""
+        from wbot_ray.state.bloom import BloomFilter
+
+        bf = BloomFilter(capacity=64)
+        hs = _hashes(200, seed=7)
+        for h in hs:
+            bf.add(h)
+        assert bf.count > bf.capacity  # growth would trigger
+        fresh = type(bf)(1000)
+        for h in hs:
+            fresh.add(h)
+        assert all(fresh.contains(h) for h in hs)
+
+    def test_bloom_shard_identical_decisions(self, ray_session):
+        """A bloom-backed shard returns the same check-and-set masks as
+        the cuckoo-backed shard on the same ordered stream (the exact
+        set is authoritative either way)."""
+        import hashlib as _h
+
+        import ray
+
+        from wbot_ray.state.seen import _SeenShard
+
+        hashes = [_h.sha256(f"u{i % 700}".encode()).hexdigest() for i in range(1000)]
+        a = _SeenShard.remote(0, capacity_hint=256, filter_kind="cuckoo")
+        b = _SeenShard.remote(0, capacity_hint=256, filter_kind="bloom")
+        for rid in range(3):
+            chunk = hashes[rid * 300 : (rid + 1) * 300]
+            ma = ray.get(a.check_and_set.remote(rid, chunk))
+            mb = ray.get(b.check_and_set.remote(rid, chunk))
+            assert (ma == mb).all()
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestShardGrowth:
     def test_filter_grows_past_hint(self):

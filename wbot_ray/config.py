@@ -101,6 +101,11 @@ class CrawlConfig:
     fetch_concurrency: int | None = None  # actors in the fetch pool
     num_buckets: int = 32  # web-index buckets = fetch-join partitions
     seen_shards: int = 8  # URL-seen set actor shards
+    # approximate-membership fast path per shard: "cuckoo" (default —
+    # ~2.1 B/entry, 2-bucket probes) or "bloom" (~1.25 B/entry, k=7
+    # probes, no overflow cliff). Either way an exact digest set backs
+    # the filter, so the visited set is identical bit-for-bit.
+    seen_filter: str = "cuckoo"
     batch_size: int = 1024  # rows per fetch/extract batch
     hot_host_threshold: int = 100_000  # frontier rows per root before salting
     # next-frontier ordering: below this row count the driver k-way merges

@@ -377,7 +377,11 @@ class Crawler:
             }
             self._save_manifest(manifest)
 
-        seen = cfg.store_factory(cfg) if cfg.store_factory else SeenSet(cfg.seen_shards)
+        seen = (
+            cfg.store_factory(cfg)
+            if cfg.store_factory
+            else SeenSet(cfg.seen_shards, filter_kind=cfg.seen_filter)
+        )
         try:
             completed = [r["round"] for r in manifest["rounds"]]
             start = (max(completed) + 1) if completed else 0

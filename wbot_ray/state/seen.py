@@ -45,10 +45,19 @@ class _SeenShard:
     driver (flush/load/stats) or by exactly one dedup task per round
     (check_and_set) — the actor's mailbox serializes them."""
 
-    def __init__(self, shard_id: int, capacity_hint: int = 1 << 16) -> None:
+    def __init__(
+        self, shard_id: int, capacity_hint: int = 1 << 16, filter_kind: str = "cuckoo"
+    ) -> None:
         self.shard_id = shard_id
         self._exact: set[bytes] = set()
-        self._cuckoo = CuckooFilter(capacity_hint)
+        if filter_kind == "bloom":
+            from wbot_ray.state.bloom import BloomFilter
+
+            self._cuckoo = BloomFilter(capacity_hint)
+        elif filter_kind == "cuckoo":
+            self._cuckoo = CuckooFilter(capacity_hint)
+        else:
+            raise ValueError(f"unknown seen_filter {filter_kind!r}")
         # per-round deltas: flushes are addressed BY round, so a delayed
         # flush of round d can never swallow hashes inserted by round
         # d+1's check_and_set (the driver overlaps round-d flushes with
@@ -147,10 +156,16 @@ class _SeenShard:
 class SeenSet:
     """Driver-side handle over the shard actor pool."""
 
-    def __init__(self, num_shards: int, capacity_hint: int = 1 << 16) -> None:
+    def __init__(
+        self,
+        num_shards: int,
+        capacity_hint: int = 1 << 16,
+        filter_kind: str = "cuckoo",
+    ) -> None:
         self.num_shards = num_shards
         self.shards = [
-            _SeenShard.remote(s, capacity_hint) for s in range(num_shards)
+            _SeenShard.remote(s, capacity_hint, filter_kind)
+            for s in range(num_shards)
         ]
 
     def flush_deltas_async(self, round_id: int, round_dir: str) -> list:
