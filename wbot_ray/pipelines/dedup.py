@@ -655,7 +655,10 @@ def dedup_keep(sf_dir: str, threshold: float = 0.7, num_buckets: int = 32):
             }
         )
 
-    drops = clusters.map_batches(to_drops, batch_format="pyarrow")
+    # materialize the (tiny) drop list ONCE: .count() executes the whole
+    # dup_clusters pipeline, and without the materialize the union below
+    # would re-execute every propagation round a second time
+    drops = clusters.map_batches(to_drops, batch_format="pyarrow").materialize()
     if drops.count() == 0:
         return corpus  # no duplicates anywhere — the corpus IS the output
 

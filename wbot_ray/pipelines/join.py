@@ -105,6 +105,8 @@ def hash_join(
     left_prepare: Callable[[pa.Table], pa.Table] | None = None,
     right_prepare: Callable[[pa.Table], pa.Table] | None = None,
     hot_keys: dict | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> "ray.data.Dataset":
     """Partitioned hash join of two Datasets on ``key`` — one column
     name or a list for a COMPOSITE key (same names and types both
@@ -141,8 +143,12 @@ def hash_join(
     for kv, kcnt in (hot_keys or {}).items():
         hot_base[kv] = (base, max(2, int(kcnt)))
         base += hot_base[kv][1]
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    # Dataset.schema() on a lazy shuffle-bearing pipeline can trigger a
+    # full execution pass just to learn column names — a caller that
+    # knows its sides' schemas statically passes them and the join stays
+    # one-execution-per-side end to end
+    lschema = left_schema or left.schema().base_schema
+    rschema = right_schema or right.schema().base_schema
     lcols = [f for f in lschema if f.name not in keys]
     rcols = [f for f in rschema if f.name not in keys]
     overlap = {f.name for f in lcols} & {f.name for f in rcols}

@@ -50,7 +50,19 @@ def prepare_corpus(sf_dir: str, threshold: float = 0.7):
         return t.filter(t.column("passes")).select(["doc_id", "n_words"])
 
     passing = quality_score(sf_dir).map_batches(pass_only, batch_format="pyarrow")
-    return hash_join(keep, passing, key="doc_id", num_buckets=32)
+    # static schemas: keep is (doc_id, lang, n_chars), passing is
+    # (doc_id, n_words) — passing them avoids a schema() probe that
+    # would execute the dedup exchanges an extra time
+    return hash_join(
+        keep,
+        passing,
+        key="doc_id",
+        num_buckets=32,
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64())]
+        ),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n_words", pa.int64())]),
+    )
 
 # p = num/2^64: the keep predicate is an integer compare, no float rate
 SAMPLE_SALT = "sample:"
