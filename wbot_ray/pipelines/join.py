@@ -472,6 +472,21 @@ def q3_shipping(
         key="l_orderkey",
         num_buckets=num_buckets,
         left_prepare=_combine_order_partials,
+        # qualified carries exchange 1 — a schema() probe would run it twice
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("rev_centi", pa.int64()),
+                ("n_items", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_orderdate", pa.string()),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
     )
 
     def _topk(t: pa.Table) -> pa.Table:

@@ -1466,8 +1466,28 @@ def user_day_share(sf_dir: str):
             }
         )
 
+    # static schemas: the totals side carries a groupby exchange — a
+    # schema() probe would execute it an extra time (see join.hash_join)
     return hash_join(
-        events, totals, key=["user_id", "day"], num_buckets=64
+        events,
+        totals,
+        key=["user_id", "day"],
+        num_buckets=64,
+        left_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("day", pa.string()),
+                ("event_id", pa.int64()),
+                ("value_cents", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("day", pa.string()),
+                ("day_total_cents", pa.int64()),
+            ]
+        ),
     ).map_batches(share, batch_format="pyarrow")
 
 
