@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_metrics": crawlq.crawl_metrics,
         "crawl_depth_hist": crawlq.crawl_depth_hist,
         "host_text_stats": crawlq.host_text_stats,
+        "index_lookup": crawlq.index_lookup,
         "crawl_text_stats": crawlq.crawl_text_stats,
         "export_corpus": crawlq.export_corpus,
         # -- text analysis

@@ -37,6 +37,7 @@ def oracle_sqls(ray_session):
         "crawl_text_stats",
         "crawl_depth_hist",
         "host_text_stats",
+        "index_lookup",
     ],
 )
 def test_crawl_query_matches_duckdb_bfs(name, oracle_sqls, ray_session):

@@ -35,6 +35,7 @@ __all__ = [
     "crawl_depth_hist",
     "crawl_text_stats",
     "host_text_stats",
+    "index_lookup",
     "export_corpus",
     "oracle_entries",
 ]
@@ -276,6 +277,82 @@ def host_text_stats(sf_dir: str, num_buckets: int = 32):
     )
 
 
+def index_lookup(sf_dir: str, num_buckets: int = 32):
+    """CDX-server-style POINT READS over the bucketed url-sorted web
+    index (``web_index.build_web_index`` layout — the same storage the
+    crawl's fetch join reads): resolve a deterministic probe set of
+    URLs (plus guaranteed misses) to ``(url, lang, n_html)`` rows via
+    row-group-pruned lookups, one Ray task per index bucket.
+
+    Probe set (shared with the SQL twin): corpus urls whose
+    ``md5(url)`` hex starts with ``'0'`` (~1/16 of the corpus), plus
+    32 synthetic never-crawled urls that MUST resolve to nothing (the
+    urlhash64 membership filter short-circuits them before any
+    row-group read). The oracle is a plain filtered scan of the pages
+    parquet — if the index layout lost, duplicated or mis-bucketed any
+    row, the value gate fails. Raw Ray tasks are the right tool here:
+    a point lookup is one bounded IO per bucket, not a batch
+    transform."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from wbot_ray.web_index import (
+        build_web_index,
+        bucket_of_root,
+        lookup_pages,
+        root_of_url_host,
+    )
+
+    scale = scale_for_sf(sf_dir)
+    pages = _pages_path(scale)
+    index_dir = os.path.join(_CACHE_ROOT, scale, "index")
+    build_web_index(pages, index_dir, num_buckets)  # cached (_DONE marker)
+
+    urls = _pq.read_table(pages, columns=["url"]).column("url").to_pylist()
+    probes = [u for u in urls if hashlib.md5(u.encode()).hexdigest().startswith("0")]
+    probes += [f"https://site0.com/never-crawled/{i}" for i in range(32)]
+
+    by_bucket: dict[int, list[str]] = {}
+    for u in probes:
+        by_bucket.setdefault(
+            bucket_of_root(root_of_url_host(u), num_buckets), []
+        ).append(u)
+
+    def probe_bucket(bucket_dir: str, want: list[str]) -> pa.Table:
+        # the index stores (url, warc_ts, html, lang) — text is dropped by
+        # design (the engine re-extracts); probe html, the payload column
+        t = lookup_pages(bucket_dir, want, ["url", "lang", "html"])
+        if t is None or t.num_rows == 0:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "n_html": pa.array([], pa.int64()),
+                }
+            )
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "lang": t.column("lang"),
+                "n_html": pc.cast(pc.binary_length(t.column("html")), pa.int64()),
+            }
+        )
+
+    task = ray.remote(probe_bucket)
+    parts = ray.get(
+        [
+            task.remote(os.path.join(index_dir, f"bucket={b}"), want)
+            for b, want in sorted(by_bucket.items())
+        ]
+    )
+    return pa.concat_tables(parts)
+
+
 def export_corpus(sf_dir: str):
     """Crawl → training-data handoff ON DISK: the crawl's successful
     fetches exported as a documents-shaped corpus
@@ -343,6 +420,11 @@ def oracle_entries(scale: str = "small") -> dict[str, str]:
     sqls["export_corpus"] = f"""
         SELECT lang AS part, CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM ({sqls['crawl_results']}) GROUP BY lang
+    """
+    sqls["index_lookup"] = f"""
+        SELECT url, lang, CAST(octet_length(html) AS BIGINT) AS n_html
+        FROM read_parquet('{pages}')
+        WHERE md5(url) LIKE '0%'
     """
     sqls["crawl_depth_hist"] = f"""
         SELECT CAST(depth AS BIGINT) AS depth,
