@@ -158,6 +158,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist": lambda sf: __import__(
             "wbot_ray.pipelines.urlstats", fromlist=["url_blocklist"]
         ).url_blocklist(sf),
+        # -- web-corpus audit / maintenance passes
+        "crawl_traps": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["crawl_traps"]
+        ).crawl_traps(sf),
+        "boilerplate_lines": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["boilerplate_lines"]
+        ).boilerplate_lines(sf),
+        "change_rate": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["change_rate"]
+        ).change_rate(sf),
+        "mirror_hosts": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["mirror_hosts"]
+        ).mirror_hosts(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -867,6 +880,24 @@ def oracle_sql() -> dict[str, str]:
                 "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
             )._pages_path_for("/root/testdata/sf0.01")
         ),
+        **{
+            name: getattr(
+                __import__(
+                    "wbot_ray.pipelines.webops", fromlist=[f"{name}_oracle_sql"]
+                ),
+                f"{name}_oracle_sql",
+            )(
+                __import__(
+                    "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
+                )._pages_path_for("/root/testdata/sf0.01")
+            )
+            for name in (
+                "crawl_traps",
+                "boilerplate_lines",
+                "change_rate",
+                "mirror_hosts",
+            )
+        },
         "embed_docs": _embed_docs_oracle_sql(),
         "semantic_search": _semantic_search_oracle_sql(),
         "langid": _langid_oracle_sql(),

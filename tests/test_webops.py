@@ -1,0 +1,198 @@
+"""Web-corpus audit operators (``wbot_ray.pipelines.webops``) against
+their DuckDB twins on adversarial and randomized inputs — both engines
+compile the same RE2 patterns and the same md5/integer identities, so
+every row must agree on ANY input, not just the fixture corpus."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from wbot_ray.pipelines import webops
+
+
+def _write_pages(tmp_path, urls, texts=None):
+    p = os.path.join(tmp_path, "pages.parquet")
+    cols = {"url": pa.array(urls, pa.string())}
+    if texts is not None:
+        cols["text"] = pa.array(texts, pa.string())
+    pq.write_table(pa.table(cols), p)
+    return p
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _assert_match(ds, sql):
+    got = ds.to_pandas() if not isinstance(ds, pd.DataFrame) else ds
+    want = duckdb.connect().execute(sql).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False, check_exact=True
+    )
+    return got
+
+
+class TestCrawlTraps:
+    def test_adversarial(self, tmp_path, ray_session):
+        urls = [
+            "https://a.com/p/1",          # same template as /p/2
+            "https://a.com/p/2",
+            "https://a.com/about",        # distinct template
+            "https://a.com/p/3?sess=99",  # query digits ignored
+            "https://h2o.com/x1y2z3",     # digits in host stay; path folds
+            "https://h2o.com/x9y8z7",
+            "http://b.org",               # no path at all
+            "https://B.ORG/2020/01/05/post",   # date-trap shape
+            "https://b.org/2021/12/31/post",
+        ]
+        got = _assert_match(
+            webops.crawl_traps(str(tmp_path), pages_path=_write_pages(tmp_path, urls)),
+            webops.crawl_traps_oracle_sql(os.path.join(tmp_path, "pages.parquet")),
+        )
+        rows = {r.host: (r.n_urls, r.n_templates, r.upt_x1000) for r in got.itertuples()}
+        assert rows["a.com"] == (4, 2, 2000)   # /p/N ×3 + /about
+        assert rows["h2o.com"] == (2, 1, 2000)  # host digits NOT folded
+        assert rows["b.org"] == (3, 2, 1500)    # '', /N/N/N/post
+
+    def test_randomized(self, tmp_path, ray_session):
+        rng = random.Random(71)
+        hosts = ["a.com", "b.org", "c9.net"]
+        segs = ["p", "2024", "item42", "x", ""]
+        urls = list(
+            {
+                f"https://{rng.choice(hosts)}/"
+                + "/".join(rng.choice(segs) for _ in range(rng.randint(0, 3)))
+                + (f"?id={rng.randint(0, 9)}" if rng.random() < 0.3 else "")
+                for _ in range(400)
+            }
+        )
+        _assert_match(
+            webops.crawl_traps(str(tmp_path), pages_path=_write_pages(tmp_path, urls)),
+            webops.crawl_traps_oracle_sql(os.path.join(tmp_path, "pages.parquet")),
+        )
+
+
+class TestBoilerplateLines:
+    def test_threshold_and_multiline(self, tmp_path, ray_session):
+        # 3 docs on a.com share 'común\nline' via their own text; footers
+        # hit every doc; a line repeated INSIDE one doc counts once
+        urls = [f"https://a.com/{i}" for i in range(3)] + ["https://b.org/0"]
+        texts = [
+            "común\nshared",
+            "común\nshared\nshared",   # in-doc repeat counts once
+            "común\nunique0",
+            "solo",
+        ]
+        p = _write_pages(tmp_path, urls, texts)
+        got = _assert_match(
+            webops.boilerplate_lines(str(tmp_path), min_docs=3, pages_path=p),
+            webops.boilerplate_lines_oracle_sql(p, min_docs=3),
+        )
+        # a.com: 'común' (3 docs) + its 2 synthesized footer lines;
+        # b.org has only 1 doc so nothing clears min_docs=3
+        assert set(got.host) == {"a.com"}
+        assert len(got) == 3
+        import hashlib
+
+        assert hashlib.md5("común".encode()).hexdigest() in set(got.line_md5)
+
+    def test_randomized(self, tmp_path, ray_session):
+        rng = random.Random(13)
+        lines = ["alpha", "beta", "gamma", "", "ünï", "x y"]
+        urls, texts = [], []
+        for i in range(120):
+            urls.append(f"https://h{rng.randint(0, 2)}.com/{i}")
+            texts.append("\n".join(rng.choice(lines) for _ in range(rng.randint(1, 4))))
+        p = _write_pages(tmp_path, urls, texts)
+        _assert_match(
+            webops.boilerplate_lines(str(tmp_path), min_docs=2, pages_path=p),
+            webops.boilerplate_lines_oracle_sql(p, min_docs=2),
+        )
+
+
+class TestChangeRate:
+    def test_rule_arms(self, tmp_path, ray_session):
+        # url lengths chosen to hit: neither, %3==1 only (unchanged
+        # re-crawl), %7==2 only (changed), both
+        urls = [
+            "https://a.com/" + "x" * 1,   # len 15: 15%3=0, 15%7=1 -> neither
+            "https://a.com/" + "x" * 5,   # len 19: 19%3=1 -> unchanged re-crawl
+            "https://a.com/" + "x" * 7,   # len 21: 0, 0 -> neither
+            "https://a.com/" + "x" * 8,   # len 22: 22%3=1 -> unchanged
+            "https://b.org/" + "y" * 9,   # len 23: 23%7=2 -> changed
+            "https://b.org/" + "y" * 23,  # len 37: 37%3=1 AND 37%7=2 -> both
+        ]
+        texts = [f"body {i}" for i in range(len(urls))]
+        p = _write_pages(tmp_path, urls, texts)
+        got = _assert_match(
+            webops.change_rate(str(tmp_path), pages_path=p),
+            webops.change_rate_oracle_sql(p),
+        )
+        rows = {
+            r.host: (r.n_urls, r.n_snapshots, r.n_changes, r.change_ppm)
+            for r in got.itertuples()
+        }
+        # a.com: 4 urls, 2 unchanged re-crawls -> 6 snaps, 0 changes
+        assert rows["a.com"] == (4, 6, 0, 0)
+        # b.org: 2 urls; one changed re-crawl, one both-arms (3 snaps,
+        # 1 change) -> 5 snaps, 2 changes over 3 re-crawls
+        assert rows["b.org"] == (2, 5, 2, 2 * 1000000 // 3)
+
+    def test_randomized(self, tmp_path, ray_session):
+        rng = random.Random(29)
+        urls = list(
+            {
+                f"https://h{rng.randint(0, 2)}.com/" + "x" * rng.randint(0, 25)
+                for _ in range(200)
+            }
+        )
+        texts = [f"doc {rng.randint(0, 5)}" for _ in urls]
+        p = _write_pages(tmp_path, urls, texts)
+        _assert_match(
+            webops.change_rate(str(tmp_path), pages_path=p),
+            webops.change_rate_oracle_sql(p),
+        )
+
+
+class TestMirrorHosts:
+    def test_planted_mirror_set(self, tmp_path, ray_session):
+        # same body on 3 hosts -> 3 pairs; plus whatever the md5-rule
+        # synthesizes — the oracle sees the identical stream
+        urls = [
+            "https://a.com/1",
+            "https://b.org/1",
+            "https://c.net/1",
+            "https://a.com/2",
+            "https://b.org/2",
+        ]
+        texts = ["same body"] * 3 + ["another shared", "another shared"]
+        p = _write_pages(tmp_path, urls, texts)
+        got = _assert_match(
+            webops.mirror_hosts(str(tmp_path), pages_path=p),
+            webops.mirror_hosts_oracle_sql(p),
+        )
+        pairs = {
+            (r.host_a, r.host_b): r.n_shared for r in got.itertuples()
+        }
+        assert pairs[("a.com", "b.org")] == 2  # both planted bodies
+        assert pairs[("a.com", "c.net")] == 1
+        assert pairs[("b.org", "c.net")] == 1
+
+    def test_randomized(self, tmp_path, ray_session):
+        rng = random.Random(41)
+        urls = [f"https://h{rng.randint(0, 4)}.com/{i}" for i in range(150)]
+        texts = [f"payload {rng.randint(0, 20)}" for _ in urls]
+        p = _write_pages(tmp_path, urls, texts)
+        _assert_match(
+            webops.mirror_hosts(str(tmp_path), pages_path=p),
+            webops.mirror_hosts_oracle_sql(p),
+        )

@@ -1,0 +1,510 @@
+"""Web-corpus audit operators — the maintenance passes a production
+crawl runs between harvests.
+
+* :func:`crawl_traps` — per-host URL-template explosion profile (the
+  crawler-trap detector: calendar pages, session-id spaces, faceted
+  search). Template = path with digit runs folded to ``N`` (RE2 shared
+  verbatim with the oracle); a host whose url/template ratio explodes
+  is generating an infinite URL space from few page "shapes".
+* :func:`boilerplate_lines` — per-host frequent-line detection (the
+  CCNet/trafilatura boilerplate pass): a line appearing in ≥
+  ``min_docs`` documents of the same host is nav/footer chrome, not
+  content. Fixture pages are single-line, so a deterministic host
+  footer is synthesized in-batch (rule shared with the SQL twin — the
+  ``snapshot_latest`` technique); the operator itself just counts
+  whatever lines arrive.
+* :func:`change_rate` — per-host content change rate over a
+  deterministically synthesized re-crawl stream (same technique): the
+  signal an adaptive re-crawl scheduler reads (Cho & Garcia-Molina's
+  frequency estimation). Changes are detected from content md5s only —
+  the operator never sees the synthesis rule.
+* :func:`mirror_hosts` — cross-host content duplication (mirror / CDN
+  alias detection): host pairs sharing identical page bodies, from
+  distinct ``(content_md5, host)`` facts. Deterministic mirrors are
+  synthesized in-batch so the gate is non-trivial at every scale.
+
+Ray shapes: every operator is batch-local partials over a pruned
+column read, then ONE slim keyed exchange (two for the pair expansion
+in ``mirror_hosts``) — text/html never enter an exchange. Per-row md5
+identities use Python's hashlib exactly where the repo already does
+(``maintenance.corpus_diff``): md5 is the cross-engine identity DuckDB
+can recompute, and the loop runs over batch-distinct slim rows only.
+
+``mirror_hosts`` pair expansion is O(h²) per content hash in the
+number of hosts sharing that hash — real mirror sets are small (2–5
+hosts); a pathologically viral payload would need a group-size cap,
+which is deliberately NOT applied so the SQL gate stays value-exact
+(no silent caps).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from wbot_ray.pipelines.urlstats import HOST_RE, PATH_RE, _pages_path_for
+
+__all__ = [
+    "crawl_traps",
+    "crawl_traps_oracle_sql",
+    "boilerplate_lines",
+    "boilerplate_lines_oracle_sql",
+    "change_rate",
+    "change_rate_oracle_sql",
+    "mirror_hosts",
+    "mirror_hosts_oracle_sql",
+    "TRAP_DIGIT_RE",
+]
+
+# shared RE2 pattern — compiled identically by polars and DuckDB
+TRAP_DIGIT_RE = "[0-9]+"
+
+
+def _md5s(texts: list[str]) -> list[str]:
+    return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+
+def crawl_traps(sf_dir: str, num_buckets: int = 32, pages_path: str | None = None):
+    """Per host: ``(host, n_urls, n_templates, upt_x1000)`` where
+    ``upt_x1000 = n_urls * 1000 // n_templates`` (urls-per-template,
+    integer-scaled — the trap score a frontier scheduler thresholds).
+    Query strings are ignored: the template is the PATH component with
+    every digit run folded to ``N``.
+
+    Shape: per-batch distinct ``(host, tmpl)`` counts, one keyed
+    exchange carrying ≤ one slim row per (batch, host, template)."""
+    pages = rd.read_parquet(pages_path or _pages_path_for(sf_dir), columns=["url"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(batch.select(["url"]))
+            .with_columns(
+                host=pl.col("url").str.extract(HOST_RE, 1).fill_null("").str.to_lowercase(),
+                path=pl.col("url").str.extract(PATH_RE, 1).fill_null(""),
+            )
+            .with_columns(tmpl=pl.col("path").str.replace_all(TRAP_DIGIT_RE, "N"))
+            .group_by(["host", "tmpl"])
+            .agg(n=pl.len().cast(pl.Int64))
+            .with_columns(
+                bucket=(pl.col("host").hash(seed=0) % np.uint64(num_buckets)).cast(pl.Int64)
+            )
+        )
+        return df.select(["bucket", "host", "tmpl", "n"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("host", pa.string()),
+                    ("tmpl", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            )
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(group.select(["host", "tmpl", "n"]))
+            .group_by("host")
+            .agg(
+                n_urls=pl.col("n").sum().cast(pl.Int64),
+                n_templates=pl.col("tmpl").n_unique().cast(pl.Int64),
+            )
+            .with_columns(upt_x1000=(pl.col("n_urls") * 1000 // pl.col("n_templates")))
+        )
+        return df.select(["host", "n_urls", "n_templates", "upt_x1000"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("host", pa.string()),
+                    ("n_urls", pa.int64()),
+                    ("n_templates", pa.int64()),
+                    ("upt_x1000", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def crawl_traps_oracle_sql(pages_path: str) -> str:
+    """DuckDB twin: same RE2 patterns, plain grouped distinct."""
+    return f"""
+        WITH p AS (
+          SELECT lower(COALESCE(regexp_extract(url, '{HOST_RE}', 1), '')) AS host,
+                 regexp_replace(
+                   COALESCE(regexp_extract(url, '{PATH_RE}', 1), ''),
+                   '{TRAP_DIGIT_RE}', 'N', 'g') AS tmpl
+          FROM read_parquet('{pages_path}')
+        )
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT tmpl) AS BIGINT) AS n_templates,
+               CAST(COUNT(*) * 1000 // COUNT(DISTINCT tmpl) AS BIGINT) AS upt_x1000
+        FROM p GROUP BY host
+    """
+
+
+def boilerplate_lines(
+    sf_dir: str,
+    min_docs: int = 3,
+    num_buckets: int = 32,
+    pages_path: str | None = None,
+):
+    """Per-host boilerplate lines: ``(host, line_md5, n_docs)`` for
+    every line appearing in ≥ ``min_docs`` distinct documents of the
+    host. Synthesized footer rule (shared with the twin): each page's
+    text gains ``'nav <host> home about contact'`` and
+    ``'copyright <host>'`` lines; the operator splits on newline and
+    counts distinct-(doc, line) facts — it never sees the rule.
+
+    Shape: explode → batch-distinct (url, host, line) → per-batch
+    (host, line_md5) doc counts (a url lives in exactly one batch, so
+    partials sum exactly) → one keyed exchange of slim md5 rows."""
+    pages = rd.read_parquet(pages_path or _pages_path_for(sf_dir), columns=["url", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(batch.select(["url", "text"]))
+            .with_columns(
+                host=pl.col("url").str.extract(HOST_RE, 1).fill_null("").str.to_lowercase()
+            )
+            .with_columns(
+                line=(
+                    pl.col("text")
+                    + "\n" + "nav " + pl.col("host") + " home about contact"
+                    + "\n" + "copyright " + pl.col("host")
+                ).str.split("\n")
+            )
+            .explode("line")
+            .unique(subset=["url", "host", "line"])
+        )
+        df = (
+            df.with_columns(line_md5=pl.Series(_md5s(df.get_column("line").to_list()), dtype=pl.String))
+            .group_by(["host", "line_md5"])
+            .agg(n=pl.len().cast(pl.Int64))
+            .with_columns(
+                bucket=(pl.col("host").hash(seed=0) % np.uint64(num_buckets)).cast(pl.Int64)
+            )
+        )
+        return df.select(["bucket", "host", "line_md5", "n"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("host", pa.string()),
+                    ("line_md5", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            )
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(group.select(["host", "line_md5", "n"]))
+            .group_by(["host", "line_md5"])
+            .agg(n_docs=pl.col("n").sum().cast(pl.Int64))
+            .filter(pl.col("n_docs") >= min_docs)
+        )
+        return df.select(["host", "line_md5", "n_docs"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("host", pa.string()),
+                    ("line_md5", pa.string()),
+                    ("n_docs", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def boilerplate_lines_oracle_sql(pages_path: str, min_docs: int = 3) -> str:
+    """DuckDB twin: same footer synthesis, unnest + distinct + HAVING."""
+    return f"""
+        WITH p AS (
+          SELECT url,
+                 lower(COALESCE(regexp_extract(url, '{HOST_RE}', 1), '')) AS host,
+                 text
+          FROM read_parquet('{pages_path}')
+        ), exploded AS (
+          SELECT url, host,
+                 unnest(string_split(
+                   text || chr(10) || 'nav ' || host || ' home about contact'
+                        || chr(10) || 'copyright ' || host,
+                   chr(10))) AS line
+          FROM p
+        ), l AS (
+          SELECT DISTINCT url, host, line FROM exploded
+        )
+        SELECT host, md5(line) AS line_md5, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM l GROUP BY host, md5(line)
+        HAVING COUNT(*) >= {min_docs}
+    """
+
+
+def change_rate(sf_dir: str, num_buckets: int = 32, pages_path: str | None = None):
+    """Per-host content change rate over a synthesized re-crawl stream:
+    ``(host, n_urls, n_snapshots, n_changes, change_ppm)`` with
+    ``change_ppm = n_changes * 1000000 // (n_snapshots - n_urls)``
+    (changes per re-crawl, ppm; 0 when a host was never re-crawled).
+
+    Synthesis rule (shared with the twin): urls with ``length(url) % 3
+    == 1`` get an UNCHANGED re-crawl; urls with ``length(url) % 7 ==
+    2`` get a CHANGED one (``text || ' changed'``). The operator folds
+    content md5s only: per-url versions = distinct md5 count — so an
+    unchanged re-crawl correctly contributes a snapshot but no change.
+
+    Shape: per-url version counting is batch-local (a url lives in one
+    batch); one keyed exchange carries per-(batch, host) count rows."""
+    pages = rd.read_parquet(pages_path or _pages_path_for(sf_dir), columns=["url", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        base = pl.from_arrow(batch.select(["url", "text"])).with_columns(
+            host=pl.col("url").str.extract(HOST_RE, 1).fill_null("").str.to_lowercase()
+        )
+        base = base.with_columns(m=pl.Series(_md5s(base.get_column("text").to_list()), dtype=pl.String))
+        ulen = pl.col("url").str.len_chars()
+        re1 = base.filter(ulen % 3 == 1)  # unchanged re-crawl: same md5
+        re2 = base.filter(ulen % 7 == 2)
+        if re2.height:
+            re2 = re2.with_columns(
+                m=pl.Series(_md5s([t + " changed" for t in re2.get_column("text").to_list()]), dtype=pl.String)
+            )
+        snaps = pl.concat([base, re1, re2]).select(["url", "host", "m"])
+        df = (
+            snaps.group_by(["url", "host"])
+            .agg(
+                n_snaps=pl.len().cast(pl.Int64),
+                n_changes=(pl.col("m").n_unique() - 1).cast(pl.Int64),
+            )
+            .group_by("host")
+            .agg(
+                n_urls=pl.len().cast(pl.Int64),
+                n_snapshots=pl.col("n_snaps").sum().cast(pl.Int64),
+                n_changes=pl.col("n_changes").sum().cast(pl.Int64),
+            )
+            .with_columns(
+                bucket=(pl.col("host").hash(seed=0) % np.uint64(num_buckets)).cast(pl.Int64)
+            )
+        )
+        return df.select(["bucket", "host", "n_urls", "n_snapshots", "n_changes"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("host", pa.string()),
+                    ("n_urls", pa.int64()),
+                    ("n_snapshots", pa.int64()),
+                    ("n_changes", pa.int64()),
+                ]
+            )
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(group.select(["host", "n_urls", "n_snapshots", "n_changes"]))
+            .group_by("host")
+            .agg(
+                n_urls=pl.col("n_urls").sum().cast(pl.Int64),
+                n_snapshots=pl.col("n_snapshots").sum().cast(pl.Int64),
+                n_changes=pl.col("n_changes").sum().cast(pl.Int64),
+            )
+            .with_columns(
+                change_ppm=pl.when(pl.col("n_snapshots") - pl.col("n_urls") == 0)
+                .then(0)
+                .otherwise(
+                    pl.col("n_changes") * 1000000
+                    // (pl.col("n_snapshots") - pl.col("n_urls"))
+                )
+                .cast(pl.Int64)
+            )
+        )
+        return df.select(
+            ["host", "n_urls", "n_snapshots", "n_changes", "change_ppm"]
+        ).to_arrow().cast(
+            pa.schema(
+                [
+                    ("host", pa.string()),
+                    ("n_urls", pa.int64()),
+                    ("n_snapshots", pa.int64()),
+                    ("n_changes", pa.int64()),
+                    ("change_ppm", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def change_rate_oracle_sql(pages_path: str) -> str:
+    """DuckDB twin: same snapshot synthesis, distinct-md5 fold."""
+    return f"""
+        WITH base AS (
+          SELECT url,
+                 lower(COALESCE(regexp_extract(url, '{HOST_RE}', 1), '')) AS host,
+                 text
+          FROM read_parquet('{pages_path}')
+        ), snaps AS (
+          SELECT url, host, md5(text) AS m FROM base
+          UNION ALL
+          SELECT url, host, md5(text) FROM base WHERE length(url) % 3 = 1
+          UNION ALL
+          SELECT url, host, md5(text || ' changed') FROM base WHERE length(url) % 7 = 2
+        ), per_url AS (
+          SELECT url, host,
+                 COUNT(*) AS n_snaps,
+                 COUNT(DISTINCT m) - 1 AS n_changes
+          FROM snaps GROUP BY url, host
+        )
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(SUM(n_snaps) AS BIGINT) AS n_snapshots,
+               CAST(SUM(n_changes) AS BIGINT) AS n_changes,
+               CAST(CASE WHEN SUM(n_snaps) - COUNT(*) = 0 THEN 0
+                    ELSE SUM(n_changes) * 1000000 // (SUM(n_snaps) - COUNT(*))
+                    END AS BIGINT) AS change_ppm
+        FROM per_url GROUP BY host
+    """
+
+
+def mirror_hosts(sf_dir: str, num_buckets: int = 32, pages_path: str | None = None):
+    """Host pairs sharing identical page bodies: ``(host_a, host_b,
+    n_shared)`` with ``host_a < host_b`` and ``n_shared`` = number of
+    distinct shared content md5s. Deterministic mirror synthesis
+    (shared with the twin): pages whose ``md5(url)`` hex starts with
+    ``'0'`` (~1/16) also exist on ``'m.' || host``.
+
+    Shape: batch-distinct (content_md5, host) facts → exchange 1 keyed
+    on bucket(md5) (all hosts of a given md5 co-locate; pairs expand
+    per md5 inside the group) → exchange 2 keyed on the pair to sum
+    partial counts. Both exchanges carry slim hash/host rows only."""
+    pages = rd.read_parquet(pages_path or _pages_path_for(sf_dir), columns=["url", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["url", "text"])).with_columns(
+            host=pl.col("url").str.extract(HOST_RE, 1).fill_null("").str.to_lowercase()
+        )
+        df = df.with_columns(
+            m=pl.Series(_md5s(df.get_column("text").to_list()), dtype=pl.String),
+            um=pl.Series(_md5s(df.get_column("url").to_list()), dtype=pl.String),
+        )
+        mirrored = df.filter(pl.col("um").str.starts_with("0")).with_columns(
+            host="m." + pl.col("host")
+        )
+        facts = (
+            pl.concat([df, mirrored])
+            .select(["m", "host"])
+            .unique()
+            .with_columns(
+                bucket=(pl.col("m").hash(seed=0) % np.uint64(num_buckets)).cast(pl.Int64)
+            )
+        )
+        return facts.select(["bucket", "m", "host"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("m", pa.string()),
+                    ("host", pa.string()),
+                ]
+            )
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(group.select(["m", "host"])).unique()
+        j = df.join(df, on="m", suffix="_b")
+        out = (
+            j.filter(pl.col("host") < pl.col("host_b"))
+            .group_by(["host", "host_b"])
+            .agg(n=pl.len().cast(pl.Int64))
+            .rename({"host": "host_a", "host_b": "host_b"})
+            .with_columns(
+                pbucket=(
+                    (pl.col("host_a") + "|" + pl.col("host_b")).hash(seed=0)
+                    % np.uint64(num_buckets)
+                ).cast(pl.Int64)
+            )
+        )
+        return out.select(["pbucket", "host_a", "host_b", "n"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("pbucket", pa.int64()),
+                    ("host_a", pa.string()),
+                    ("host_b", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            )
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(group.select(["host_a", "host_b", "n"]))
+            .group_by(["host_a", "host_b"])
+            .agg(n_shared=pl.col("n").sum().cast(pl.Int64))
+        )
+        return df.select(["host_a", "host_b", "n_shared"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("host_a", pa.string()),
+                    ("host_b", pa.string()),
+                    ("n_shared", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def mirror_hosts_oracle_sql(pages_path: str) -> str:
+    """DuckDB twin: same mirror synthesis, distinct facts, self-join."""
+    return f"""
+        WITH p AS (
+          SELECT url,
+                 lower(COALESCE(regexp_extract(url, '{HOST_RE}', 1), '')) AS host,
+                 text
+          FROM read_parquet('{pages_path}')
+        ), facts AS (
+          SELECT DISTINCT md5(text) AS m, host FROM p
+          UNION
+          SELECT DISTINCT md5(text) AS m, 'm.' || host AS host
+          FROM p WHERE md5(url) LIKE '0%'
+        )
+        SELECT a.host AS host_a, b.host AS host_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM facts a JOIN facts b ON a.m = b.m AND a.host < b.host
+        GROUP BY a.host, b.host
+    """
