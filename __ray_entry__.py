@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_hosts": lambda sf: __import__(
             "wbot_ray.pipelines.webops", fromlist=["mirror_hosts"]
         ).mirror_hosts(sf),
+        "host_quota": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["host_quota"]
+        ).host_quota(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -896,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
                 "boilerplate_lines",
                 "change_rate",
                 "mirror_hosts",
+                "host_quota",
             )
         },
         "embed_docs": _embed_docs_oracle_sql(),

@@ -163,6 +163,54 @@ class TestChangeRate:
         )
 
 
+class TestHostQuota:
+    def _pages_ts(self, tmp_path, urls, ts_us):
+        p = os.path.join(tmp_path, "pages.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(ts_us, pa.timestamp("us")),
+                }
+            ),
+            p,
+        )
+        return p
+
+    def test_cap_and_tie_order(self, tmp_path, ray_session):
+        # a.com has 4 pages (cap 2 keeps the 2 oldest; equal ts breaks
+        # by url); b.org has 1 (kept whole)
+        urls = [
+            "https://a.com/d",
+            "https://a.com/c",
+            "https://a.com/b",
+            "https://a.com/a",
+            "https://b.org/x",
+        ]
+        ts = [100, 100, 300, 400, 50]
+        p = self._pages_ts(tmp_path, urls, ts)
+        got = _assert_match(
+            webops.host_quota(str(tmp_path), n=2, pages_path=p),
+            webops.host_quota_oracle_sql(p, n=2),
+        )
+        kept = {(r.host, r.url): r.host_rank for r in got.itertuples()}
+        assert kept == {
+            ("a.com", "https://a.com/c"): 1,  # ts tie -> smaller url wins
+            ("a.com", "https://a.com/d"): 2,
+            ("b.org", "https://b.org/x"): 1,
+        }
+
+    def test_randomized(self, tmp_path, ray_session):
+        rng = random.Random(59)
+        urls = list({f"https://h{rng.randint(0, 3)}.com/{rng.randint(0, 500)}" for _ in range(300)})
+        ts = [rng.randint(0, 20) * 1000000 for _ in urls]  # many ties
+        p = self._pages_ts(tmp_path, urls, ts)
+        _assert_match(
+            webops.host_quota(str(tmp_path), n=5, pages_path=p),
+            webops.host_quota_oracle_sql(p, n=5),
+        )
+
+
 class TestMirrorHosts:
     def test_planted_mirror_set(self, tmp_path, ray_session):
         # same body on 3 hosts -> 3 pairs; plus whatever the md5-rule

@@ -56,6 +56,8 @@ __all__ = [
     "change_rate_oracle_sql",
     "mirror_hosts",
     "mirror_hosts_oracle_sql",
+    "host_quota",
+    "host_quota_oracle_sql",
     "TRAP_DIGIT_RE",
 ]
 
@@ -487,6 +489,115 @@ def mirror_hosts(sf_dir: str, num_buckets: int = 32, pages_path: str | None = No
         .groupby("pbucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def host_quota(sf_dir: str, n: int = 25, num_buckets: int = 32, pages_path: str | None = None):
+    """Per-domain document cap (the RefinedWeb/Dolma anti-SEO-spam
+    stage): keep at most ``n`` pages per host — the FIRST-captured win
+    (order by ``warc_ts``, then url) — emitting ``(host, url,
+    host_rank)`` for the kept rows.
+
+    Shape (the ``group_topn`` bounded-exchange pattern): each batch
+    keeps ≤ n rows per host it sees (a row outside its batch's per-host
+    top-n can never be in the global top-n), so the exchange carries
+    ≤ n slim rows per (batch, host); one ``groupby(bucket(host))``
+    fold finishes the rank. At 100 TB both stages stay bounded."""
+    from wbot_ray.pipelines.relational import _topn_per_key
+
+    pages = rd.read_parquet(
+        pages_path or _pages_path_for(sf_dir), columns=["url", "warc_ts"]
+    )
+
+    def _hosts(urls: list[str]) -> np.ndarray:
+        import polars as pl
+
+        return (
+            pl.Series(urls, dtype=pl.String)
+            .str.extract(HOST_RE, 1)
+            .fill_null("")
+            .str.to_lowercase()
+            .to_numpy()
+        )
+
+    def _keep(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(kept row indices in (host, ts, url) order, hosts, ts, urls)."""
+        urls = np.asarray(tbl.column("url").to_pylist(), dtype=np.str_)
+        hosts = _hosts(tbl.column("url").to_pylist()).astype(np.str_)
+        ts = tbl.column("warc_ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        # exact within-batch host identity (no hash collisions): inverse
+        # indices of the unique host strings
+        _, key = np.unique(hosts, return_inverse=True)
+        keep = _topn_per_key(key, -ts, urls, n)
+        return keep, hosts, ts, urls
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "host": pa.array([], pa.string()),
+                    "url": pa.array([], pa.string()),
+                    "ts": pa.array([], pa.int64()),
+                }
+            )
+        keep, hosts, ts, urls = _keep(batch)
+        h = pl.Series(hosts[keep].tolist(), dtype=pl.String)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (h.hash(seed=0) % np.uint64(num_buckets)).cast(pl.Int64).to_numpy(),
+                    pa.int64(),
+                ),
+                "host": pa.array(hosts[keep], pa.string()),
+                "url": pa.array(urls[keep], pa.string()),
+                "ts": pa.array(ts[keep], pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        hosts = np.asarray(group.column("host").to_pylist(), dtype=np.str_)
+        urls = np.asarray(group.column("url").to_pylist(), dtype=np.str_)
+        ts = np.asarray(group.column("ts").to_pylist(), dtype=np.int64)
+        _, key = np.unique(hosts, return_inverse=True)
+        keep = _topn_per_key(key, -ts, urls, n)  # (key, ts, url)-ordered
+        k_sorted = key[keep]
+        is_start = np.r_[True, k_sorted[1:] != k_sorted[:-1]]
+        run_start = np.maximum.accumulate(np.where(is_start, np.arange(len(keep)), 0))
+        rank = np.arange(len(keep)) - run_start + 1
+        return pa.table(
+            {
+                "host": pa.array(hosts[keep], pa.string()),
+                "url": pa.array(urls[keep], pa.string()),
+                "host_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def host_quota_oracle_sql(pages_path: str, n: int = 25) -> str:
+    """DuckDB twin: plain windowed row_number cap."""
+    return f"""
+        WITH p AS (
+          SELECT url, warc_ts,
+                 lower(COALESCE(regexp_extract(url, '{HOST_RE}', 1), '')) AS host
+          FROM read_parquet('{pages_path}')
+        ), r AS (
+          SELECT host, url,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY warc_ts, url
+                 ) AS host_rank
+          FROM p
+        )
+        SELECT host, url, CAST(host_rank AS BIGINT) AS host_rank
+        FROM r WHERE host_rank <= {n}
+    """
 
 
 def mirror_hosts_oracle_sql(pages_path: str) -> str:
