@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textops.langid,
         "heavy_hitters": textops.heavy_hitters,
         "corpus_filter": textops.corpus_filter,
+        "filter_funnel": textops.filter_funnel,
         "ngram_counts": _typed_query(textops.ngram_counts, ("ngram", "n_occurrences")),
         "tfidf_topterms": textops.tfidf_topterms,
         "length_sketch_quantiles": textops.length_sketch_quantiles,
@@ -1018,6 +1019,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
             FROM g WHERE n_tokens >= 30 AND sc >= 1 GROUP BY fp
         """,
+        "filter_funnel": __import__(
+            "wbot_ray.pipelines.textops", fromlist=["filter_funnel_oracle_sql"]
+        ).filter_funnel_oracle_sql(),
         "heavy_hitters": """
             WITH t AS (
               SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents

@@ -617,6 +617,7 @@ class TestOracleParity:
             "phrase_search",
             "compact_corpus",
             "corpus_diff",
+            "filter_funnel",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -646,6 +647,18 @@ class TestOracleParity:
         assert list(got.columns) == list(want.columns)
         assert len(got) == len(want)
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_filter_funnel_sums_to_corpus_filter(ray_session):
+    """The funnel's kept column must reconcile with corpus_filter's
+    actual output — same gates, same winner rule, by construction."""
+    from wbot_ray.pipelines import textops
+
+    funnel = textops.filter_funnel(SF0001).to_pandas()
+    kept_rows = textops.corpus_filter(SF0001).count()
+    assert int(funnel.n_kept.sum()) == kept_rows
+    assert (funnel.n_docs == funnel.n_fail_len + funnel.n_fail_stop + funnel.n_pass).all()
+    assert (funnel.n_kept <= funnel.n_pass).all()
 
 
 class TestSketchOracleParity:

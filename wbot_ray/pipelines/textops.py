@@ -38,6 +38,8 @@ __all__ = [
     "repetition_stats",
     "pii_scrub",
     "length_deciles",
+    "filter_funnel",
+    "filter_funnel_oracle_sql",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -447,6 +449,191 @@ def heavy_hitters(sf_dir: str, k: int = 50):
             "n_occurrences": pa.array([n for _, n in rows], pa.int64()),
         }
     )
+
+
+def filter_funnel(
+    sf_dir: str,
+    min_tokens: int = 30,
+    min_stopwords: int = 1,
+    num_buckets: int = 32,
+):
+    """Per-language audit of the :func:`corpus_filter` chain — the
+    report an operator reads to see which gate bites where: ``(lang,
+    n_docs, n_fail_len, n_fail_stop, n_pass, n_kept)``. Gate
+    definitions are IDENTICAL to ``corpus_filter`` (sequential: length
+    first, then stopword presence; dedup winner = min doc_id per
+    content md5 among gate-passers), so ``sum(n_kept)`` equals
+    ``corpus_filter``'s row count by construction.
+
+    Shape — one read pass, two slim exchanges (the discriminator-row
+    trick the pagerank iteration uses): the gate stage emits per-batch
+    per-lang counter partials (keyed by hash(lang)) AND slim winner
+    candidates ``(fp, doc_id, lang)`` (keyed by hash(fp)) into one
+    exchange; each bucket task folds counters through and settles its
+    fp groups (all rows of an fp co-locate); a second tiny
+    ``groupby(lang)`` exchange merges the per-lang rows. Text never
+    enters either exchange."""
+    import hashlib as _hashlib
+
+    import pyarrow.compute as pc
+
+    SCHEMA = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("lang", pa.string()),
+            ("fp", pa.string()),
+            ("doc_id", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_fail_len", pa.int64()),
+            ("n_fail_stop", pa.int64()),
+            ("n_pass", pa.int64()),
+            ("n_kept", pa.int64()),
+        ]
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        from wbot_ray.pipelines.common import hash64
+
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        counters: dict[str, list[int]] = {}  # lang -> [docs, fail_len, fail_stop, pass]
+        cand_lang, cand_fp, cand_id = [], [], []
+        for d, t, lg in zip(ids, texts, langs):
+            c = counters.setdefault(lg, [0, 0, 0, 0])
+            c[0] += 1
+            toks = t.split(" ")
+            if len(toks) < min_tokens:
+                c[1] += 1
+                continue
+            if sum(1 for w in toks if w in STOPWORDS) < min_stopwords:
+                c[2] += 1
+                continue
+            c[3] += 1
+            cand_lang.append(lg)
+            cand_fp.append(_hashlib.md5(t.encode()).hexdigest())
+            cand_id.append(d)
+        rows = {name: [] for name in SCHEMA.names}
+        for lg, (nd, nfl, nfs, np_) in counters.items():
+            rows["bucket"].append(hash64("lang:" + lg) % num_buckets)
+            rows["lang"].append(lg)
+            rows["fp"].append(None)
+            rows["doc_id"].append(None)
+            rows["n_docs"].append(nd)
+            rows["n_fail_len"].append(nfl)
+            rows["n_fail_stop"].append(nfs)
+            rows["n_pass"].append(np_)
+            rows["n_kept"].append(0)
+        for lg, fp, d in zip(cand_lang, cand_fp, cand_id):
+            rows["bucket"].append(hash64("fp:" + fp) % num_buckets)
+            rows["lang"].append(lg)
+            rows["fp"].append(fp)
+            rows["doc_id"].append(d)
+            rows["n_docs"].append(0)
+            rows["n_fail_len"].append(0)
+            rows["n_fail_stop"].append(0)
+            rows["n_pass"].append(0)
+            rows["n_kept"].append(0)
+        return pa.Table.from_pydict(rows, schema=SCHEMA)
+
+    def settle(group: pa.Table) -> pa.Table:
+        """Counter rows pass through summed per lang; candidate rows
+        collapse to one kept-count row per winner lang."""
+        import polars as pl
+
+        df = pl.from_arrow(group)
+        counters = (
+            df.filter(pl.col("fp").is_null())
+            .group_by("lang")
+            .agg(
+                n_docs=pl.col("n_docs").sum(),
+                n_fail_len=pl.col("n_fail_len").sum(),
+                n_fail_stop=pl.col("n_fail_stop").sum(),
+                n_pass=pl.col("n_pass").sum(),
+                n_kept=pl.lit(0, dtype=pl.Int64),
+            )
+        )
+        kept = (
+            df.filter(pl.col("fp").is_not_null())
+            .sort(["fp", "doc_id"])
+            .group_by("fp", maintain_order=True)
+            .agg(lang=pl.col("lang").first())  # min doc_id's lang wins
+            .group_by("lang")
+            .agg(n_kept=pl.len().cast(pl.Int64))
+            .with_columns(
+                n_docs=pl.lit(0, dtype=pl.Int64),
+                n_fail_len=pl.lit(0, dtype=pl.Int64),
+                n_fail_stop=pl.lit(0, dtype=pl.Int64),
+                n_pass=pl.lit(0, dtype=pl.Int64),
+            )
+        )
+        cols = ["lang", "n_docs", "n_fail_len", "n_fail_stop", "n_pass", "n_kept"]
+        out = pl.concat([counters.select(cols), kept.select(cols)])
+        return out.to_arrow().cast(
+            pa.schema([(c, pa.string() if c == "lang" else pa.int64()) for c in cols])
+        )
+
+    merged = (
+        read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(gate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(settle, batch_format="pyarrow")
+        .groupby("lang")
+        .sum(["n_docs", "n_fail_len", "n_fail_stop", "n_pass", "n_kept"])
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                **{
+                    c: batch.column(f"sum({c})").cast(pa.int64())
+                    for c in ("n_docs", "n_fail_len", "n_fail_stop", "n_pass", "n_kept")
+                },
+            }
+        )
+
+    return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def filter_funnel_oracle_sql(min_tokens: int = 30, min_stopwords: int = 1) -> str:
+    """DuckDB twin: same sequential gates, same stopword tuple, same
+    min-doc_id-per-md5 winner rule."""
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH d AS (
+          SELECT doc_id, lang, md5(text) AS fp,
+                 string_split(text, ' ') AS toks
+          FROM documents
+        ), cls AS (
+          SELECT doc_id, lang, fp,
+                 CASE WHEN len(toks) < {min_tokens} THEN 'fail_len'
+                      WHEN len(list_filter(toks, t -> t IN ({sw}))) < {min_stopwords}
+                      THEN 'fail_stop'
+                      ELSE 'pass' END AS st
+          FROM d
+        ), winners AS (
+          SELECT fp, MIN(doc_id) AS w FROM cls WHERE st = 'pass' GROUP BY fp
+        ), keptlang AS (
+          SELECT c.lang, COUNT(*) AS n_kept
+          FROM cls c JOIN winners k ON c.fp = k.fp AND c.doc_id = k.w
+          WHERE c.st = 'pass' GROUP BY c.lang
+        ), funnel AS (
+          SELECT lang,
+                 COUNT(*) AS n_docs,
+                 SUM(CASE WHEN st = 'fail_len' THEN 1 ELSE 0 END) AS n_fail_len,
+                 SUM(CASE WHEN st = 'fail_stop' THEN 1 ELSE 0 END) AS n_fail_stop,
+                 SUM(CASE WHEN st = 'pass' THEN 1 ELSE 0 END) AS n_pass
+          FROM cls GROUP BY lang
+        )
+        SELECT f.lang,
+               CAST(f.n_docs AS BIGINT) AS n_docs,
+               CAST(f.n_fail_len AS BIGINT) AS n_fail_len,
+               CAST(f.n_fail_stop AS BIGINT) AS n_fail_stop,
+               CAST(f.n_pass AS BIGINT) AS n_pass,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        FROM funnel f LEFT JOIN keptlang k ON f.lang = k.lang
+    """
 
 
 def corpus_filter(sf_dir: str, min_tokens: int = 30, min_stopwords: int = 1):
