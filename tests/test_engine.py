@@ -239,6 +239,79 @@ class TestHotRootPoliteness:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestFusedFetchRetrySafety:
+    """The fused fetch task's contract under Ray task retry
+    (fetch.py docstring: deterministic file names, tmp + atomic rename
+    of identical content): running the SAME task twice must return a
+    byte-identical candidate table and leave byte-identical results /
+    sidecar files — the property that makes fetch (unlike dedup, which
+    is replay-protected in the actor) freely retryable."""
+
+    def test_rerun_is_byte_identical(self, tmp_root):
+        import glob
+        import os
+
+        import pyarrow.compute as pc
+
+        from wbot_ray.stages.fetch import make_assign_fetch_part, make_fused_fetch_fn
+        from wbot_ray.stages.normalize import seeds_to_frontier
+        from wbot_ray.web_index import build_web_index
+
+        pages = gen_pages("tiny")
+        pages_path = str(tmp_root / "retry_pages.parquet")
+        pq.write_table(pages, pages_path)
+        cfg = CrawlConfig(max_depth=2, num_buckets=4, seen_shards=2)
+        index_dir = str(tmp_root / "retry_index")
+        build_web_index(pages_path, index_dir, cfg.num_buckets)
+        results_dir = str(tmp_root / "retry_results")
+        metrics_dir = str(tmp_root / "retry_metrics")
+        os.makedirs(results_dir)
+        os.makedirs(metrics_dir)
+
+        frontier = seeds_to_frontier(seeds_for_scale("tiny", 2), cfg)
+        assigned = make_assign_fetch_part(cfg, {})(frontier)
+        fused = make_fused_fetch_fn(index_dir, cfg, results_dir, metrics_dir, {})
+
+        def snapshot() -> dict[str, bytes]:
+            out = {}
+            for d in (results_dir, metrics_dir):
+                for f in sorted(glob.glob(os.path.join(d, "*"))):
+                    with open(f, "rb") as fh:
+                        out[f] = fh.read()
+            return out
+
+        parts = sorted(set(assigned.column("fetch_part").to_pylist()))
+        assert parts, "no fetch partitions — fixture regression"
+        outs1 = [
+            fused(assigned.filter(pc.equal(assigned.column("fetch_part"), p)))
+            for p in parts
+        ]
+        snap1 = snapshot()
+        assert snap1, "fetch wrote no artifacts"
+        # the "retry": same partitions, same task fn, fresh closure state
+        fused2 = make_fused_fetch_fn(index_dir, cfg, results_dir, metrics_dir, {})
+        outs2 = [
+            fused2(assigned.filter(pc.equal(assigned.column("fetch_part"), p)))
+            for p in parts
+        ]
+        snap2 = snapshot()
+        for a, b in zip(outs1, outs2):
+            assert a.equals(b)
+        assert set(snap1) == set(snap2)
+        for f in snap1:
+            if f.endswith(".json"):
+                # timing fields are wall-clock; everything else must match
+                import json as _json
+
+                a, b = _json.loads(snap1[f]), _json.loads(snap2[f])
+                a = {k: v for k, v in a.items() if not k.startswith("sec_")}
+                b = {k: v for k, v in b.items() if not k.startswith("sec_")}
+                assert a == b, f
+            else:
+                assert snap1[f] == snap2[f], f
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestStoreQueueSeams:
     """The WithStore / WithQueue equivalents (reference option.go:49-58):
     a custom store and a custom queue plugged via config must carry the
