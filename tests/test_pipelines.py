@@ -167,7 +167,8 @@ class TestDedup:
     def test_dup_clusters_path_graph(self, ray_session, tmp_path):
         """Multi-hop propagation: a 12-node path (no direct far pairs)
         must still collapse to ONE component — exercises the iterative
-        rounds, not just single-hop folding."""
+        rounds (local_threshold=0 forces the distributed path), not
+        just single-hop folding."""
         import ray.data as rd
 
         n = 12
@@ -179,9 +180,47 @@ class TestDedup:
         )
         got = {
             r["doc_id"]: r["cluster_id"]
-            for r in dedup.dup_clusters(str(tmp_path), pairs=rd.from_arrow(path)).take_all()
+            for r in dedup.dup_clusters(
+                str(tmp_path), pairs=rd.from_arrow(path), local_threshold=0
+            ).take_all()
         }
         assert got == {i: 0 for i in range(n)}
+
+    def test_dup_clusters_local_matches_distributed(self, ray_session, tmp_path):
+        """The driver-local union-find shortcut and the distributed
+        min-label propagation must emit identical labels on a randomized
+        pair graph (chains, stars, singleton pairs)."""
+        import random
+
+        import ray.data as rd
+
+        rng = random.Random(17)
+        # chain within the distributed path's max_rounds envelope
+        # (min-label moves one hop per round), a star, and random pairs
+        # confined to 6-node blocks (diameter <= 5)
+        edges = {(i, i + 1) for i in range(0, 12)}
+        edges |= {(100, 100 + i) for i in range(1, 9)}
+        for blk in range(200, 260, 6):
+            edges |= {
+                tuple(sorted(rng.sample(range(blk, blk + 6), 2))) for _ in range(4)
+            }
+        t = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in sorted(edges)], pa.int64()),
+                "id_b": pa.array([b for _, b in sorted(edges)], pa.int64()),
+            }
+        )
+        loc = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(str(tmp_path), pairs=rd.from_arrow(t)).take_all()
+        }
+        dist = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(
+                str(tmp_path), pairs=rd.from_arrow(t), local_threshold=0
+            ).take_all()
+        }
+        assert loc == dist and len(loc) > 0
 
     def test_dedup_segments_drops_later_copies(self, ray_session, tmp_path):
         """Keep-first segment dedup: later exact copies of an aligned

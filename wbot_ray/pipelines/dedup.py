@@ -481,7 +481,12 @@ def dedup_embed(sf_dir: str, threshold: float = 0.92):
 
 
 def dup_clusters(
-    sf_dir: str, threshold: float = 0.7, max_rounds: int = 16, pairs=None, num_buckets: int = 32
+    sf_dir: str,
+    threshold: float = 0.7,
+    max_rounds: int = 16,
+    pairs=None,
+    num_buckets: int = 32,
+    local_threshold: int = 100_000,
 ):
     """Connected components over the ``dedup_minhash`` pair graph:
     ``(doc_id, cluster_id)`` where ``cluster_id`` is the MINIMUM doc_id
@@ -553,13 +558,21 @@ def dup_clusters(
     # ``pairs`` overrides the edge source: any Dataset of (id_a, id_b)
     # rows can be clustered (e.g. dedup_embed output, or a test graph)
     src = pairs if pairs is not None else dedup_minhash(sf_dir, threshold)
-    edges = (
-        src.select_columns(["id_a", "id_b"])
-        .map_batches(sym, batch_format="pyarrow")
-        .materialize()
-    )
-    if edges.count() == 0:
+    pairs_mat = src.select_columns(["id_a", "id_b"]).materialize()
+    n_pairs = pairs_mat.count()
+    if n_pairs == 0:
         return rd.from_arrow(out_schema.empty_table())
+    # local tiny-graph shortcut (the host_components scheduler choice):
+    # near-dup pair graphs are tiny relative to the corpus — below the
+    # threshold an exact driver-side union-find beats max_rounds keyed
+    # exchanges at ~2 s fixed latency each; identical output contract,
+    # distributed-path parity pytest-pinned
+    if n_pairs <= local_threshold:
+        import ray
+
+        tbls = [t for t in ray.get(pairs_mat.to_arrow_refs()) if t.num_rows]
+        return rd.from_arrow(_clusters_local(pa.concat_tables(tbls), out_schema))
+    edges = pairs_mat.map_batches(sym, batch_format="pyarrow").materialize()
 
     # initial self-messages lbl = node (per-batch dupes across blocks are
     # harmless: round 1 folds them away before any sum is taken)
@@ -614,6 +627,47 @@ def dup_clusters(
             schema=out_schema,
         ),
         batch_format="pyarrow",
+    )
+
+
+def _clusters_local(pairs: pa.Table, out_schema: pa.schema) -> pa.Table:
+    """Driver-side exact union-find over a small (id_a, id_b) pair
+    table — same semantics as the distributed min-label propagation:
+    one row per node of the pair graph, ``cluster_id`` = min doc_id of
+    its component."""
+    a = pairs.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64).tolist()
+    b = pairs.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64).tolist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for n in a + b:
+        parent.setdefault(n, n)
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    groups: dict[int, list[int]] = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    ids, labels = [], []
+    for members in groups.values():
+        rep = min(members)
+        for m in members:
+            ids.append(m)
+            labels.append(rep)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(labels, pa.int64()),
+        },
+        schema=out_schema,
     )
 
 
