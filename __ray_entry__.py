@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quota": lambda sf: __import__(
             "wbot_ray.pipelines.webops", fromlist=["host_quota"]
         ).host_quota(sf),
+        "dedup_url": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["dedup_url"]
+        ).dedup_url(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -901,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
                 "change_rate",
                 "mirror_hosts",
                 "host_quota",
+                "dedup_url",
             )
         },
         "embed_docs": _embed_docs_oracle_sql(),

@@ -211,6 +211,58 @@ class TestHostQuota:
         )
 
 
+class TestDedupUrl:
+    def test_adversarial_chain(self, tmp_path, ray_session):
+        """Every rewrite rule and their interactions: fragment after
+        query, utm as only param, consecutive tracking params, tracking
+        param first then real param (the '&'-reanchor rule), http+www
+        combos, case-sensitive path preserved."""
+        urls = [
+            "https://a.com/p",
+            "http://a.com/p",                      # scheme fold -> same canon
+            "https://www.a.com/p",                 # www strip -> same canon
+            "https://a.com/p#section",             # fragment -> same canon
+            "https://a.com/p?utm_source=x",        # utm only -> same canon
+            "https://a.com/p?utm_a=1&utm_b=2",     # consecutive utm -> same
+            "https://a.com/p?utm_c=3&q=1",         # reanchor: -> /p?q=1
+            "https://a.com/p?q=1",
+            "https://a.com/p?q=1&gclid=zzz#f",     # gclid + fragment
+            "https://a.com/P",                      # path case preserved: distinct
+            "https://b.org/x?fbclid=1&fbclid=2",   # repeated tracker
+        ]
+        p = _write_pages(tmp_path, urls)
+        got = _assert_match(
+            webops.dedup_url(str(tmp_path), pages_path=p),
+            webops.dedup_url_oracle_sql(p),
+        )
+        by_canon = {r.canon_url: (r.keep_url, r.n_variants) for r in got.itertuples()}
+        # at least the 6 hand-listed variants of https://a.com/p collapse
+        # (synthesized dirty variants may add more)
+        assert by_canon["https://a.com/p"][1] >= 6
+        assert by_canon["https://a.com/p"][0] == "http://a.com/p"  # lexic. min
+        assert by_canon["https://a.com/p?q=1"][1] >= 3
+        assert "https://a.com/P" in by_canon
+        assert by_canon["https://b.org/x"][1] >= 1
+
+    def test_randomized(self, tmp_path, ray_session):
+        rng = random.Random(83)
+        frag = ["", "#f", "#a?utm_x=1"]
+        qs = ["", "?q=1", "?utm_source=s", "?utm_a=1&b=2", "?a=1&utm_b=2&c=3", "?gclid=g&utm_x=&y"]
+        pre = ["https://", "http://", "https://www.", "http://www."]
+        urls = list(
+            {
+                f"{rng.choice(pre)}h{rng.randint(0, 3)}.com/p{rng.randint(0, 30)}"
+                f"{rng.choice(qs)}{rng.choice(frag)}"
+                for _ in range(400)
+            }
+        )
+        p = _write_pages(tmp_path, urls)
+        _assert_match(
+            webops.dedup_url(str(tmp_path), pages_path=p),
+            webops.dedup_url_oracle_sql(p),
+        )
+
+
 class TestMirrorHosts:
     def test_planted_mirror_set(self, tmp_path, ray_session):
         # same body on 3 hosts -> 3 pairs; plus whatever the md5-rule

@@ -58,11 +58,29 @@ __all__ = [
     "mirror_hosts_oracle_sql",
     "host_quota",
     "host_quota_oracle_sql",
+    "dedup_url",
+    "dedup_url_oracle_sql",
     "TRAP_DIGIT_RE",
 ]
 
-# shared RE2 pattern — compiled identically by polars and DuckDB
+# shared RE2 patterns — compiled identically by polars and DuckDB
 TRAP_DIGIT_RE = "[0-9]+"
+
+# URL canonicalization chain (dedup_url), applied in this order; every
+# pattern string is shared verbatim with the SQL twin:
+#   1. drop the fragment            (FRAG_RE -> '')
+#   2. fold http:// to https://     (SCHEME_FOLD_RE -> 'https://')
+#   3. strip a leading 'www.'       (WWW_RE -> 'https://')
+#   4. remove tracking params       (TRACK_RE -> '', global)
+#   5. re-anchor the query: first '&' with no '?' before it becomes '?'
+#      (AMP_FIX_RE -> '\1?', first occurrence only)
+#   6. drop a dangling '?'/'&'      (TRAIL_RE -> '')
+FRAG_RE = "#.*$"
+SCHEME_FOLD_RE = "^http://"
+WWW_RE = "^https://www\\."
+TRACK_RE = "[?&](?:utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&#]*"
+AMP_FIX_RE = "^([^?]*?)&"
+TRAIL_RE = "[?&]$"
 
 
 def _md5s(texts: list[str]) -> list[str]:
@@ -597,6 +615,143 @@ def host_quota_oracle_sql(pages_path: str, n: int = 25) -> str:
         )
         SELECT host, url, CAST(host_rank AS BIGINT) AS host_rank
         FROM r WHERE host_rank <= {n}
+    """
+
+
+def _canon_expr():
+    """The canonicalization chain as a polars expression over ``url``."""
+    import polars as pl
+
+    return (
+        pl.col("url")
+        .str.replace_all(FRAG_RE, "")
+        .str.replace(SCHEME_FOLD_RE, "https://")
+        .str.replace(WWW_RE, "https://")
+        .str.replace_all(TRACK_RE, "")
+        .str.replace(AMP_FIX_RE, "${1}?")
+        .str.replace_all(TRAIL_RE, "")
+    )
+
+
+def dedup_url(sf_dir: str, num_buckets: int = 32, pages_path: str | None = None):
+    """URL-canonicalization dedup (the Common-Crawl URL-normalization
+    pass): variants of the same page address — http/https, ``www.``,
+    fragments, tracking parameters — collapse to one canonical URL.
+    Output: ``(canon_url, keep_url, n_variants)`` with ``keep_url`` the
+    lexicographically smallest original variant.
+
+    The canonicalization chain is six RE2 rewrites shared verbatim
+    with the SQL twin (module constants above), so the gate is
+    value-exact for ANY url, not just the fixture. Because the fixture
+    corpus is already clean, deterministic dirty variants are
+    synthesized in-batch (urls whose ``md5(url)`` hex starts with
+    ``'1'`` gain an ``http://www.`` + ``utm_source`` variant — rule
+    shared with the twin); the operator canonicalizes whatever arrives.
+
+    Shape: per-batch canonicalize + partial (min, count) per canon
+    url, one keyed exchange of slim url rows."""
+    pages = rd.read_parquet(pages_path or _pages_path_for(sf_dir), columns=["url"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["url"]))
+        df = df.with_columns(um=pl.Series(_md5s(df.get_column("url").to_list()), dtype=pl.String))
+        dirty = df.filter(pl.col("um").str.starts_with("1")).with_columns(
+            url=pl.col("url").str.replace(SCHEME_FOLD_RE, "https://")
+            .str.replace("^https://", "http://www.")
+            + pl.when(pl.col("url").str.contains("?", literal=True))
+            .then(pl.lit("&utm_source=feed"))
+            .otherwise(pl.lit("?utm_source=feed"))
+        )
+        out = (
+            pl.concat([df.select(["url"]), dirty.select(["url"])])
+            .with_columns(canon=_canon_expr())
+            .group_by("canon")
+            .agg(
+                keep_url=pl.col("url").min(),
+                n=pl.len().cast(pl.Int64),
+            )
+            .with_columns(
+                bucket=(pl.col("canon").hash(seed=0) % np.uint64(num_buckets)).cast(pl.Int64)
+            )
+        )
+        return out.select(["bucket", "canon", "keep_url", "n"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("canon", pa.string()),
+                    ("keep_url", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            )
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(group.select(["canon", "keep_url", "n"]))
+            .group_by("canon")
+            .agg(
+                keep_url=pl.col("keep_url").min(),
+                n_variants=pl.col("n").sum().cast(pl.Int64),
+            )
+        )
+        return df.rename({"canon": "canon_url"}).select(
+            ["canon_url", "keep_url", "n_variants"]
+        ).to_arrow().cast(
+            pa.schema(
+                [
+                    ("canon_url", pa.string()),
+                    ("keep_url", pa.string()),
+                    ("n_variants", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def dedup_url_oracle_sql(pages_path: str) -> str:
+    """DuckDB twin: same variant synthesis, same six-rewrite chain
+    (DuckDB backreference syntax ``\\1``; pattern strings identical)."""
+    chain = (
+        "regexp_replace("
+        "regexp_replace("
+        "regexp_replace("
+        "regexp_replace("
+        "regexp_replace("
+        f"regexp_replace(url, '{FRAG_RE}', '', 'g'), "
+        f"'{SCHEME_FOLD_RE}', 'https://'), "
+        f"'{WWW_RE}', 'https://'), "
+        f"'{TRACK_RE}', '', 'g'), "
+        f"'{AMP_FIX_RE}', '\\1?'), "
+        f"'{TRAIL_RE}', '', 'g')"
+    )
+    return f"""
+        WITH base AS (
+          SELECT url FROM read_parquet('{pages_path}')
+        ), stream AS (
+          SELECT url FROM base
+          UNION ALL
+          SELECT regexp_replace(
+                   regexp_replace(url, '{SCHEME_FOLD_RE}', 'https://'),
+                   '^https://', 'http://www.')
+                 || CASE WHEN contains(url, '?')
+                         THEN '&utm_source=feed' ELSE '?utm_source=feed' END
+          FROM base WHERE md5(url) LIKE '1%'
+        ), c AS (
+          SELECT url, {chain} AS canon FROM stream
+        )
+        SELECT canon AS canon_url,
+               MIN(url) AS keep_url,
+               CAST(COUNT(*) AS BIGINT) AS n_variants
+        FROM c GROUP BY canon
     """
 
 
