@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["host_pagerank"]
         ).host_pagerank(sf),
+        "host_hits": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["host_hits"]
+        ).host_hits(sf),
         "frontier_priority": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["frontier_priority"]
         ).frontier_priority(sf),
@@ -857,6 +860,9 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": host_graph_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "host_components": host_components_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "host_pagerank": host_pagerank_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "host_hits": __import__(
+            "wbot_ray.pipelines.graph", fromlist=["host_hits_oracle_sql"]
+        ).host_hits_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "frontier_priority": frontier_priority_oracle_sql(
             _links_path("/root/testdata/sf0.01"),
             __import__(

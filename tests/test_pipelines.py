@@ -1633,6 +1633,83 @@ class TestHostPagerank:
         }
         assert got == want
 
+    def test_host_hits_matches_oracle_both_paths(self, tmp_path, ray_session):
+        """HITS hubs/authorities vs the unrolled max-normalized integer
+        twin: the all-linking host is the top hub, the all-linked host
+        the top authority; the DISTRIBUTED path (local_threshold=0,
+        hash_join + keyed-sum composition) is bit-identical to the
+        driver-local numpy iteration."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        rows = [
+            # hub.com links everyone; everyone links auth.net
+            ("https://hub.com/1", "https://a.com/x"),
+            ("https://hub.com/2", "https://b.org/x"),
+            ("https://hub.com/3", "https://auth.net/x"),
+            ("https://a.com/1", "https://auth.net/y"),
+            ("https://b.org/1", "https://auth.net/z"),
+            # pair-collapse: 2 page links realize one host edge
+            ("https://a.com/2", "https://B.ORG/q"),
+            ("https://A.COM/3", "https://b.org/r"),
+            # self-loop only
+            ("https://solo.io/x", "https://solo.io/y"),
+            # ungated: absent
+            ("https://gone.com/x", "https://auth.net/"),
+        ]
+        gated = [True] * 8 + [False]
+        p = self._links(tmp_path, rows, gated)
+        got = {
+            r["host"]: (r["hub_fp"], r["auth_fp"])
+            for r in graph.host_hits(str(tmp_path), links_path=p).take_all()
+        }
+        want = {
+            h: (hf, af)
+            for h, hf, af in duckdb.connect()
+            .execute(graph.host_hits_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+        assert "gone.com" not in got
+        assert max(got, key=lambda h: got[h][0]) == "hub.com"
+        assert max(got, key=lambda h: got[h][1]) == "auth.net"
+        dist = {
+            r["host"]: (r["hub_fp"], r["auth_fp"])
+            for r in graph.host_hits(
+                str(tmp_path), links_path=p, local_threshold=0
+            ).take_all()
+        }
+        assert dist == want
+
+    def test_host_hits_randomized_matches_oracle(self, tmp_path, ray_session):
+        import random
+
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        rng = random.Random(31)
+
+        def url():
+            scheme = rng.choice(["https://", "http://"])
+            host = rng.choice(["a.com", "B.org", "c.net:81", "d-e.io", "x.co"])
+            return f"{scheme}{host}/p{rng.randint(0, 9)}"
+
+        rows = [(url(), url()) for _ in range(300)]
+        p = self._links(tmp_path, rows)
+        got = {
+            r["host"]: (r["hub_fp"], r["auth_fp"])
+            for r in graph.host_hits(str(tmp_path), links_path=p).take_all()
+        }
+        want = {
+            h: (hf, af)
+            for h, hf, af in duckdb.connect()
+            .execute(graph.host_hits_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+
     def test_frontier_priority_matches_oracle(self, tmp_path, ray_session):
         """Broadcast rank join + integer depth damping: a page on a
         never-linked host scores 0; deeper paths on the same host

@@ -30,9 +30,11 @@ __all__ = [
     "host_graph",
     "host_components",
     "host_pagerank",
+    "host_hits",
     "frontier_priority",
     "pagerank_oracle_sql",
     "host_pagerank_oracle_sql",
+    "host_hits_oracle_sql",
     "frontier_priority_oracle_sql",
     "triangles_oracle_sql",
     "components_oracle_sql",
@@ -1272,10 +1274,38 @@ def host_pagerank(
     links = rd.read_parquet(
         links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
     )
+    pairs = _distinct_host_pairs(links, num_buckets)
+    out_schema = pa.schema([("host", pa.string()), ("rank_fp", pa.int64())])
+
+    if pairs.count() <= local_threshold:
+        import ray
+
+        tbl = pa.concat_tables(
+            [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        ) if pairs.count() else None
+        if tbl is None:
+            return rd.from_arrow(out_schema.empty_table())
+        return rd.from_arrow(_pagerank_local(tbl, iters, out_schema))
+
+    ranks = link_pagerank(sf_dir, iters=iters, num_buckets=num_buckets, links_ds=pairs)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["host", "rank_fp"])
+
+    return rd.from_arrow(out_schema.empty_table()).union(
+        ranks.map_batches(rename, batch_format="pyarrow")
+    )
+
+
+def _distinct_host_pairs(links, num_buckets: int):
+    """Globally-distinct lowercased host pairs of the gated link graph,
+    materialized (tiny): batch-local collapse (polars RE2 + ``unique``)
+    then ONE pair-hash-bucketed exchange for global dedup. Shared by
+    :func:`host_pagerank` and :func:`host_hits`; the ``gated`` column
+    rides along for :func:`link_pagerank`'s ``links_ds`` seam."""
+    import polars as pl
 
     def to_pairs(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
         t = batch.filter(batch.column("gated"))
         df = pl.from_arrow(t.select(["src_url", "dst_url"]))
         out = (
@@ -1313,35 +1343,288 @@ def host_pagerank(
         g = group.group_by(["src_url", "dst_url"]).aggregate([])
         return g.append_column("gated", pa.array([True] * g.num_rows, pa.bool_()))
 
-    # materialize the deduped pairs ONCE: the seam consumes links twice
-    # (edge list + nodemap) and would otherwise re-run the whole
-    # scan+dedup pipeline per consumer; the materialized set is tiny
-    # (distinct host pairs)
-    pairs = (
+    return (
         links.map_batches(to_pairs, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(distinct_pairs, batch_format="pyarrow")
         .materialize()
     )
-    out_schema = pa.schema([("host", pa.string()), ("rank_fp", pa.int64())])
 
-    if pairs.count() <= local_threshold:
+
+def host_hits(
+    sf_dir: str,
+    iters: int = 5,
+    num_buckets: int = 8,
+    links_path: str | None = None,
+    local_threshold: int = 100_000,
+):
+    """HITS hubs & authorities (Kleinberg) over the DISTINCT host
+    graph — the directory-vs-content complement to
+    :func:`host_pagerank`: a hub links to many good authorities, an
+    authority is linked from many good hubs. Output ``(host, hub_fp,
+    auth_fp)``, both 2^20-scaled int64 scores.
+
+    Integer-exact iteration (shared verbatim with the unrolled DuckDB
+    twin): per round ``auth_raw(v) = Σ_{u→v} hub(u)`` then
+    ``auth(v) = auth_raw · ONE // max(auth_raw, over all nodes, ≥1)``
+    — max-normalization instead of the textbook L2 norm keeps every
+    value an exact int64 (no float accumulation), preserves the
+    ranking, and is SQL-expressible; hubs update symmetrically from
+    the fresh authorities. Overflow bound: ``auth_raw · ONE ≤
+    n_nodes · 2^40`` — safe to ~8M in-degree, far past any host graph.
+
+    Edge semantics match host_pagerank: one edge per distinct
+    lowercased ``(src_host, dst_host)`` pair, self-loops kept.
+
+    Scheduling: below ``local_threshold`` distinct pairs the iteration
+    runs driver-side (exact numpy; the crawl driver's local-tiny-round
+    choice — host graphs are orders smaller than page graphs). Above
+    it, a distributed path composes the existing primitives —
+    ``hash_join`` (hub/auth values onto the edge list) + a keyed sum +
+    a driver-side max per half-round. That is 2 joins + 2 aggregates
+    per iteration (exchange-heavier than pagerank's fused single
+    exchange — fusing the alternating directions needs both-direction
+    edge copies per bucket, double the resident edge bytes; at host-
+    graph sizes the simple composition wins on clarity and is still
+    slim int/str rows). Both paths are pinned to the same oracle."""
+    import pyarrow.compute as pc
+
+    links = rd.read_parquet(
+        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    )
+    pairs = _distinct_host_pairs(links, num_buckets)
+    out_schema = pa.schema(
+        [("host", pa.string()), ("hub_fp", pa.int64()), ("auth_fp", pa.int64())]
+    )
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    if n_pairs <= local_threshold:
         import ray
 
-        tbl = pa.concat_tables(
-            [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
-        ) if pairs.count() else None
-        if tbl is None:
-            return rd.from_arrow(out_schema.empty_table())
-        return rd.from_arrow(_pagerank_local(tbl, iters, out_schema))
+        tbl = pa.concat_tables([t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows])
+        return rd.from_arrow(_hits_local(tbl, iters, out_schema))
+    return _hits_distributed(pairs, iters, num_buckets, out_schema)
 
-    ranks = link_pagerank(sf_dir, iters=iters, num_buckets=num_buckets, links_ds=pairs)
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["host", "rank_fp"])
+def _hits_local(edges: pa.Table, iters: int, out_schema: pa.schema) -> pa.Table:
+    """Driver-side exact integer HITS over a small ``src_url/dst_url``
+    edge table — bit-identical to the distributed path and SQL twin."""
+    srcs = edges.column("src_url").to_pylist()
+    dsts = edges.column("dst_url").to_pylist()
+    nodes = sorted(set(srcs) | set(dsts))
+    idx = {n: i for i, n in enumerate(nodes)}
+    si = np.fromiter((idx[s] for s in srcs), dtype=np.int64, count=len(srcs))
+    di = np.fromiter((idx[d] for d in dsts), dtype=np.int64, count=len(dsts))
+    h = np.full(len(nodes), ONE, dtype=np.int64)
+    a = np.zeros(len(nodes), dtype=np.int64)
+    for _ in range(iters):
+        a_raw = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(a_raw, di, h[si])
+        a = a_raw * ONE // max(int(a_raw.max()), 1)
+        h_raw = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(h_raw, si, a[di])
+        h = h_raw * ONE // max(int(h_raw.max()), 1)
+    return pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "hub_fp": pa.array(h, pa.int64()),
+            "auth_fp": pa.array(a, pa.int64()),
+        },
+        schema=out_schema,
+    )
 
-    return rd.from_arrow(out_schema.empty_table()).union(
-        ranks.map_batches(rename, batch_format="pyarrow")
+
+def _hits_distributed(pairs, iters: int, num_buckets: int, out_schema: pa.schema):
+    """Distributed HITS on the existing primitives (see
+    :func:`host_hits`). ``pairs``: materialized distinct-host-pair
+    Dataset with ``src_url/dst_url`` columns."""
+    import pyarrow.compute as pc
+
+    from wbot_ray.pipelines.join import hash_join
+
+    EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    VAL = pa.schema([("node", pa.string()), ("v", pa.int64())])
+
+    edges = pairs.map_batches(
+        lambda t: t.select(["src_url", "dst_url"]).rename_columns(["src", "dst"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        hosts = sorted(
+            set(batch.column("src").to_pylist()) | set(batch.column("dst").to_pylist())
+        )
+        return pa.table({"node": pa.array(hosts, pa.string())})
+
+    nodes = (
+        edges.map_batches(to_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _init_h(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("node"), "v": pa.array([ONE] * batch.num_rows, pa.int64())},
+            schema=VAL,
+        )
+
+    def _half_round(values, join_key: str, emit_col: str):
+        """values (join_key, v) joined onto edges by ``join_key`` side,
+        summed per ``emit_col`` node, max-normalized → fresh (node, v)."""
+        j = hash_join(
+            edges,
+            values,
+            key=join_key,
+            num_buckets=num_buckets,
+            left_schema=EDGE,
+            right_schema=pa.schema([(join_key, pa.string()), ("v", pa.int64())]),
+        )
+        raw = (
+            j.map_batches(
+                lambda t: pa.table(
+                    {"node": t.column(emit_col), "v": t.column("v")}, schema=VAL
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .sum("v")
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "v": t.column("sum(v)").cast(pa.int64())},
+                    schema=VAL,
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        m = max(int(raw.max("v") or 0), 1)
+        return raw.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "v": pc.cast(
+                        pc.divide(pc.multiply(t.column("v").cast(pa.int64()), ONE), m),
+                        pa.int64(),
+                    ),
+                },
+                schema=VAL,
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    h = nodes.map_batches(_init_h, batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(iters):
+        # values must carry the edge-side key name for the join
+        hv = h.map_batches(
+            lambda t: pa.table({"src": t.column("node"), "v": t.column("v")}),
+            batch_format="pyarrow",
+        )
+        a = _half_round(hv, "src", "dst")
+        av = a.map_batches(
+            lambda t: pa.table({"dst": t.column("node"), "v": t.column("v")}),
+            batch_format="pyarrow",
+        )
+        h = _half_round(av, "dst", "src")
+
+    HSCH = pa.schema([("node", pa.string()), ("hub_fp", pa.int64())])
+    ASCH = pa.schema([("node", pa.string()), ("auth_fp", pa.int64())])
+    hj = hash_join(
+        nodes,
+        h.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "hub_fp": t.column("v")}),
+            batch_format="pyarrow",
+        ),
+        key="node",
+        num_buckets=num_buckets,
+        join_type="left outer",
+        left_schema=pa.schema([("node", pa.string())]),
+        right_schema=HSCH,
+    )
+    full = hash_join(
+        hj,
+        a.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "auth_fp": t.column("v")}),
+            batch_format="pyarrow",
+        ),
+        key="node",
+        num_buckets=num_buckets,
+        join_type="left outer",
+        left_schema=pa.schema([("node", pa.string()), ("hub_fp", pa.int64())]),
+        right_schema=ASCH,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("node"),
+                "hub_fp": pc.fill_null(batch.column("hub_fp"), 0).cast(pa.int64()),
+                "auth_fp": pc.fill_null(batch.column("auth_fp"), 0).cast(pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return full.map_batches(finish, batch_format="pyarrow")
+
+
+def host_hits_oracle_sql(links_path: str, iters: int = 5) -> str:
+    """DuckDB twin: the identical unrolled max-normalized integer
+    iteration over the distinct host pairs."""
+    base = (
+        f"SELECT DISTINCT "
+        f"lower(regexp_extract(src_url, '{HOST_RE}', 1)) AS src, "
+        f"lower(regexp_extract(dst_url, '{HOST_RE}', 1)) AS dst "
+        f"FROM read_parquet('{links_path}') WHERE gated"
+    )
+    # every CTE is MATERIALIZED: each level is referenced twice (by the
+    # max CTE and the normalize CTE), and DuckDB inlines plain CTEs —
+    # without materialization the plan re-evaluates each level per
+    # reference, exponential in ``iters``
+    ctes = [
+        f"e AS MATERIALIZED ({base})",
+        """nodes AS MATERIALIZED (SELECT DISTINCT n FROM
+               (SELECT src AS n FROM e UNION ALL SELECT dst FROM e))""",
+        f"h0 AS MATERIALIZED (SELECT n, CAST({ONE} AS BIGINT) AS v FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i}r AS MATERIALIZED (
+              SELECT nodes.n, CAST(COALESCE(s.s, 0) AS BIGINT) AS v
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS n, SUM(p.v) AS s
+                FROM e JOIN h{i - 1} p ON e.src = p.n GROUP BY e.dst) s
+              ON nodes.n = s.n)"""
+        )
+        ctes.append(
+            f"a{i}m AS MATERIALIZED (SELECT GREATEST(MAX(v), 1) AS m FROM a{i}r)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT n, CAST(v * {ONE} // m AS BIGINT) AS v"
+            f" FROM a{i}r, a{i}m)"
+        )
+        ctes.append(
+            f"""h{i}r AS MATERIALIZED (
+              SELECT nodes.n, CAST(COALESCE(s.s, 0) AS BIGINT) AS v
+              FROM nodes LEFT JOIN (
+                SELECT e.src AS n, SUM(p.v) AS s
+                FROM e JOIN a{i} p ON e.dst = p.n GROUP BY e.src) s
+              ON nodes.n = s.n)"""
+        )
+        ctes.append(
+            f"h{i}m AS MATERIALIZED (SELECT GREATEST(MAX(v), 1) AS m FROM h{i}r)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT n, CAST(v * {ONE} // m AS BIGINT) AS v"
+            f" FROM h{i}r, h{i}m)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT h.n AS host, h.v AS hub_fp, a.v AS auth_fp
+        FROM h{iters} h JOIN a{iters} a ON h.n = a.n"""
     )
 
 
