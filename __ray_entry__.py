@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_url": lambda sf: __import__(
             "wbot_ray.pipelines.webops", fromlist=["dedup_url"]
         ).dedup_url(sf),
+        "recrawl_priority": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["recrawl_priority"]
+        ).recrawl_priority(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -863,6 +866,14 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": __import__(
             "wbot_ray.pipelines.graph", fromlist=["host_hits_oracle_sql"]
         ).host_hits_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "recrawl_priority": __import__(
+            "wbot_ray.pipelines.webops", fromlist=["recrawl_priority_oracle_sql"]
+        ).recrawl_priority_oracle_sql(
+            _links_path("/root/testdata/sf0.01"),
+            __import__(
+                "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
+            )._pages_path_for("/root/testdata/sf0.01"),
+        ),
         "frontier_priority": frontier_priority_oracle_sql(
             _links_path("/root/testdata/sf0.01"),
             __import__(

@@ -263,6 +263,68 @@ class TestDedupUrl:
         )
 
 
+class TestRecrawlPriority:
+    def test_composition_matches_oracle(self, tmp_path, ray_session):
+        """rank × change-rate composition on a planted world: a host
+        must be in BOTH the link graph and the crawl history to score;
+        a volatile well-ranked host outscores a static one."""
+        links = os.path.join(tmp_path, "links.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": pa.array(
+                        [
+                            "https://a.com/1",
+                            "https://b.org/1",
+                            "https://c.net/1",
+                            "https://a.com/2",
+                        ],
+                        pa.string(),
+                    ),
+                    "dst_url": pa.array(
+                        [
+                            "https://b.org/x",
+                            "https://a.com/x",
+                            "https://a.com/y",
+                            "https://c.net/x",
+                        ],
+                        pa.string(),
+                    ),
+                    "gated": pa.array([True] * 4, pa.bool_()),
+                }
+            ),
+            links,
+        )
+        # pages: a.com urls hit the changed-recrawl arm (len%7==2);
+        # b.org urls hit neither; linkless.io has history but no links
+        urls = [
+            "https://a.com/" + "y" * 9,   # len 23: %7==2 -> changed
+            "https://a.com/" + "y" * 16,  # len 30: 30%3=0, 30%7=2 -> changed
+            "https://b.org/" + "z" * 7,   # len 21: neither
+            "https://linkless.io/" + "w" * 1,  # len 21: neither
+        ]
+        texts = [f"t{i}" for i in range(len(urls))]
+        pages = os.path.join(tmp_path, "pages.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            pages,
+        )
+        got = _assert_match(
+            webops.recrawl_priority(str(tmp_path), links_path=links, pages_path=pages),
+            webops.recrawl_priority_oracle_sql(links, pages),
+        )
+        rows = {r.host: r.recrawl_fp for r in got.itertuples()}
+        assert "linkless.io" not in rows  # no link-graph presence
+        assert "c.net" not in rows        # no crawl history
+        assert rows["a.com"] > 0          # volatile + ranked
+        assert rows["b.org"] == 0         # ranked but static
+
+
 class TestMirrorHosts:
     def test_planted_mirror_set(self, tmp_path, ray_session):
         # same body on 3 hosts -> 3 pairs; plus whatever the md5-rule

@@ -60,6 +60,8 @@ __all__ = [
     "host_quota_oracle_sql",
     "dedup_url",
     "dedup_url_oracle_sql",
+    "recrawl_priority",
+    "recrawl_priority_oracle_sql",
     "TRAP_DIGIT_RE",
 ]
 
@@ -752,6 +754,76 @@ def dedup_url_oracle_sql(pages_path: str) -> str:
                MIN(url) AS keep_url,
                CAST(COUNT(*) AS BIGINT) AS n_variants
         FROM c GROUP BY canon
+    """
+
+
+def recrawl_priority(
+    sf_dir: str,
+    num_buckets: int = 8,
+    links_path: str | None = None,
+    pages_path: str | None = None,
+):
+    """Adaptive re-crawl scheduling score — the composition an
+    incremental crawler runs between harvests: a host worth
+    re-crawling is both IMPORTANT (host PageRank over the link graph)
+    and VOLATILE (observed content change rate). Output per host known
+    to both signals: ``(host, rank_fp, change_ppm, recrawl_fp)`` with
+    ``recrawl_fp = rank_fp * change_ppm // 1000000`` (integer — exact
+    cross-engine).
+
+    Pure composition: :func:`wbot_ray.pipelines.graph.host_pagerank`
+    ⋈ :func:`change_rate` via the generic ``hash_join`` (both sides
+    are per-host aggregates — slim at any corpus size; static schemas
+    avoid the schema-probe execution, see BASELINE.md). Inner join by
+    design: a host with no link-graph presence has no rank signal, one
+    with no crawl history has no change signal."""
+    from wbot_ray.pipelines.graph import host_pagerank
+    from wbot_ray.pipelines.join import hash_join
+
+    pr = host_pagerank(sf_dir, links_path=links_path)
+    cr = change_rate(sf_dir, pages_path=pages_path)
+
+    def slim_cr(batch: pa.Table) -> pa.Table:
+        return batch.select(["host", "change_ppm"])
+
+    joined = hash_join(
+        pr,
+        cr.map_batches(slim_cr, batch_format="pyarrow"),
+        key="host",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("host", pa.string()), ("rank_fp", pa.int64())]),
+        right_schema=pa.schema([("host", pa.string()), ("change_ppm", pa.int64())]),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rank = batch.column("rank_fp").cast(pa.int64())
+        ppm = batch.column("change_ppm").cast(pa.int64())
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "rank_fp": rank,
+                "change_ppm": ppm,
+                "recrawl_fp": pc.cast(
+                    pc.divide(pc.multiply(rank, ppm), 1_000_000), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def recrawl_priority_oracle_sql(links_path: str, pages_path: str) -> str:
+    """DuckDB twin: the two component oracles joined on host."""
+    from wbot_ray.pipelines.graph import host_pagerank_oracle_sql
+
+    return f"""
+        WITH pr AS ({host_pagerank_oracle_sql(links_path)}),
+        cr AS ({change_rate_oracle_sql(pages_path)})
+        SELECT pr.host, pr.rank_fp, cr.change_ppm,
+               CAST(pr.rank_fp * cr.change_ppm // 1000000 AS BIGINT) AS recrawl_fp
+        FROM pr JOIN cr ON pr.host = cr.host
     """
 
 
