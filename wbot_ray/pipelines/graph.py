@@ -70,29 +70,40 @@ def link_pagerank(
     links_ds=None,
 ):
     """Fixed-point PageRank over the gated link graph, ``iters`` power
-    iterations. Ray shape — the FUSED bucketed iteration: node ids are
-    hashed once into ``num_buckets`` co-location buckets when the edge
-    list is materialized, and because ``bucket(n)`` is the same hash
-    whether ``n`` arrives as a contribution target or as an edge
-    source, ONE ``groupby(bucket).map_groups`` task per bucket per
-    iteration does the whole round — sums incoming contributions per
-    node (Arrow ``group_by``), applies the damping update, joins the
-    fresh ranks to the bucket's out-edges (Arrow hash join + numpy
-    integer math) and emits next-round contributions keyed by the
-    destination's bucket. Zero self-contributions keep sinks and
-    leaf-only nodes alive, so no separate distinct-nodes pass is
-    needed either: ``iters + 1`` keyed exchanges total (vs ``2·iters
-    + 1`` for the textbook fanout/fold split) — on an iterative tiny-
-    row shuffle the fixed per-exchange latency IS the cost, so halving
-    exchange count halves wall time. Bucket count scales with the
-    cluster, not the graph.
+    iterations. Ray shape — STAGED edges + combined contributions:
+
+    - **Edges never enter a per-round exchange.** The edge list is
+      hashed to 64-bit node ids and written ONCE as bucket-partitioned
+      parquet (``write_parquet(partition_cols=["bucket"])`` — a plain
+      streaming write, no shuffle, since every map task can append to
+      any partition dir). Each round's fold task reads its own
+      bucket's edges back from storage (node-local at single-node; on
+      a cluster this is the shared-FS / object-store bucketed layout
+      the web index uses). The alternative — ``edges.union(contribs)``
+      per round — re-ships O(E) edge rows through every exchange;
+      at web scale the iteration is exchange-bandwidth-bound, so
+      removing edges from the wire is the dominant win.
+    - **Contributions are pre-combined inside the task** (Arrow
+      ``group_by(dst).sum`` before emit), so a round's exchange
+      carries at most ``num_buckets × V`` slim ``(bucket, src, r)``
+      int64 rows instead of one row per edge — the classic combiner
+      that turns an O(E) shuffle into an O(V)-ish one. Integer sums
+      are associative, so combining preserves bit-exactness.
+    - ONE ``groupby(bucket).map_groups`` task per bucket per round
+      does fold (sum + damping) AND fanout (Arrow hash join of fresh
+      ranks to the bucket's static out-edges, numpy integer math).
+      Because ``bucket(n)`` is the same hash whether ``n`` arrives as
+      a contribution target or owns out-edges, no second exchange per
+      round is needed: ``iters`` keyed exchanges total (init fans out
+      straight from the staged files — no exchange; the nodemap union
+      rides the LAST exchange). Zero self-contributions keep sinks and
+      leaf-only nodes alive, so no separate distinct-nodes pass
+      either. Bucket count scales with the cluster, not the graph.
 
     URL strings never enter the iteration: nodes are hashed ONCE to
-    64-bit ids (birthday-safe far past 10^9 nodes) when the edge list
-    is materialized, every per-round exchange carries pure int64 rows
-    (~56 B/edge vs ~300 B with URL keys — at web scale the iteration
-    is exchange-bandwidth-bound, so this is the dominant cost), and
-    one final keyed join maps ids back to URLs.
+    63-bit ids (birthday-safe far past 10^9 nodes) at staging, every
+    per-round exchange carries pure int64 rows, and one final keyed
+    join maps ids back to URLs (strings cross the wire once, O(V)).
 
     ``links_ds`` substitutes any links-shaped Dataset
     (``src_url/dst_url/gated``) for the parquet read — the seam
@@ -100,6 +111,11 @@ def link_pagerank(
     contract as :func:`link_components`). Multi-edges count toward
     out-degree, so a caller wanting simple-graph semantics must
     dedupe before the seam."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
     links = (
         links_ds
         if links_ds is not None
@@ -130,17 +146,15 @@ def link_pagerank(
                 "src": pa.array(sh, pa.int64()),
                 "dst": pa.array(dh, pa.int64()),
                 "dst_bucket": pa.array(dh % num_buckets, pa.int64()),
-                "r": pa.nulls(len(sh), pa.int64()),
-                "url": pa.nulls(len(sh), pa.string()),
             }
         )
 
     def to_nodemap(batch: pa.Table) -> pa.Table:
-        """(id, url) rows in the shared iteration schema (url valid is
-        the discriminator) — the only place URL strings survive. These
-        rows ride ONLY the final exchange, so strings cross the wire
-        once per distinct-url-per-batch (O(V)), not once per edge
-        endpoint per round (O(rounds × 2E))."""
+        """(id, url) rows in the in-flight contribution schema (url
+        valid is the discriminator) — the only place URL strings
+        survive. These rows ride ONLY the final exchange, so strings
+        cross the wire once per distinct-url-per-batch (O(V)), not
+        once per edge endpoint per round (O(rounds × 2E))."""
         t = batch.filter(batch.column("gated"))
         urls = list(
             dict.fromkeys(
@@ -152,36 +166,47 @@ def link_pagerank(
             {
                 "bucket": pa.array(h % num_buckets, pa.int64()),
                 "src": pa.array(h, pa.int64()),
-                "dst": pa.nulls(len(h), pa.int64()),
-                "dst_bucket": pa.nulls(len(h), pa.int64()),
                 "r": pa.nulls(len(h), pa.int64()),
                 "url": pa.array(urls, pa.string()),
             }
         )
 
-    edges = links.map_batches(to_edges, batch_format="pyarrow").materialize()
-    nodemap = links.map_batches(to_nodemap, batch_format="pyarrow")
+    # Stage the edge list ONCE, bucket-partitioned (streaming write, no
+    # exchange). /tmp scratch locally; shared storage on a cluster.
+    edge_dir = tempfile.mkdtemp(prefix="wbot_pr_edges_")
+    links.map_batches(to_edges, batch_format="pyarrow").write_parquet(
+        edge_dir, partition_cols=["bucket"]
+    )
+
+    _EDGE_SCHEMA = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("dst_bucket", pa.int64())]
+    )
+
+    def _read_bucket(k: int) -> pa.Table:
+        d = os.path.join(edge_dir, f"bucket={k}")
+        if not os.path.isdir(d):
+            return _EDGE_SCHEMA.empty_table()
+        return pq.read_table(d, columns=["src", "dst", "dst_bucket"])
 
     def _contrib_rows(nodes: pa.Array, buckets, c: pa.Array) -> pa.Table:
-        """Contribution rows in the shared edge schema: dst is null (the
-        edge/contrib discriminator), r carries the int contribution."""
+        """Contribution rows in the in-flight schema (url null)."""
         n = len(nodes)
         return pa.table(
             {
                 "bucket": buckets,
                 "src": nodes,
-                "dst": pa.nulls(n, pa.int64()),
-                "dst_bucket": pa.nulls(n, pa.int64()),
                 "r": c,
                 "url": pa.nulls(n, pa.string()),
             }
         )
 
     def _fanout(e: pa.Table, rk: pa.Table) -> list[pa.Table]:
-        """Fan a bucket's rank vector ``rk`` (src, r) over its out-edges
-        ``e``: per-edge contribution r // out_degree, keyed by the
-        destination's bucket — plus a zero self-row per ranked node so
-        every node survives the next round's fold. All vectorized."""
+        """Fan a bucket's rank vector ``rk`` (src, bucket, r) over its
+        out-edges ``e``: per-edge contribution r // out_degree, COMBINED
+        per destination before emit (Arrow group_by sum — exact integer
+        math), keyed by the destination's bucket — plus a zero self-row
+        per ranked node so every node survives the next round's fold.
+        All vectorized."""
         out = [
             _contrib_rows(
                 rk.column("src"),
@@ -198,52 +223,82 @@ def link_pagerank(
             )
             r = j.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
             n_out = j.column("src_count").to_numpy(zero_copy_only=False).astype(np.int64)
+            comb = (
+                pa.table(
+                    {
+                        "bucket": j.column("dst_bucket"),
+                        "src": j.column("dst"),
+                        "r": pa.array(r // n_out, pa.int64()),
+                    }
+                )
+                .group_by(["bucket", "src"])
+                .aggregate([("r", "sum")])
+            )
             out.append(
                 _contrib_rows(
-                    j.column("dst"), j.column("dst_bucket"), pa.array(r // n_out, pa.int64())
+                    comb.column("src"), comb.column("bucket"), comb.column("r_sum")
                 )
             )
         return out
 
-    def init_fanout(group: pa.Table) -> pa.Table:
-        """Round 1 from rank_0 = ONE for every node — pure edge input,
-        so the distinct-node set never needs its own exchange: srcs get
-        their zero row here, dsts get one keyed by dst_bucket (dupes
-        across buckets are harmless — they sum to 0)."""
-        rk0 = group.group_by(["src", "bucket"]).aggregate([])  # distinct srcs
-        rk = rk0.append_column("r", pa.array([ONE] * rk0.num_rows, pa.int64()))
-        dsts = group.group_by(["dst", "dst_bucket"]).aggregate([])
-        out = _fanout(group, rk)
-        out.append(
-            _contrib_rows(
-                dsts.column("dst"),
-                dsts.column("dst_bucket"),
-                pa.array(np.zeros(dsts.num_rows, dtype=np.int64), pa.int64()),
+    def init_fanout(batch: pa.Table) -> pa.Table:
+        """Round 1 from rank_0 = ONE for every node, one task per staged
+        bucket — NO exchange: srcs get their zero row here, dsts get one
+        keyed by dst_bucket (dupes across buckets are harmless — they
+        sum to 0), so the distinct-node set never needs its own pass."""
+        out = []
+        for k in batch.column("id").to_pylist():
+            e = _read_bucket(int(k))
+            if not e.num_rows:
+                continue
+            rk0 = e.group_by("src").aggregate([])  # distinct srcs
+            rk = pa.table(
+                {
+                    "src": rk0.column("src"),
+                    "bucket": pa.array(
+                        np.full(rk0.num_rows, int(k), dtype=np.int64), pa.int64()
+                    ),
+                    "r": pa.array([ONE] * rk0.num_rows, pa.int64()),
+                }
             )
-        )
+            out.extend(_fanout(e, rk))
+            dsts = e.group_by(["dst", "dst_bucket"]).aggregate([])
+            out.append(
+                _contrib_rows(
+                    dsts.column("dst"),
+                    dsts.column("dst_bucket"),
+                    pa.array(np.zeros(dsts.num_rows, dtype=np.int64), pa.int64()),
+                )
+            )
+        if not out:
+            return pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("src", pa.int64()),
+                    ("r", pa.int64()),
+                    ("url", pa.string()),
+                ]
+            ).empty_table()
         return pa.concat_tables(out)
 
-    def _ranks(group: pa.Table) -> tuple[pa.Table, pa.Table]:
-        """Split a bucket's rows into (edges, fresh ranks): sum incoming
-        contributions per node, apply the integer damping update."""
-        is_edge = pc.is_valid(group.column("dst"))
-        e = group.filter(is_edge)
-        cr = group.filter(pc.invert(is_edge))
+    def _fold(cr: pa.Table) -> pa.Table:
+        """Sum a bucket's incoming contributions per node, apply the
+        integer damping update → fresh rank vector (src, bucket, r)."""
         s = cr.select(["src", "bucket", "r"]).group_by(["src", "bucket"]).aggregate(
             [("r", "sum")]
         )
         mass = s.column("r_sum").to_numpy(zero_copy_only=False).astype(np.int64)
-        rk = pa.table(
+        return pa.table(
             {
                 "src": s.column("src"),
                 "bucket": s.column("bucket"),
                 "r": pa.array(BASE + (DAMP_NUM * mass) // DAMP_DEN, pa.int64()),
             }
         )
-        return e, rk
 
     def fused_step(group: pa.Table) -> pa.Table:
-        e, rk = _ranks(group)
+        rk = _fold(group)
+        e = _read_bucket(int(group.column("bucket")[0].as_py()))
         return pa.concat_tables(_fanout(e, rk))
 
     def final_ranks(group: pa.Table) -> pa.Table:
@@ -257,21 +312,23 @@ def link_pagerank(
             .group_by(["src", "url"])
             .aggregate([])
         )
-        _, rk = _ranks(group.filter(pc.invert(has_url)))
+        rk = _fold(group.filter(pc.invert(has_url)))
         j = rk.select(["src", "r"]).join(nm, keys="src", join_type="inner")
         return pa.table({"url": j.column("url"), "rank_fp": j.column("r")})
 
     # NO per-iteration materialize: the whole power iteration is ONE
     # lazy DAG — the streaming executor pipelines all rounds without a
     # driver sync per iteration (the edge list, consumed every round,
-    # IS materialized above). Exchange count: iters + 1, same as the
-    # textbook-fused form — the nodemap union rides the LAST exchange.
-    contribs = edges.groupby("bucket").map_groups(init_fanout, batch_format="pyarrow")
+    # IS staged to bucketed parquet above). Exchange count: iters —
+    # init reads the staged files directly, the nodemap union rides
+    # the LAST exchange.
+    nodemap = links.map_batches(to_nodemap, batch_format="pyarrow")
+    contribs = rd.range(num_buckets, override_num_blocks=num_buckets).map_batches(
+        init_fanout, batch_format="pyarrow"
+    )
     for _ in range(iters - 1):
-        contribs = (
-            edges.union(contribs)
-            .groupby("bucket")
-            .map_groups(fused_step, batch_format="pyarrow")
+        contribs = contribs.groupby("bucket").map_groups(
+            fused_step, batch_format="pyarrow"
         )
     return (
         contribs.union(nodemap)
