@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": textops.corpus_filter,
         "filter_funnel": textops.filter_funnel,
         "ngram_counts": _typed_query(textops.ngram_counts, ("ngram", "n_occurrences")),
+        "bpe_pairs": _typed_query(textops.bpe_pairs, ("pair", "n_occurrences")),
+        "cooccur_counts": _typed_query(
+            textops.cooccur_counts, ("w_a", "w_b", "n_cooccur")
+        ),
         "tfidf_topterms": textops.tfidf_topterms,
         "length_sketch_quantiles": textops.length_sketch_quantiles,
         "normalize_text": textops.normalize_text,
@@ -147,6 +151,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["host_hits"]
         ).host_hits(sf),
+        "link_reciprocity": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["link_reciprocity"]
+        ).link_reciprocity(sf),
+        "retention_cohorts": lambda sf: __import__(
+            "wbot_ray.pipelines.relational", fromlist=["retention_cohorts"]
+        ).retention_cohorts(sf),
         "frontier_priority": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["frontier_priority"]
         ).frontier_priority(sf),
@@ -866,6 +876,18 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": __import__(
             "wbot_ray.pipelines.graph", fromlist=["host_hits_oracle_sql"]
         ).host_hits_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "link_reciprocity": __import__(
+            "wbot_ray.pipelines.graph", fromlist=["link_reciprocity_oracle_sql"]
+        ).link_reciprocity_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "retention_cohorts": __import__(
+            "wbot_ray.pipelines.relational", fromlist=["retention_cohorts_oracle_sql"]
+        ).retention_cohorts_oracle_sql(),
+        "bpe_pairs": __import__(
+            "wbot_ray.pipelines.textops", fromlist=["bpe_pairs_oracle_sql"]
+        ).bpe_pairs_oracle_sql(),
+        "cooccur_counts": __import__(
+            "wbot_ray.pipelines.textops", fromlist=["cooccur_counts_oracle_sql"]
+        ).cooccur_counts_oracle_sql(),
         "recrawl_priority": __import__(
             "wbot_ray.pipelines.webops", fromlist=["recrawl_priority_oracle_sql"]
         ).recrawl_priority_oracle_sql(

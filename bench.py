@@ -231,6 +231,29 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "dup_spans",
         "dedup_span_apply",
         "host_text_stats",
+        "token_counts",
+        "doc_fingerprint",
+        "langid",
+        "events_anomaly",
+        "region_acctbal",
+        "phrase_search",
+        "link_triangles",
+        "corpus_diff",
+        "compact_corpus",
+        "crawl_traps",
+        "change_rate",
+        "boilerplate_lines",
+        "mirror_hosts",
+        "host_quota",
+        "filter_funnel",
+        "index_lookup",
+        "dedup_url",
+        "host_hits",
+        "recrawl_priority",
+        "bpe_pairs",
+        "cooccur_counts",
+        "retention_cohorts",
+        "link_reciprocity",
     ]
     out: dict[str, float] = {}
     for name in names:

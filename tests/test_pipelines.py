@@ -3405,3 +3405,203 @@ class TestCorpusDiff:
             for r in corpus_diff(str(tmp_path)).take_all()
         }
         assert got == {1: "changed", 3: "removed", 1000005: "added"}
+
+
+class TestBpePairs:
+    def test_planted_pairs_match_oracle(self, ray_session, tmp_path):
+        """Character-pair counts on a planted corpus: weighting by word
+        OCCURRENCE (not distinct word), case folding, non-letter
+        separators, and 1-letter words contributing nothing."""
+        import duckdb
+
+        docs = [
+            "ab ab AB",          # 'ab' x3
+            "a b c",             # no pairs
+            "xAB-ab.cd",         # words: xab, ab, cd
+            "",                  # empty
+        ]
+        p = os.path.join(tmp_path, "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["pair"]: r["n_occurrences"]
+            for r in textops.bpe_pairs(str(tmp_path)).take_all()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        want = dict(con.execute(textops.bpe_pairs_oracle_sql()).fetchall())
+        assert got == want
+        assert got["ab"] == 5  # 3 + 'xab' + 'ab'
+        assert got["xa"] == 1
+        assert got["cd"] == 1
+        assert "a " not in got and "b" not in got
+
+    def test_sf0001_matches_oracle(self, ray_session):
+        import duckdb
+
+        got = sorted(
+            (r["pair"], r["n_occurrences"])
+            for r in textops.bpe_pairs(SF0001).take_all()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF0001}/documents.parquet')"
+        )
+        want = sorted(
+            (p_, n) for p_, n in con.execute(textops.bpe_pairs_oracle_sql()).fetchall()
+        )
+        assert got == want
+
+
+class TestCooccurCounts:
+    def test_window_and_gate_match_oracle(self, ray_session, tmp_path):
+        """Window semantics (ordered pairs, distance ≤ w), the min_count
+        gate, and doc-boundary isolation."""
+        import duckdb
+
+        # 'a b' adjacent x5 (crosses gate), 'a c' at distance 2 x5,
+        # 'a d' at distance 3 x5, 'a e' at distance 4 (outside window),
+        # and a second doc proving pairs never span documents
+        docs = [" ".join(["a", "b", "c", "d", "e"] * 5), "b a " * 3]
+        p = os.path.join(tmp_path, "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                }
+            ),
+            p,
+        )
+        got = {
+            (r["w_a"], r["w_b"]): r["n_cooccur"]
+            for r in textops.cooccur_counts(str(tmp_path)).take_all()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        want = {
+            (a, b): n
+            for a, b, n in con.execute(textops.cooccur_counts_oracle_sql()).fetchall()
+        }
+        assert got == want
+        # doc0: 5 adjacent (a,b); doc1 "b a b a b a " splits to
+        # [b,a,b,a,b,a,''] adding 3 more within-window (a,b)
+        assert got[("a", "b")] == 8
+        assert got[("b", "a")] == 5  # doc1 only: b1a2 b1a4 b3a4 b3a6 b5a6
+        assert got[("a", "d")] == 5
+        assert ("a", "e") not in got  # distance 4 > window 3
+
+    def test_sf0001_matches_oracle(self, ray_session):
+        import duckdb
+
+        got = sorted(
+            (r["w_a"], r["w_b"], r["n_cooccur"])
+            for r in textops.cooccur_counts(SF0001).take_all()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF0001}/documents.parquet')"
+        )
+        want = sorted(con.execute(textops.cooccur_counts_oracle_sql()).fetchall())
+        assert got == want
+
+
+class TestRetentionCohorts:
+    def test_planted_cohorts_match_oracle(self, ray_session, tmp_path):
+        """Two cohorts, sparse activity, multi-event days collapse."""
+        import duckdb
+
+        from wbot_ray.pipelines import relational
+
+        def ts(day: int, h: int = 0):
+            return np.datetime64("2024-01-01", "us") + np.timedelta64(
+                day * 24 + h, "h"
+            )
+
+        rows = [
+            (1, ts(0)), (1, ts(0, 5)), (1, ts(2)),     # cohort d0: ages 0,2
+            (2, ts(0)), (2, ts(1)),                    # cohort d0: ages 0,1
+            (3, ts(1)), (3, ts(3)),                    # cohort d1: ages 0,2
+        ]
+        p = os.path.join(tmp_path, "events.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                }
+            ),
+            p,
+        )
+        got = {
+            (r["cohort_day"], r["age_days"]): r["n_users"]
+            for r in relational.retention_cohorts(str(tmp_path)).take_all()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
+        want = {
+            (d, a): n
+            for d, a, n in con.execute(
+                relational.retention_cohorts_oracle_sql()
+            ).fetchall()
+        }
+        assert got == want
+        assert got[("2024-01-01", 0)] == 2  # users 1 and 2
+        assert got[("2024-01-01", 2)] == 1  # user 1 only
+        assert got[("2024-01-02", 0)] == 1  # user 3's cohort
+        assert got[("2024-01-02", 2)] == 1
+
+
+class TestLinkReciprocity:
+    def test_planted_mutual_pair(self, ray_session, tmp_path):
+        """Mutual a<->b counts reciprocal on both hosts; one-way c->a
+        doesn't; self-links and non-gated rows are excluded; duplicate
+        links collapse to one distinct edge."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        rows = [
+            ("https://a.com/1", "https://b.org/1", True),
+            ("https://a.com/2", "https://b.org/9", True),   # dup host edge
+            ("https://b.org/1", "https://a.com/7", True),
+            ("https://c.net/1", "https://a.com/1", True),
+            ("https://a.com/1", "https://a.com/2", True),   # self host
+            ("https://c.net/1", "https://b.org/1", False),  # not gated
+        ]
+        p = os.path.join(tmp_path, "links.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": pa.array([r[0] for r in rows], pa.string()),
+                    "dst_url": pa.array([r[1] for r in rows], pa.string()),
+                    "gated": pa.array([r[2] for r in rows], pa.bool_()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["host"]: (r["n_out"], r["n_recip"], r["recip_ppm"])
+            for r in graph.link_reciprocity(str(tmp_path), links_path=p).take_all()
+        }
+        con = duckdb.connect()
+        want = {
+            h: (o, r, ppm)
+            for h, o, r, ppm in con.execute(
+                graph.link_reciprocity_oracle_sql(p)
+            ).fetchall()
+        }
+        assert got == want
+        assert got["a.com"] == (1, 1, 1_000_000)
+        assert got["b.org"] == (1, 1, 1_000_000)
+        assert got["c.net"] == (1, 0, 0)

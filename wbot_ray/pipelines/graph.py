@@ -40,6 +40,8 @@ __all__ = [
     "components_oracle_sql",
     "host_graph_oracle_sql",
     "host_components_oracle_sql",
+    "link_reciprocity",
+    "link_reciprocity_oracle_sql",
 ]
 
 ONE = 1 << 20  # fixed-point unit
@@ -1822,4 +1824,108 @@ def frontier_priority_oracle_sql(
                     // (1 + length(path) - length(replace(path, '/', '')))
                     AS BIGINT) AS priority_fp
         FROM p LEFT JOIN hr ON hr.host = p.host
+    """
+
+
+def link_reciprocity(sf_dir: str, links_path: str | None = None):
+    """Per-host link reciprocity over the DISTINCT host graph — the
+    classic nepotistic-linking / link-farm signal (mutual-link density;
+    hosts in reciprocal cliques are downweighted by spam-aware rankers).
+    Output per linking host: ``(host, n_out, n_recip, recip_ppm)`` where
+    ``n_out`` counts distinct off-host destinations, ``n_recip`` how
+    many of those link back, and ``recip_ppm = n_recip·10⁶ // n_out``.
+
+    Ray shape — the UNORDERED-pair trick, two slim exchanges, no join:
+    batches collapse to distinct ``(src_host, dst_host)`` pairs (host
+    extraction is the same vectorized RE2 as :func:`host_graph`), each
+    keyed by its unordered pair key ``(min, max)``. The
+    ``groupby(unordered)`` group then holds BOTH directions of a mutual
+    pair, so reciprocity is decided locally (group has 2 distinct
+    directions ⇒ both are reciprocal) — no self-join of the edge list.
+    A final ``groupby(host)`` folds the per-edge flags into counts.
+    Both exchanges carry distinct host pairs, never link occurrences."""
+    from ray.data.aggregate import Sum
+
+    links = rd.read_parquet(
+        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = batch.filter(batch.column("gated"))
+        df = (
+            pl.from_arrow(t.select(["src_url", "dst_url"]))
+            .select(
+                a=pl.col("src_url").str.extract(HOST_RE, 1).fill_null("").str.to_lowercase(),
+                b=pl.col("dst_url").str.extract(HOST_RE, 1).fill_null("").str.to_lowercase(),
+            )
+            .filter(pl.col("a") != pl.col("b"))
+            .unique()
+            .with_columns(
+                lo=pl.min_horizontal("a", "b"), hi=pl.max_horizontal("a", "b")
+            )
+        )
+        return df.select(["lo", "hi", "a", "b"]).to_arrow()
+
+    def decide(group: pa.Table) -> pa.Table:
+        # distinct directions of ONE unordered host pair (dupes across
+        # batches collapse here)
+        d = group.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+        recip = d.num_rows == 2
+        return pa.table(
+            {
+                "host": d.column("a"),
+                "n_out": pa.array(np.ones(d.num_rows, np.int64), pa.int64()),
+                "n_recip": pa.array(
+                    np.full(d.num_rows, 1 if recip else 0, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = pc.cast(batch.column("n_out"), pa.int64())
+        rec = pc.cast(batch.column("n_recip"), pa.int64())
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_out": out,
+                "n_recip": rec,
+                "recip_ppm": pc.cast(
+                    pc.divide(pc.multiply(rec, 1_000_000), out), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        links.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .map_groups(decide, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_out", alias_name="n_out"), Sum("n_recip", alias_name="n_recip"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def link_reciprocity_oracle_sql(links_path: str) -> str:
+    """DuckDB twin: distinct off-host host pairs, left self-join for
+    the reverse edge, per-host fold."""
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT
+            lower(regexp_extract(src_url, '{HOST_RE}', 1)) AS a,
+            lower(regexp_extract(dst_url, '{HOST_RE}', 1)) AS b
+          FROM read_parquet('{links_path}')
+          WHERE gated
+            AND lower(regexp_extract(src_url, '{HOST_RE}', 1))
+             <> lower(regexp_extract(dst_url, '{HOST_RE}', 1))
+        )
+        SELECT e.a AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_out,
+               CAST(SUM(CASE WHEN r.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_recip,
+               CAST(SUM(CASE WHEN r.a IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS recip_ppm
+        FROM e LEFT JOIN e r ON r.a = e.b AND r.b = e.a
+        GROUP BY e.a
     """

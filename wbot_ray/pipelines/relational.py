@@ -38,6 +38,8 @@ __all__ = [
     "funnel_steps",
     "region_acctbal",
     "price_band_join",
+    "retention_cohorts",
+    "retention_cohorts_oracle_sql",
     "churned_users",
     "props_by_type",
     "user_running_value",
@@ -1542,3 +1544,77 @@ def price_range_scan(sf_dir: str, lo: int = 500_000, hi: int = 2_000_000):
         LAST_SCAN_STATS.get("rows_total"),
     )
     return ds
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention triangle — the canonical growth-analytics
+    windowed aggregate: users are cohorted by their FIRST active day,
+    and every cell ``(cohort_day, age_days)`` counts how many of that
+    cohort were active ``age_days`` later. Output one row per non-empty
+    cell: ``(cohort_day, age_days, n_users)``.
+
+    Ray shape — two slim exchanges, NO join: per batch, events collapse
+    to DISTINCT ``(user_id, epoch_day)`` partial rows (map-side
+    combine); ``groupby(user_id).map_groups`` then holds ALL of a
+    user's active days in one task, so cohort assignment (min day) and
+    the per-day age rows fall out locally — one ``(cohort, age)`` row
+    per distinct user-day, which makes the final
+    ``groupby(cohort_day, age_days).count`` an exact distinct-user
+    count with no second dedup. Exchanges carry ≤ |users|·|days| rows,
+    never |events|."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32()),
+            pa.int32(),
+        )
+        t = pa.table({"user_id": batch.column("user_id"), "epoch_day": days})
+        return t.group_by(["user_id", "epoch_day"]).aggregate([])
+
+    def cohort_rows(group: pa.Table) -> pa.Table:
+        d = np.unique(group.column("epoch_day").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "cohort_epoch": pa.array(np.full(len(d), d.min()), pa.int32()),
+                "age_days": pa.array((d - d.min()).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            pc.cast(pc.cast(batch.column("cohort_epoch"), pa.int32()), pa.date32()),
+            format="%Y-%m-%d",
+        )
+        return pa.table(
+            {
+                "cohort_day": day,
+                "age_days": batch.column("age_days"),
+                "n_users": pc.cast(batch.column("n_users"), pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(cohort_rows, batch_format="pyarrow")
+        .groupby(["cohort_epoch", "age_days"])
+        .aggregate(Count(alias_name="n_users"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def retention_cohorts_oracle_sql() -> str:
+    """DuckDB twin: distinct user-days, min-day cohort, one join."""
+    return """
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+          FROM events
+        ),
+        c AS (SELECT user_id, MIN(d) AS cohort FROM ud GROUP BY user_id)
+        SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+               CAST(ud.d - c.cohort AS BIGINT) AS age_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ud JOIN c USING (user_id)
+        GROUP BY 1, 2
+    """

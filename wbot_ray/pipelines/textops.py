@@ -40,6 +40,10 @@ __all__ = [
     "length_deciles",
     "filter_funnel",
     "filter_funnel_oracle_sql",
+    "bpe_pairs",
+    "bpe_pairs_oracle_sql",
+    "cooccur_counts",
+    "cooccur_counts_oracle_sql",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -1222,3 +1226,173 @@ def length_deciles(sf_dir: str, k: int = 10):
         )
 
     return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
+WORD_RE = "[a-z]+"  # shared verbatim with the DuckDB twins below
+
+
+def bpe_pairs(sf_dir: str):
+    """One BPE-tokenizer-training merge round: count every adjacent
+    CHARACTER pair inside every word occurrence of the corpus — the
+    statistic byte-pair-encoding greedily merges on (Sennrich et al.,
+    ACL 2016; the counting pass of GPT-2-style tokenizer training).
+    Words are lowercased ``[a-z]+`` runs (pattern shared verbatim with
+    the oracle). Output: ``(pair, n_occurrences)`` — at most 26² rows.
+
+    Ray shape — fully vectorized per-batch partials, tiny exchange:
+    each batch extracts word occurrences (polars RE2), folds them to
+    DISTINCT words × count (the Zipf combiner — pair generation runs
+    once per distinct word per batch, not once per occurrence), then
+    counts pairs in numpy over the codepoint array of the
+    NUL-joined distinct-word string (a weighted ``bincount`` on
+    ``a·128+b`` keys — no Python loop over words or chars). Partials
+    are ≤676 rows/batch, so the ``groupby(pair)`` exchange is
+    negligible at any corpus size."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = (
+            pl.from_arrow(batch.select(["text"]))
+            .select(pl.col("text").str.to_lowercase().str.extract_all(WORD_RE))
+            .explode("text")
+            .drop_nulls()
+        )
+        if not len(words):
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "n_occurrences": pa.array([], pa.int64())}
+            )
+        wc = words.group_by("text").len()
+        joined = "\x00".join(wc.get_column("text").to_list())
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        cnt = wc.get_column("len").to_numpy().astype(np.int64)
+        # word index of each position = #separators before it
+        widx = np.cumsum(np.concatenate(([0], (cp[:-1] == 0).astype(np.int64))))
+        a, b = cp[:-1], cp[1:]
+        valid = (a != 0) & (b != 0)
+        key = (a[valid].astype(np.int64) * 128) + b[valid].astype(np.int64)
+        w = cnt[widx[:-1][valid]]
+        tot = np.bincount(key, weights=w, minlength=128 * 128).astype(np.int64)
+        nz = np.nonzero(tot)[0]
+        pairs = [chr(k // 128) + chr(k % 128) for k in nz]  # ≤676 iterations
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "n_occurrences": pa.array(tot[nz], pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n_occurrences", alias_name="n_occurrences"))
+    )
+
+
+def bpe_pairs_oracle_sql() -> str:
+    """DuckDB twin: per-word-occurrence adjacent character pairs via a
+    position series, same ``[a-z]+`` word rule."""
+    return f"""
+        WITH words AS (
+          SELECT UNNEST(regexp_extract_all(lower(text), '{WORD_RE}')) AS w
+          FROM documents
+        ),
+        pos AS (
+          SELECT w, UNNEST(generate_series(1, length(w) - 1)) AS i FROM words
+        )
+        SELECT substring(w, i, 2) AS pair,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM pos GROUP BY pair
+    """
+
+
+def cooccur_counts(sf_dir: str, window: int = 3, min_count: int = 5):
+    """Skip-gram co-occurrence counting — the statistic under word2vec
+    negative sampling, PMI association mining and GloVe's matrix: for
+    every ORDERED token pair ``(w_a, w_b)`` where ``w_b`` follows
+    ``w_a`` within ``window`` positions in a document's whitespace
+    token sequence, the total occurrence count (gated at
+    ``min_count``). Consumers derive PMI/lift from these integer facts
+    plus ``token_counts`` — the counts themselves stay exact.
+
+    Ray shape — pair formation is DOC-LOCAL (no exchange): per batch,
+    tokens are integer-coded once (numpy factorize), then each window
+    offset ``d`` is one vectorized shifted-array compare — pairs whose
+    two positions span different documents are masked out via the doc
+    boundary index, counted per batch with ``np.unique`` on the packed
+    ``a·V+b`` key (the combiner), and only distinct-pair partial rows
+    cross the ONE ``groupby(w_a, w_b)`` exchange — bounded by the
+    Zipf-truncated pair vocabulary per batch, not by token positions.
+    """
+
+    def part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ex = (
+            pl.from_arrow(batch.select(["text"]))
+            .with_row_index("di")
+            .select(pl.col("di"), pl.col("text").str.split(" "))
+            .explode("text")
+            .drop_nulls()
+        )
+        empty = pa.table(
+            {
+                "w_a": pa.array([], pa.string()),
+                "w_b": pa.array([], pa.string()),
+                "n_cooccur": pa.array([], pa.int64()),
+            }
+        )
+        if not len(ex):
+            return empty
+        vocab, codes = np.unique(ex.get_column("text").to_numpy(), return_inverse=True)
+        doc = ex.get_column("di").to_numpy().astype(np.int64)
+        V = np.int64(len(vocab))
+        keys = []
+        for d in range(1, window + 1):
+            if d >= len(codes):
+                break
+            same = doc[:-d] == doc[d:]
+            keys.append(codes[:-d][same].astype(np.int64) * V + codes[d:][same])
+        if not keys:
+            return empty
+        uk, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table(
+            {
+                "w_a": pa.array(vocab[(uk // V)], pa.string()),
+                "w_b": pa.array(vocab[(uk % V)], pa.string()),
+                "n_cooccur": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_cooccur"), min_count))
+
+    return (
+        read_table(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["w_a", "w_b"])
+        .aggregate(Sum("n_cooccur", alias_name="n_cooccur"))
+        .map_batches(gate, batch_format="pyarrow")
+    )
+
+
+def cooccur_counts_oracle_sql(window: int = 3, min_count: int = 5) -> str:
+    """DuckDB twin: zipped position unnest + a bounded range self-join
+    per document."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, UNNEST(ws) AS w,
+                 UNNEST(generate_series(1, len(ws))) AS i
+          FROM t
+        )
+        SELECT a.w AS w_a, b.w AS w_b,
+               CAST(COUNT(*) AS BIGINT) AS n_cooccur
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id
+         AND b.i > a.i AND b.i <= a.i + {window}
+        GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+    """
