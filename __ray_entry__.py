@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": lambda sf: __import__(
             "wbot_ray.pipelines.maintenance", fromlist=["corpus_diff"]
         ).corpus_diff(sf),
+        "upsert_merge": lambda sf: __import__(
+            "wbot_ray.pipelines.maintenance", fromlist=["upsert_merge"]
+        ).upsert_merge(sf),
         "snapshot_latest": lambda sf: __import__(
             "wbot_ray.pipelines.maintenance", fromlist=["snapshot_latest"]
         ).snapshot_latest(sf),
@@ -1044,6 +1047,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": __import__(
             "wbot_ray.pipelines.maintenance", fromlist=["corpus_diff_oracle_sql"]
         ).corpus_diff_oracle_sql(),
+        "upsert_merge": __import__(
+            "wbot_ray.pipelines.maintenance", fromlist=["upsert_merge_oracle_sql"]
+        ).upsert_merge_oracle_sql(),
         "snapshot_latest": __import__(
             "wbot_ray.pipelines.maintenance", fromlist=["snapshot_latest_oracle_sql"]
         ).snapshot_latest_oracle_sql(

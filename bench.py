@@ -254,6 +254,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "cooccur_counts",
         "retention_cohorts",
         "link_reciprocity",
+        "upsert_merge",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -3605,3 +3605,46 @@ class TestLinkReciprocity:
         assert got["a.com"] == (1, 1, 1_000_000)
         assert got["b.org"] == (1, 1, 1_000_000)
         assert got["c.net"] == (1, 0, 0)
+
+
+class TestUpsertMerge:
+    def test_planted_cdc_branches(self, ray_session, tmp_path):
+        """One key per changelog branch: plain update, double update
+        (max seq wins), delete (key dies), delete-then-insert
+        (resurrect), insert of a brand-new key, untouched base row."""
+        import duckdb
+
+        from wbot_ray.pipelines import maintenance
+
+        ids = [6, 1, 12, 7, 3, 10]
+        p = os.path.join(tmp_path, "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "lang": pa.array(["en"] * len(ids), pa.string()),
+                    "n_chars": pa.array([1000 + i for i in ids], pa.int64()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["doc_id"]: (r["lang"], r["n_chars"], r["last_seq"], r["n_ops"])
+            for r in maintenance.upsert_merge(str(tmp_path)).take_all()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        want = {
+            d: (l, n, s, o)
+            for d, l, n, s, o in con.execute(
+                maintenance.upsert_merge_oracle_sql()
+            ).fetchall()
+        }
+        assert got == want
+        assert got[6] == ("en", 1106, 1, 2)      # one update
+        assert got[1] == ("en", 1501, 5, 3)      # double update, seq 5 wins
+        assert got[12] == ("en", 7, 3, 3)        # deleted then resurrected
+        assert 7 not in got                      # deleted, stays dead
+        assert got[3] == ("en", 1003, 0, 1)      # untouched base
+        assert got[1000000003] == ("en", 3, 2, 1)  # inserted new key
+        assert got[10] == ("en", 1010, 0, 1)

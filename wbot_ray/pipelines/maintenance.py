@@ -24,6 +24,8 @@ __all__ = [
     "corpus_diff_oracle_sql",
     "snapshot_latest",
     "snapshot_latest_oracle_sql",
+    "upsert_merge",
+    "upsert_merge_oracle_sql",
     "LAST_COMPACT_STATS",
 ]
 
@@ -359,4 +361,204 @@ def snapshot_latest_oracle_sql(pages_path: str) -> str:
         )
         SELECT url, warc_ts, n_chars, CAST(n_snapshots AS BIGINT) AS n_snapshots
         FROM r WHERE rn = 1
+    """
+
+
+def _changelog_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic CDC changelog synthesized from a documents batch —
+    base rows (seq 0, op I) plus per-key inserts/updates/deletes whose
+    seq numbers are distinct per key by construction. The RULE is the
+    fixture (shared verbatim with the SQL twin); :func:`upsert_merge`
+    itself never sees it — it folds whatever (key, seq, op) rows
+    arrive. All masks are vectorized polars expressions."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "lang", "n_chars"])).with_columns(
+        pl.col("n_chars").cast(pl.Int64)
+    )
+    d = pl.col("doc_id")
+    base = df.with_columns(seq=pl.lit(0, pl.Int64), op=pl.lit("I"))
+    upd = (
+        df.filter(d % 5 == 1)
+        .with_columns(
+            n_chars=pl.col("n_chars") + 100,
+            seq=(1 + d % 3).cast(pl.Int64),
+            op=pl.lit("U"),
+        )
+    )
+    dele = (
+        df.filter(d % 5 == 2)
+        .with_columns(seq=(1 + d % 2).cast(pl.Int64), op=pl.lit("D"))
+    )
+    upd2 = (
+        df.filter(d % 35 == 1)
+        .with_columns(
+            n_chars=pl.col("n_chars") + 500,
+            seq=pl.lit(5, pl.Int64),
+            op=pl.lit("U"),
+        )
+    )
+    ins = (
+        df.filter(d % 11 == 3)
+        .with_columns(
+            doc_id=d + 1_000_000_000,
+            n_chars=(d % 997).cast(pl.Int64),
+            seq=pl.lit(2, pl.Int64),
+            op=pl.lit("I"),
+        )
+    )
+    resurrect = (
+        df.filter((d % 5 == 2) & (d % 3 == 0))
+        .with_columns(n_chars=pl.lit(7, pl.Int64), seq=pl.lit(3, pl.Int64), op=pl.lit("I"))
+    )
+    cols = ["doc_id", "lang", "n_chars", "seq", "op"]
+    return pl.concat([t.select(cols) for t in (base, upd, dele, upd2, ins, resurrect)]).to_arrow().cast(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("n_chars", pa.int64()),
+                ("seq", pa.int64()),
+                ("op", pa.string()),
+            ]
+        )
+    )
+
+
+def upsert_merge(sf_dir: str, num_buckets: int = 32):
+    """CDC merge-on-read — the Delta/Hudi/Iceberg upsert compaction
+    every mutable-table lakehouse runs: fold a base snapshot (implicit
+    inserts at seq 0) with an insert/update/delete changelog into the
+    CURRENT state. Max-seq wins per key; a trailing delete removes the
+    key; a later insert resurrects it. Output one row per live key:
+    ``(doc_id, lang, n_chars, last_seq, n_ops)`` with ``n_ops`` the
+    total log rows folded (base included).
+
+    Ray shape — partial argmax before the shuffle (the
+    :func:`snapshot_latest` fold): each batch reduces its log rows to
+    one max-seq candidate per key plus a count, then ONE
+    ``groupby(bucket(key)).map_groups`` fold finishes the argmax, sums
+    the counts and drops keys whose final op is D. The exchange
+    carries ≤ one slim row per key per batch; payload columns would
+    stay in the scan tasks at 100 TB (re-joined by key from the
+    bucketed layout). Seq ties cannot occur per key by construction,
+    but the fold still totally orders on (seq, op, n_chars) so it is
+    deterministic on any input."""
+    import numpy as np
+    import ray.data as rd
+
+    from wbot_ray.pipelines.common import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    _OUT = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("n_chars", pa.int64()),
+            ("seq", pa.int64()),
+            ("op", pa.string()),
+            ("n_ops", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        log = pl.from_arrow(_changelog_batch(batch))
+        df = (
+            log.sort(["doc_id", "seq", "op", "n_chars"], descending=[False, True, True, True])
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                lang=pl.col("lang").first(),
+                n_chars=pl.col("n_chars").first(),
+                seq=pl.col("seq").first(),
+                op=pl.col("op").first(),
+                n_ops=pl.len().cast(pl.Int64),
+            )
+            .with_columns(
+                bucket=(pl.col("doc_id").hash(seed=0) % np.uint64(num_buckets)).cast(
+                    pl.Int64
+                )
+            )
+        )
+        return df.select([f.name for f in _OUT]).to_arrow().cast(_OUT)
+
+    def fold(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(group.drop_columns(["bucket"]))
+            .sort(["doc_id", "seq", "op", "n_chars"], descending=[False, True, True, True])
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                lang=pl.col("lang").first(),
+                n_chars=pl.col("n_chars").first(),
+                last_seq=pl.col("seq").first(),
+                op=pl.col("op").first(),
+                n_ops=pl.col("n_ops").sum(),
+            )
+            .filter(pl.col("op") != "D")
+        )
+        return df.select(["doc_id", "lang", "n_chars", "last_seq", "n_ops"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("lang", pa.string()),
+                    ("n_chars", pa.int64()),
+                    ("last_seq", pa.int64()),
+                    ("n_ops", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def upsert_merge_oracle_sql() -> str:
+    """DuckDB twin: same changelog rule, window argmax + count, final
+    delete filter."""
+    return """
+        WITH base AS (
+          SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(0 AS BIGINT) AS seq, 'I' AS op
+          FROM documents
+        ),
+        ops AS (
+          SELECT doc_id, lang, CAST(n_chars + 100 AS BIGINT),
+                 CAST(1 + doc_id % 3 AS BIGINT), 'U'
+          FROM documents WHERE doc_id % 5 = 1
+          UNION ALL
+          SELECT doc_id, lang, CAST(n_chars AS BIGINT),
+                 CAST(1 + doc_id % 2 AS BIGINT), 'D'
+          FROM documents WHERE doc_id % 5 = 2
+          UNION ALL
+          SELECT doc_id, lang, CAST(n_chars + 500 AS BIGINT),
+                 CAST(5 AS BIGINT), 'U'
+          FROM documents WHERE doc_id % 35 = 1
+          UNION ALL
+          SELECT doc_id + 1000000000, lang, CAST(doc_id % 997 AS BIGINT),
+                 CAST(2 AS BIGINT), 'I'
+          FROM documents WHERE doc_id % 11 = 3
+          UNION ALL
+          SELECT doc_id, lang, CAST(7 AS BIGINT), CAST(3 AS BIGINT), 'I'
+          FROM documents WHERE doc_id % 5 = 2 AND doc_id % 3 = 0
+        ),
+        log AS (SELECT * FROM base UNION ALL SELECT * FROM ops),
+        folded AS (
+          SELECT doc_id, lang, n_chars, seq, op,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY seq DESC, op DESC, n_chars DESC
+                 ) AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_ops
+          FROM log
+        )
+        SELECT doc_id, lang, n_chars, seq AS last_seq, n_ops
+        FROM folded WHERE rn = 1 AND op <> 'D'
     """
