@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_reciprocity": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_reciprocity"]
         ).link_reciprocity(sf),
+        "degree_dist": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["degree_dist"]
+        ).degree_dist(sf),
         "retention_cohorts": lambda sf: __import__(
             "wbot_ray.pipelines.relational", fromlist=["retention_cohorts"]
         ).retention_cohorts(sf),
@@ -882,6 +885,9 @@ def oracle_sql() -> dict[str, str]:
         "link_reciprocity": __import__(
             "wbot_ray.pipelines.graph", fromlist=["link_reciprocity_oracle_sql"]
         ).link_reciprocity_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "degree_dist": __import__(
+            "wbot_ray.pipelines.graph", fromlist=["degree_dist_oracle_sql"]
+        ).degree_dist_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "retention_cohorts": __import__(
             "wbot_ray.pipelines.relational", fromlist=["retention_cohorts_oracle_sql"]
         ).retention_cohorts_oracle_sql(),

@@ -255,6 +255,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "retention_cohorts",
         "link_reciprocity",
         "upsert_merge",
+        "degree_dist",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -3648,3 +3648,39 @@ class TestUpsertMerge:
         assert got[3] == ("en", 1003, 0, 1)      # untouched base
         assert got[1000000003] == ("en", 3, 2, 1)  # inserted new key
         assert got[10] == ("en", 1010, 0, 1)
+
+
+class TestDegreeDist:
+    def test_planted_histogram(self, ray_session, tmp_path):
+        """Multi-edges count as occurrences; pure sources appear at
+        in-degree 0; histogram matches the oracle exactly."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        rows = [
+            ("https://s.com/1", "https://a.com/x", True),
+            ("https://s.com/2", "https://a.com/x", True),   # a/x in=2
+            ("https://s.com/1", "https://b.com/y", True),   # b/y in=1
+            ("https://s.com/1", "https://b.com/y", True),   # multi-edge -> in=2
+            ("https://s.com/2", "https://c.com/z", False),  # not gated
+        ]
+        p = os.path.join(tmp_path, "links.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": pa.array([r[0] for r in rows], pa.string()),
+                    "dst_url": pa.array([r[1] for r in rows], pa.string()),
+                    "gated": pa.array([r[2] for r in rows], pa.bool_()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["in_deg"]: r["n_urls"]
+            for r in graph.degree_dist(str(tmp_path), links_path=p).take_all()
+        }
+        con = duckdb.connect()
+        want = dict(con.execute(graph.degree_dist_oracle_sql(p)).fetchall())
+        assert got == want
+        assert got == {0: 2, 2: 2}  # s/1 s/2 at 0; a/x and b/y at 2

@@ -42,6 +42,8 @@ __all__ = [
     "host_components_oracle_sql",
     "link_reciprocity",
     "link_reciprocity_oracle_sql",
+    "degree_dist",
+    "degree_dist_oracle_sql",
 ]
 
 ONE = 1 << 20  # fixed-point unit
@@ -1928,4 +1930,63 @@ def link_reciprocity_oracle_sql(links_path: str) -> str:
                     * 1000000 // COUNT(*) AS BIGINT) AS recip_ppm
         FROM e LEFT JOIN e r ON r.a = e.b AND r.b = e.a
         GROUP BY e.a
+    """
+
+
+def degree_dist(sf_dir: str, links_path: str | None = None):
+    """In-degree distribution of the gated link graph — the power-law
+    histogram every published webgraph ships (Common Crawl / WebGraph
+    degree-frequency tables; the straight line on log-log axes that
+    sanity-checks a crawl's reach): one row per observed in-degree with
+    the number of urls at that degree. URLs that only ever appear as
+    link SOURCES have in-degree 0 and are counted too.
+
+    Ray shape — a two-level fold, both exchanges slim: the per-url
+    degree table (:func:`link_degrees` — batch partials, one
+    ``groupby(url)``) feeds a ``groupby(in_deg).count`` whose key
+    cardinality is the number of DISTINCT degrees (≤ a few thousand on
+    a power-law graph at any corpus size), so the second exchange is
+    near-free. Composes the existing operator rather than re-reading
+    the edge list."""
+    from ray.data.aggregate import Count
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select(["in_deg"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "in_deg": pc.cast(batch.column("in_deg"), pa.int64()),
+                "n_urls": pc.cast(batch.column("n_urls"), pa.int64()),
+            }
+        )
+
+    return (
+        link_degrees(sf_dir, links_path=links_path)
+        .map_batches(slim, batch_format="pyarrow")
+        .groupby("in_deg")
+        .aggregate(Count(alias_name="n_urls"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def degree_dist_oracle_sql(links_path: str) -> str:
+    """DuckDB twin: per-url in-degree over gated edges (sources with no
+    in-links count at degree 0), then the frequency fold."""
+    return f"""
+        WITH e AS (
+          SELECT src_url, dst_url FROM read_parquet('{links_path}') WHERE gated
+        ),
+        nodes AS (
+          SELECT DISTINCT u FROM (
+            SELECT src_url AS u FROM e UNION ALL SELECT dst_url FROM e
+          )
+        ),
+        ind AS (
+          SELECT n.u, CAST(COUNT(e.dst_url) AS BIGINT) AS in_deg
+          FROM nodes n LEFT JOIN e ON e.dst_url = n.u
+          GROUP BY n.u
+        )
+        SELECT in_deg, CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM ind GROUP BY in_deg
     """
