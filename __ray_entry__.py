@@ -200,6 +200,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_priority": lambda sf: __import__(
             "wbot_ray.pipelines.webops", fromlist=["recrawl_priority"]
         ).recrawl_priority(sf),
+        "host_dup_ratio": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["host_dup_ratio"]
+        ).host_dup_ratio(sf),
+        "text_outlinks": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["text_outlinks"]
+        ).text_outlinks(sf),
+        "table_profile": lambda sf: __import__(
+            "wbot_ray.pipelines.relational", fromlist=["table_profile"]
+        ).table_profile(sf),
         # -- model inference (actor-pool batched encoder)
         "embed_docs": lambda sf: __import__(
             "wbot_ray.pipelines.inference", fromlist=["embed_docs"]
@@ -891,6 +900,19 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": __import__(
             "wbot_ray.pipelines.relational", fromlist=["retention_cohorts_oracle_sql"]
         ).retention_cohorts_oracle_sql(),
+        "table_profile": __import__(
+            "wbot_ray.pipelines.relational", fromlist=["table_profile_oracle_sql"]
+        ).table_profile_oracle_sql(),
+        "text_outlinks": __import__(
+            "wbot_ray.pipelines.webops", fromlist=["text_outlinks_oracle_sql"]
+        ).text_outlinks_oracle_sql(),
+        "host_dup_ratio": __import__(
+            "wbot_ray.pipelines.webops", fromlist=["host_dup_ratio_oracle_sql"]
+        ).host_dup_ratio_oracle_sql(
+            __import__(
+                "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
+            )._pages_path_for("/root/testdata/sf0.01")
+        ),
         "bpe_pairs": __import__(
             "wbot_ray.pipelines.textops", fromlist=["bpe_pairs_oracle_sql"]
         ).bpe_pairs_oracle_sql(),

@@ -256,6 +256,9 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "link_reciprocity",
         "upsert_merge",
         "degree_dist",
+        "host_dup_ratio",
+        "text_outlinks",
+        "table_profile",
     ]
     out: dict[str, float] = {}
     for name in names:

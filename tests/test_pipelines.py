@@ -3684,3 +3684,39 @@ class TestDegreeDist:
         want = dict(con.execute(graph.degree_dist_oracle_sql(p)).fetchall())
         assert got == want
         assert got == {0: 2, 2: 2}  # s/1 s/2 at 0; a/x and b/y at 2
+
+
+class TestTableProfile:
+    def test_nulls_and_exact_cents(self, ray_session, tmp_path):
+        import duckdb
+
+        from wbot_ray.pipelines import relational
+
+        p = os.path.join(tmp_path, "lineitem.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "l_quantity": pa.array([1.0, 2.0, None], pa.float64()),
+                    "l_extendedprice": pa.array([10.01, 20.02, 30.03], pa.float64()),
+                    "l_discount": pa.array([0.05, None, None], pa.float64()),
+                    "l_tax": pa.array([0.0, 0.08, 0.02], pa.float64()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["col_name"]: (
+                r["n_rows"], r["n_nulls"], r["min_cents"], r["max_cents"], r["sum_cents"]
+            )
+            for r in relational.table_profile(str(tmp_path)).take_all()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{p}')")
+        want = {
+            r[0]: tuple(r[1:])
+            for r in con.execute(relational.table_profile_oracle_sql()).fetchall()
+        }
+        assert got == want
+        assert got["l_quantity"] == (3, 1, 100, 200, 300)
+        assert got["l_discount"] == (3, 2, 5, 5, 5)
+        assert got["l_extendedprice"] == (3, 0, 1001, 3003, 6006)

@@ -358,3 +358,83 @@ class TestMirrorHosts:
             webops.mirror_hosts(str(tmp_path), pages_path=p),
             webops.mirror_hosts_oracle_sql(p),
         )
+
+
+class TestHostDupRatio:
+    def test_planted_within_host_dups(self, tmp_path, ray_session):
+        """3 urls on a.com serving 2 distinct bodies → 333333 ppm; all
+        unique on b.org → 0."""
+        import duckdb
+
+        rows = [
+            ("https://a.com/1", "same"),
+            ("https://a.com/2?sid=x", "same"),
+            ("https://a.com/3", "other"),
+            ("https://b.org/1", "u1"),
+            ("https://b.org/2", "u2"),
+        ]
+        p = os.path.join(tmp_path, "pages.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["host"]: (r["n_pages"], r["n_distinct"], r["dup_ppm"])
+            for r in webops.host_dup_ratio(str(tmp_path), pages_path=p).take_all()
+        }
+        con = duckdb.connect()
+        want = {
+            h: (n, d, ppm)
+            for h, n, d, ppm in con.execute(
+                webops.host_dup_ratio_oracle_sql(p)
+            ).fetchall()
+        }
+        assert got == want
+        assert got["a.com"] == (3, 2, 333333)
+        assert got["b.org"] == (2, 2, 0)
+
+
+class TestTextOutlinks:
+    def test_synthesis_and_extraction(self, tmp_path, ray_session):
+        """doc 0 hits both citation rules, doc 3 one, doc 1 none; a
+        pre-existing in-text URL is also extracted (the kernel is a
+        real scan, not the synthesis rule)."""
+        import duckdb
+
+        docs = {
+            0: "alpha beta",              # cites ref0.example.org AND cdn0.example.net
+            3: "gamma",                   # cites ref3.example.org
+            1: "no citations here",
+            2: "inline https://x.example.com/page mention",  # %3!=0? 2%3=2, %7=2
+        }
+        p = os.path.join(tmp_path, "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string()),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["host"]: (r["n_mentions"], r["n_docs"])
+            for r in webops.text_outlinks(str(tmp_path)).take_all()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        want = {
+            h: (m, d)
+            for h, m, d in con.execute(webops.text_outlinks_oracle_sql()).fetchall()
+        }
+        assert got == want
+        assert got["ref0.example.org"] == (1, 1)
+        assert got["cdn0.example.net"] == (1, 1)
+        assert got["ref3.example.org"] == (1, 1)
+        assert got["x.example.com"] == (1, 1)
+        assert len(got) == 4

@@ -40,6 +40,8 @@ __all__ = [
     "price_band_join",
     "retention_cohorts",
     "retention_cohorts_oracle_sql",
+    "table_profile",
+    "table_profile_oracle_sql",
     "churned_users",
     "props_by_type",
     "user_running_value",
@@ -1618,3 +1620,90 @@ def retention_cohorts_oracle_sql() -> str:
         FROM ud JOIN c USING (user_id)
         GROUP BY 1, 2
     """
+
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def table_profile(sf_dir: str):
+    """Column-level data profiling over ``lineitem``'s money/quantity
+    columns — the Deequ/profiler scan every ingestion pipeline runs
+    before training or loading: one row per column with ``(col_name,
+    n_rows, n_nulls, min_cents, max_cents, sum_cents)``, all values
+    exact int64 cents.
+
+    Ray shape — ONE pruned pass, near-zero exchange: each batch folds
+    every profiled column to a single partial row (vectorized Arrow
+    min/max/sum over the cents-cast column), so the
+    ``groupby(col_name)`` exchange carries ``len(PROFILE_COLS)`` rows
+    per batch regardless of table size; the final fold combines
+    partials with (sum, sum, min, max, sum)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, n, nn, mn, mx, sm = [], [], [], [], [], []
+        for col in PROFILE_COLS:
+            c = batch.column(col)
+            nulls = c.null_count
+            v = cents(c.drop_null()) if len(c) - nulls else pa.array([], pa.int64())
+            names.append(col)
+            n.append(len(c))
+            nn.append(nulls)
+            if len(v):
+                mn.append(pc.min(v).as_py())
+                mx.append(pc.max(v).as_py())
+                sm.append(pc.sum(v).as_py())
+            else:
+                # identity elements — folded away by the final min/max
+                mn.append((1 << 63) - 1)
+                mx.append(-(1 << 63))
+                sm.append(0)
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "n_rows": pa.array(n, pa.int64()),
+                "n_nulls": pa.array(nn, pa.int64()),
+                "min_cents": pa.array(mn, pa.int64()),
+                "max_cents": pa.array(mx, pa.int64()),
+                "sum_cents": pa.array(sm, pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"col_name": batch.column("col_name")}
+            | {
+                c: pc.cast(batch.column(c), pa.int64())
+                for c in ("n_rows", "n_nulls", "min_cents", "max_cents", "sum_cents")
+            }
+        )
+
+    return (
+        read_table(sf_dir, "lineitem", list(PROFILE_COLS))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Min("min_cents", alias_name="min_cents"),
+            Max("max_cents", alias_name="max_cents"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def table_profile_oracle_sql() -> str:
+    """DuckDB twin: one UNION ALL arm per profiled column."""
+    arms = []
+    for col in PROFILE_COLS:
+        c = f"CAST(round({col}*100) AS BIGINT)"
+        arms.append(
+            f"""SELECT '{col}' AS col_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+                   CAST(MIN({c}) AS BIGINT) AS min_cents,
+                   CAST(MAX({c}) AS BIGINT) AS max_cents,
+                   CAST(SUM({c}) AS BIGINT) AS sum_cents
+            FROM lineitem"""
+        )
+    return " UNION ALL ".join(arms)

@@ -62,6 +62,11 @@ __all__ = [
     "dedup_url_oracle_sql",
     "recrawl_priority",
     "recrawl_priority_oracle_sql",
+    "host_dup_ratio",
+    "host_dup_ratio_oracle_sql",
+    "text_outlinks",
+    "text_outlinks_oracle_sql",
+    "URL_MENTION_RE",
     "TRAP_DIGIT_RE",
 ]
 
@@ -845,4 +850,220 @@ def mirror_hosts_oracle_sql(pages_path: str) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_shared
         FROM facts a JOIN facts b ON a.m = b.m AND a.host < b.host
         GROUP BY a.host, b.host
+    """
+
+
+def host_dup_ratio(sf_dir: str, pages_path: str | None = None):
+    """WITHIN-host exact-duplicate share — the URL-parameter-trap /
+    session-id signal (:func:`mirror_hosts` finds CROSS-host copies;
+    this finds a host serving the same body under many URLs): per host
+    ``(host, n_pages, n_distinct, dup_ppm)`` with ``dup_ppm =
+    (n_pages - n_distinct)·10⁶ // n_pages``.
+
+    Shape — two slim exchanges: batches fold to ``(host, content-md5,
+    cnt)`` partials (text never crosses the wire), exchange 1 keyed on
+    the (host, md5) pair finishes the distinct, exchange 2 folds per
+    host."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    pages = rd.read_parquet(pages_path or _pages_path_for(sf_dir), columns=["url", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["url", "text"])).with_columns(
+            host=pl.col("url").str.extract(HOST_RE, 1).fill_null("").str.to_lowercase()
+        )
+        df = df.with_columns(
+            m=pl.Series(_md5s(df.get_column("text").to_list()), dtype=pl.String)
+        )
+        out = df.group_by(["host", "m"]).agg(cnt=pl.len().cast(pl.Int64))
+        return out.to_arrow().cast(
+            pa.schema([("host", pa.string()), ("m", pa.string()), ("cnt", pa.int64())])
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "cnt": pc.cast(batch.column("cnt"), pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_pages"), pa.int64())
+        d = pc.cast(batch.column("n_distinct"), pa.int64())
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_pages": n,
+                "n_distinct": d,
+                "dup_ppm": pc.cast(
+                    pc.divide(pc.multiply(pc.subtract(n, d), 1_000_000), n), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby(["host", "m"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("cnt", alias_name="n_pages"), Sum("one", alias_name="n_distinct"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def host_dup_ratio_oracle_sql(pages_path: str) -> str:
+    """DuckDB twin: count vs distinct-md5 per host."""
+    return f"""
+        WITH p AS (
+          SELECT lower(COALESCE(regexp_extract(url, '{HOST_RE}', 1), '')) AS host,
+                 md5(text) AS m
+          FROM read_parquet('{pages_path}')
+        )
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(COUNT(DISTINCT m) AS BIGINT) AS n_distinct,
+               CAST((COUNT(*) - COUNT(DISTINCT m)) * 1000000 // COUNT(*) AS BIGINT)
+                 AS dup_ppm
+        FROM p GROUP BY host
+    """
+
+
+# mention-mining pattern: a URL runs to the next space (document text is
+# space-tokenized) — shared VERBATIM with the SQL twin
+URL_MENTION_RE = r"https?://[^ ]+"
+
+
+def text_outlinks(sf_dir: str):
+    """URL mentions mined from DOCUMENT TEXT (not the crawl's link
+    graph — the citation/outlink signal of a text corpus): per
+    mentioned host, total mentions and distinct mentioning documents.
+    The fixture corpus contains no URLs, so mentions are synthesized
+    in-batch by a deterministic rule (docs with ``doc_id%3==0`` cite
+    ``ref<doc_id%41>.example.org``, docs with ``doc_id%7==0`` cite
+    ``cdn<doc_id%13>.example.net``; both rules can hit one doc) —
+    the rule is shared verbatim with the twin, and the EXTRACTION
+    kernel (RE2 scan over the full text) runs for real on the
+    synthesized text in both engines.
+
+    Shape: per-batch (host, doc_id) distinct partials with mention
+    counts (text stays in the scan task), exchange 1 on the pair key,
+    exchange 2 per host."""
+    from ray.data.aggregate import Sum
+
+    from wbot_ray.pipelines.common import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        d = pl.col("doc_id")
+        df = df.with_columns(
+            text=pl.col("text")
+            + pl.when(d % 3 == 0)
+            .then(
+                pl.lit(" see https://ref")
+                + (d % 41).cast(pl.String)
+                + pl.lit(".example.org/a")
+            )
+            .otherwise(pl.lit(""))
+            + pl.when(d % 7 == 0)
+            .then(
+                pl.lit(" via http://cdn")
+                + (d % 13).cast(pl.String)
+                + pl.lit(".example.net/b")
+            )
+            .otherwise(pl.lit(""))
+        )
+        out = (
+            df.select(
+                "doc_id", mention=pl.col("text").str.extract_all(URL_MENTION_RE)
+            )
+            .explode("mention")
+            .drop_nulls()
+            .with_columns(
+                host=pl.col("mention")
+                .str.extract(HOST_RE, 1)
+                .fill_null("")
+                .str.to_lowercase()
+            )
+            .group_by(["host", "doc_id"])
+            .agg(n_mentions=pl.len().cast(pl.Int64))
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [("host", pa.string()), ("doc_id", pa.int64()), ("n_mentions", pa.int64())]
+            )
+        )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_mentions": pc.cast(batch.column("n_mentions"), pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_mentions": pc.cast(batch.column("n_mentions"), pa.int64()),
+                "n_docs": pc.cast(batch.column("n_docs"), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["host", "doc_id"])
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+        .map_batches(slim, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_mentions", alias_name="n_mentions"), Sum("one", alias_name="n_docs")
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def text_outlinks_oracle_sql() -> str:
+    """DuckDB twin: same synthesis rule, same RE2 mention scan."""
+    return f"""
+        WITH synth AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN ' see https://ref' || CAST(doc_id % 41 AS VARCHAR)
+                         || '.example.org/a' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN ' via http://cdn' || CAST(doc_id % 13 AS VARCHAR)
+                         || '.example.net/b' ELSE '' END AS text
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 UNNEST(regexp_extract_all(text, '{URL_MENTION_RE}')) AS mention
+          FROM synth
+        ),
+        h AS (
+          SELECT doc_id,
+                 lower(COALESCE(regexp_extract(mention, '{HOST_RE}', 1), '')) AS host
+          FROM m
+        )
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_mentions,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM h GROUP BY host
     """

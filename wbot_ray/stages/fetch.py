@@ -350,7 +350,12 @@ def make_fused_fetch_fn(
 
         t0 = time.perf_counter()
         tmp = os.path.join(results_dir, f".part-{part:05d}.tmp")
-        pq.write_table(results, tmp)
+        # combine_chunks: canonical single-chunk layout so the parquet
+        # BYTES are a pure function of the logical content — identical
+        # logical tables with different upstream chunking (cache-warm
+        # retry runs concat differently) must rewrite identical files
+        # for the retry contract (byte-level idempotency, test-pinned)
+        pq.write_table(results.combine_chunks(), tmp)
         os.replace(tmp, os.path.join(results_dir, f"part-{part:05d}.parquet"))
         t_write = time.perf_counter() - t0
 
