@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textops.cooccur_counts, ("w_a", "w_b", "n_cooccur")
         ),
         "tfidf_topterms": textops.tfidf_topterms,
+        "lm_score": textops.lm_score,
         "length_sketch_quantiles": textops.length_sketch_quantiles,
         "normalize_text": textops.normalize_text,
         # -- deduplication (pair queries via _pairs_query: a legitimately
@@ -206,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_outlinks": lambda sf: __import__(
             "wbot_ray.pipelines.webops", fromlist=["text_outlinks"]
         ).text_outlinks(sf),
+        "holdout_split": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["holdout_split"]
+        ).holdout_split(sf),
         "table_profile": lambda sf: __import__(
             "wbot_ray.pipelines.relational", fromlist=["table_profile"]
         ).table_profile(sf),
@@ -224,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).semantic_search(sf),
         "term_search": search.term_search,
         "phrase_search": _typed_query(search.phrase_search, ("doc_id", "n_matches")),
+        "bm25_search": _typed_query(
+            search.bm25_search, ("doc_id", "n_terms", "bm25_fp")
+        ),
         "freq_quality": textops.freq_quality,
         # -- multimodal plumbing
         "payload_features": multimodal.payload_features,
@@ -913,6 +920,13 @@ def oracle_sql() -> dict[str, str]:
                 "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
             )._pages_path_for("/root/testdata/sf0.01")
         ),
+        "holdout_split": __import__(
+            "wbot_ray.pipelines.webops", fromlist=["holdout_split_oracle_sql"]
+        ).holdout_split_oracle_sql(
+            __import__(
+                "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
+            )._pages_path_for("/root/testdata/sf0.01")
+        ),
         "bpe_pairs": __import__(
             "wbot_ray.pipelines.textops", fromlist=["bpe_pairs_oracle_sql"]
         ).bpe_pairs_oracle_sql(),
@@ -1038,6 +1052,12 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": __import__(
             "wbot_ray.pipelines.search", fromlist=["phrase_oracle_sql"]
         ).phrase_oracle_sql(),
+        "bm25_search": __import__(
+            "wbot_ray.pipelines.search", fromlist=["bm25_oracle_sql"]
+        ).bm25_oracle_sql(),
+        "lm_score": __import__(
+            "wbot_ray.pipelines.textops", fromlist=["lm_score_oracle_sql"]
+        ).lm_score_oracle_sql(),
         "global_shuffle": _global_shuffle_oracle_sql(),
         "quality_score": _quality_oracle_sql(),
         "text_stats": f"""

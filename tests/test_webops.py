@@ -438,3 +438,37 @@ class TestTextOutlinks:
         assert got["ref3.example.org"] == (1, 1)
         assert got["x.example.com"] == (1, 1)
         assert len(got) == 4
+
+
+class TestHoldoutSplit:
+    def test_parity_and_partition(self, ray_session, tmp_path):
+        """Randomized host set: value parity with the SQL twin, the
+        splits partition the corpus exactly, and every host lands in
+        one split (host-level leakage safety by construction)."""
+        rng = random.Random(7)
+        hosts = [f"h{i}.example" for i in range(40)]
+        urls = [
+            f"http://{rng.choice(hosts)}/p{j}?s={rng.randrange(5)}"
+            for j in range(300)
+        ]
+        p = _write_pages(tmp_path, urls)
+        ds = webops.holdout_split(str(tmp_path), pages_path=p)
+        _assert_match(ds, webops.holdout_split_oracle_sql(p))
+        got = {r["split"]: r for r in ds.take_all()}
+        assert set(got) <= {"train", "val", "test"}
+        assert sum(r["n_pages"] for r in got.values()) == len(urls)
+
+    def test_split_is_host_deterministic(self, ray_session, tmp_path):
+        """A host's pages all share one split: a one-host corpus
+        yields exactly one output row regardless of page count, and
+        widening the corpus never moves an existing host (stateless
+        salted gate — reproducible on any shard subset)."""
+        from wbot_ray.pipelines.common import md5_lower64
+
+        urls = [f"http://solo.example/p{i}" for i in range(25)]
+        p = _write_pages(tmp_path, urls)
+        rows = webops.holdout_split(str(tmp_path), pages_path=p).take_all()
+        assert len(rows) == 1 and rows[0]["n_pages"] == 25
+        r = md5_lower64(webops.SPLIT_SALT + "solo.example") % 100
+        want = "test" if r < 5 else ("val" if r < 10 else "train")
+        assert rows[0]["split"] == want

@@ -35,6 +35,9 @@ __all__ = [
     "build_pos_index",
     "phrase_search",
     "phrase_oracle_sql",
+    "build_doclen_table",
+    "bm25_search",
+    "bm25_oracle_sql",
     "DEFAULT_TERMS",
     "DEFAULT_PHRASE",
     "LAST_PRUNE_STATS",
@@ -389,4 +392,273 @@ def phrase_oracle_sql(phrase: tuple[str, ...] = DEFAULT_PHRASE) -> str:
                                       i -> {conds})) AS BIGINT) AS n_matches
           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         ) WHERE n_matches >= 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (integer fixed-point)
+# ---------------------------------------------------------------------------
+
+_DL_CACHE_VERSION = 1
+
+# fixed-point scales of the integer BM25 variant (shared verbatim with
+# the SQL twin — every division is int64 floor division in both engines)
+BM25_IDF_SCALE = 1_000_000
+BM25_TF_SCALE = 1_000
+
+# k1 = 6/5, b = 3/4 as exact rationals folded into the closed form below
+
+
+def _corpus_fp(sf_dir: str) -> str:
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    return hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+
+
+def build_doclen_table(
+    sf_dir: str, dl_dir: str, num_buckets: int = 64
+) -> tuple[int, int]:
+    """One-time doc-length side table for ranked retrieval: one
+    streaming pass writes ``(doc_id, dl)`` bucket-partitioned by
+    ``md5_lower64(doc_id) % num_buckets`` (``write_parquet(
+    partition_cols)`` — no shuffle, the staged-edge layout of
+    ``graph.link_pagerank``), plus a ``stats.json`` with the two
+    global scalars BM25 needs (corpus size ``n_docs`` and total token
+    count ``sum_dl``). Built once, probed many times; idempotent via
+    ``_DONE``. Returns ``(n_docs, sum_dl)``."""
+    import json
+
+    import pyarrow.compute as pc
+
+    stats_path = os.path.join(dl_dir, "stats.json")
+    if os.path.exists(os.path.join(dl_dir, "_DONE")):
+        with open(stats_path) as f:
+            st = json.load(f)
+        return st["n_docs"], st["sum_dl"]
+    os.makedirs(dl_dir, exist_ok=True)
+
+    def doclens(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        # dl = single-space token count = spaces + 1 (DuckDB
+        # len(string_split(text,' ')) computes the identical value,
+        # including 1 for the empty string)
+        dl = pc.add(
+            pc.count_substring(batch.column("text"), pattern=" "), 1
+        ).cast(pa.int64())
+        bucket = pa.array(
+            [
+                md5_lower64(str(d)) % num_buckets
+                for d in ids.to_pylist()
+            ],
+            pa.int64(),
+        )
+        return pa.table({"bucket": bucket, "doc_id": ids, "dl": dl})
+
+    data_dir = os.path.join(dl_dir, "data")
+    (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(doclens, batch_format="pyarrow")
+        .write_parquet(data_dir, partition_cols=["bucket"])
+    )
+    slim = ray.data.read_parquet(data_dir, columns=["dl"])
+    n_docs = slim.count()
+    sum_dl = int(slim.sum("dl"))
+    tmp = stats_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_docs": int(n_docs), "sum_dl": sum_dl}, f)
+    os.replace(tmp, stats_path)
+    with open(os.path.join(dl_dir, "_DONE"), "w") as f:
+        f.write("ok")
+    return int(n_docs), sum_dl
+
+
+def bm25_search(
+    sf_dir: str,
+    terms: tuple[str, ...] = DEFAULT_TERMS,
+    num_buckets: int = 64,
+    index_dir: str | None = None,
+    dl_dir: str | None = None,
+):
+    """Disjunctive (OR) ranked retrieval: every document containing at
+    least one query term, scored with an INTEGER fixed-point BM25
+    (k1 = 6/5, b = 3/4 folded into one closed form so both engines
+    evaluate the identical int64 expression — the repo's
+    float-determinism rule):
+
+        idf_fp(t)  = IDF_SCALE * (N - df_t + 1) // (df_t + 1)
+        tfc_fp(d,t)= 44 * tf * SUM_DL * TF_SCALE
+                     // (20 * tf * SUM_DL + 6 * SUM_DL + 18 * dl_d * N)
+        score(d)   = Σ_t idf_fp(t) * tfc_fp(d, t)
+
+    (the tfc closed form is tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with avgdl = SUM_DL/N, multiplied through by 20·SUM_DL; the idf is
+    the rational (N−df+1)/(df+1) — same monotonicity as the Robertson
+    log idf without transcendental functions. int64 envelope:
+    44·tf·SUM_DL·TF_SCALE must fit in 2^63 — holds to ~10^12 corpus
+    tokens; beyond that drop TF_SCALE a decade.)
+
+    Physical plan — nothing touches the raw corpus at query time:
+    probe ONLY the query terms' posting buckets (pruned-read fraction
+    logged), a tiny per-term aggregate computes exact global df (a
+    term's postings live wholly in its bucket), then ONE slim keyed
+    exchange on ``md5_lower64(doc_id) % B`` lands each doc's rows on
+    its doc-length bucket, where the build-once ``build_doclen_table``
+    layout supplies ``dl`` locally (the web-index lookup-join pattern:
+    the O(N) doc-length table is never shuffled).
+
+    Output: ``(doc_id, n_terms, bm25_fp)``, one row per matching doc.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    fp = _corpus_fp(sf_dir)
+    if index_dir is None:
+        index_dir = f"/tmp/wbot_ray_terms/v{_INDEX_CACHE_VERSION}/{fp}/b{num_buckets}"
+    if dl_dir is None:
+        dl_dir = f"/tmp/wbot_ray_doclen/v{_DL_CACHE_VERSION}/{fp}/b{num_buckets}"
+    build_term_index(sf_dir, index_dir, num_buckets)
+    n_docs, sum_dl = build_doclen_table(sf_dir, dl_dir, num_buckets)
+
+    qterms = sorted(set(terms))
+    used = sorted({_term_bucket(t, num_buckets) for t in qterms})
+    files = sorted(
+        f
+        for b in used
+        for f in glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))
+    )
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_terms", pa.int64()), ("bm25_fp", pa.int64())]
+    )
+    if not files:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    n_bucket_dirs = len(glob.glob(os.path.join(index_dir, "bucket=*")))
+    print(
+        f"[bm25_search] probing {len(used)}/{n_bucket_dirs} term buckets "
+        f"for {len(qterms)} terms (corpus untouched at query time)"
+    )
+
+    term_set = pa.array(qterms, pa.string())
+
+    def match(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch.column("token"), value_set=term_set))
+        return t.select(["token", "doc_id", "tf"])
+
+    matched = ray.data.read_parquet(files).map_batches(
+        match, batch_format="pyarrow"
+    )
+
+    # exact global df per query term: a term's postings all live in its
+    # bucket, and the probe read them all — a ≤|terms|-row aggregate
+    df_rows = matched.groupby("token").count().take_all()
+    dfs = {r["token"]: int(r["count()"]) for r in df_rows}
+    if not dfs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    idf_fp = {
+        t: BM25_IDF_SCALE * (n_docs - d + 1) // (d + 1) for t, d in dfs.items()
+    }
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch.column("token"), value_set=term_set))
+        idf = pa.array(
+            [idf_fp[tok] for tok in t.column("token").to_pylist()], pa.int64()
+        )
+        bucket = pa.array(
+            [md5_lower64(str(d)) % num_buckets for d in t.column("doc_id").to_pylist()],
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": bucket,
+                "doc_id": t.column("doc_id"),
+                "tf": t.column("tf"),
+                "idf_fp": idf,
+            }
+        )
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        b = int(group.column("bucket")[0].as_py())
+        d = os.path.join(dl_dir, "data", f"bucket={b}")
+        dl_tab = pq.read_table(d, columns=["doc_id", "dl"])
+        # align dl to the group's rows via sorted binary search
+        dl_ids = dl_tab.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(dl_ids, kind="stable")
+        dl_ids = dl_ids[order]
+        dl_vals = dl_tab.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(dl_ids, ids)
+        dl = dl_vals[pos]
+        tf = group.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        idf = group.column("idf_fp").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = 44 * tf * sum_dl * BM25_TF_SCALE
+        den = 20 * tf * sum_dl + 6 * sum_dl + 18 * dl * n_docs
+        term_score = idf * (num // den)
+        # per-doc fold: the exchange landed ALL of a doc's rows here
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "s": pa.array(term_score, pa.int64()),
+            }
+        )
+        agg = t.group_by("doc_id").aggregate([("s", "sum"), ("s", "count")])
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "n_terms": agg.column("s_count").cast(pa.int64()),
+                "bm25_fp": agg.column("s_sum"),
+            },
+            schema=out_schema,
+        )
+
+    # typed empty union: an all-empty result must keep the schema
+    return ray.data.from_arrow(out_schema.empty_table()).union(
+        ray.data.read_parquet(files)
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pyarrow")
+    )
+
+
+def bm25_oracle_sql(terms: tuple[str, ...] = DEFAULT_TERMS) -> str:
+    """DuckDB twin: recompute postings, df, doc lengths and the two
+    global scalars from the raw text with the identical single-space
+    tokenization, then evaluate the SAME int64 fixed-point BM25
+    closed form (``//`` floor division placement matches the engine
+    exactly)."""
+    qterms = sorted(set(terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in qterms)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        dl AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+        c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+        tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+          WHERE tok IN ({in_list}) GROUP BY doc_id, tok),
+        df AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        s AS (
+          SELECT tf.doc_id,
+                 ({BM25_IDF_SCALE} * (c.n - df.df + 1) // (df.df + 1))
+                 * ((44 * tf.tf * c.sumdl * {BM25_TF_SCALE})
+                    // (20 * tf.tf * c.sumdl + 6 * c.sumdl
+                        + 18 * dl.dl * c.n)) AS term_score
+          FROM tf
+          JOIN df USING (tok)
+          JOIN dl ON tf.doc_id = dl.doc_id, c)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(term_score) AS BIGINT) AS bm25_fp
+        FROM s GROUP BY doc_id
     """

@@ -44,6 +44,8 @@ __all__ = [
     "bpe_pairs_oracle_sql",
     "cooccur_counts",
     "cooccur_counts_oracle_sql",
+    "lm_score",
+    "lm_score_oracle_sql",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -1395,4 +1397,161 @@ def cooccur_counts_oracle_sql(window: int = 3, min_count: int = 5) -> str:
           ON a.doc_id = b.doc_id
          AND b.i > a.i AND b.i <= a.i + {window}
         GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM quality scoring (the CCNet perplexity-filter shape)
+# ---------------------------------------------------------------------------
+
+LM_TRAIN_SOURCE = "src0"  # the "clean reference corpus" slice (CCNet: wiki)
+
+
+def lm_score(sf_dir: str, train_source: str = LM_TRAIN_SOURCE):
+    """CCNet-style LM quality scoring: train a word-bigram language
+    model on ONE clean reference slice of the corpus (``source ==
+    train_source`` — CCNet trains KenLM on Wikipedia), then score every
+    document by its total surprisal under that model. Low
+    bits-per-bigram ≈ fluent/in-domain text; high ≈ junk — the
+    head/middle/tail quality buckets of the CCNet pipeline are
+    thresholds over this column.
+
+    Integer-exact surprisal (the float-determinism rule): per bigram
+    occurrence ``w1 w2``,
+
+        bits = bitlen(c(w1) + 1) - bitlen(c(w1 w2) + 1)
+
+    with train counts ``c`` and Laplace +1 — an integer floor-log2
+    conditional ``-log2 p(w2|w1)`` both engines compute exactly
+    (int.bit_length here, ``length(bin(x))`` in DuckDB). ``c(w1 w2)
+    <= c(w1)`` always, so bits >= 0. An UNSEEN left context takes
+    ``c(w1) := T`` (total train bigram count) — the OOV penalty
+    ``bitlen(T+1) - 1`` bits per bigram, the model's maximum; without
+    it out-of-vocabulary junk would score as perfectly fluent.
+
+    Physical plan: train = per-batch partial bigram counts over the
+    reference slice (pruned 2-column read) -> ONE tiny keyed exchange
+    (key cardinality = distinct train bigrams, vocab-bounded, never
+    corpus-bounded) -> the folded model is broadcast ONCE via
+    ``ray.put`` (the KenLM-binary seam); score = one stateless
+    map_batches pass over the corpus. Nothing re-ships the model per
+    batch; no full-corpus shuffle anywhere.
+
+    Output: ``(doc_id, n_bigrams, surprisal, sbpb_x1000)`` for every
+    document (``sbpb_x1000`` = surprisal * 1000 // n_bigrams, 0 for
+    docs with < 2 tokens)."""
+    import ray
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        src = batch.column("source").to_pylist()
+        for s, txt in zip(src, batch.column("text").to_pylist()):
+            if s != train_source:
+                continue
+            toks = txt.split(" ")
+            cnt.update(a + " " + b for a, b in zip(toks, toks[1:]))
+        if not cnt:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        ks, vs = zip(*cnt.items())
+        return pa.table(
+            {"bigram": pa.array(ks, pa.string()), "n": pa.array(vs, pa.int64())}
+        )
+
+    rows = (
+        read_table(sf_dir, "documents", ["source", "text"])
+        .map_batches(train_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    # fold the (vocab-bounded) model driver-side: per-key bit lengths,
+    # left-context counts derived from the bigram table
+    bg_bits: dict[str, int] = {}
+    w1_counts: dict[str, int] = {}
+    for r in rows:
+        bg, n = r["bigram"], int(r["n"])
+        bg_bits[bg] = (n + 1).bit_length()
+        w1 = bg.split(" ", 1)[0]
+        w1_counts[w1] = w1_counts.get(w1, 0) + n
+    w1_bits = {w: (n + 1).bit_length() for w, n in w1_counts.items()}
+    total = sum(w1_counts.values())
+    oov_bits = (total + 1).bit_length()  # unseen context: c(w1) := T
+    model_ref = ray.put((bg_bits, w1_bits, oov_bits))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bgb, w1b, oov = ray.get(model_ref)
+        o_n, o_s, o_q = [], [], []
+        for txt in batch.column("text").to_pylist():
+            toks = txt.split(" ")
+            nb = len(toks) - 1
+            if nb <= 0:
+                o_n.append(0)
+                o_s.append(0)
+                o_q.append(0)
+                continue
+            s = 0
+            for a, b in zip(toks, toks[1:]):
+                s += w1b.get(a, oov) - bgb.get(a + " " + b, 1)
+            o_n.append(nb)
+            o_s.append(s)
+            o_q.append(s * 1000 // nb)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(o_n, pa.int64()),
+                "surprisal": pa.array(o_s, pa.int64()),
+                "sbpb_x1000": pa.array(o_q, pa.int64()),
+            }
+        )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def lm_score_oracle_sql(train_source: str = LM_TRAIN_SOURCE) -> str:
+    """DuckDB twin: identical tokenization, train counts, Laplace +1
+    and ``length(bin(x))`` integer floor-log2 — value-exact for any
+    corpus."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents),
+        bg AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i])) AS w1
+          FROM toks),
+        train_bg AS (
+          SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+          FROM bg WHERE source = '{train_source}' GROUP BY 1),
+        train_w1 AS (
+          SELECT w1, CAST(SUM(n) AS BIGINT) AS n
+          FROM (SELECT string_split(bigram, ' ')[1] AS w1, n FROM train_bg)
+          GROUP BY 1),
+        tot AS (
+          SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS t FROM train_bg),
+        scored AS (
+          SELECT b.doc_id,
+                 CAST(length(bin(COALESCE(tw.n, tot.t) + 1)) AS BIGINT)
+                 - CAST(length(bin(COALESCE(tb.n, 0) + 1)) AS BIGINT) AS bits
+          FROM bg b
+          LEFT JOIN train_bg tb USING (bigram)
+          LEFT JOIN train_w1 tw ON b.w1 = tw.w1, tot),
+        agg AS (
+          SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS surprisal,
+                 CAST(COUNT(*) AS BIGINT) AS n_bigrams
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               COALESCE(a.surprisal, 0) AS surprisal,
+               CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
+                    ELSE a.surprisal * 1000 // a.n_bigrams END AS sbpb_x1000
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """

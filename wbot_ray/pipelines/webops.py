@@ -66,6 +66,8 @@ __all__ = [
     "host_dup_ratio_oracle_sql",
     "text_outlinks",
     "text_outlinks_oracle_sql",
+    "holdout_split",
+    "holdout_split_oracle_sql",
     "URL_MENTION_RE",
     "TRAP_DIGIT_RE",
 ]
@@ -1066,4 +1068,129 @@ def text_outlinks_oracle_sql() -> str:
                CAST(COUNT(*) AS BIGINT) AS n_mentions,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM h GROUP BY host
+    """
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe corpus split
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "split:"  # shared verbatim with the SQL twin
+SPLIT_TEST_PCT = 5
+SPLIT_VAL_PCT = 5
+
+
+def holdout_split(
+    sf_dir: str,
+    test_pct: int = SPLIT_TEST_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+    pages_path: str | None = None,
+):
+    """Leakage-safe train/val/test assignment of the page corpus: the
+    split key is the HOST, not the page — every page of a site lands in
+    the same split, so near-duplicate pages (templates, mirrors,
+    session-id variants) can never straddle the train/eval boundary
+    (the contamination mode a per-document split invites). Assignment
+    is the salted-hash gate of ``source_mix``: ``md5_lower64('split:'
+    + host) % 100`` → ``[0, test_pct)`` = test, ``[test_pct, test_pct
+    + val_pct)`` = val, rest train — reproducible on any shard subset,
+    no state.
+
+    Output is the audit summary ``(split, n_pages, n_hosts)`` (the
+    assignment itself is a stateless per-row function any downstream
+    stage re-applies for free). Shape — two slim exchanges over
+    host-cardinality rows: per-batch ``(split, host, n)`` partials off
+    a single-column read, exchange 1 finishes per-host page counts,
+    exchange 2 folds per split; page text/urls never cross the wire.
+
+    A production pipeline with the full PSL would key on the
+    registrable domain (``wbot_ray.urlnorm.registrable_domain``) —
+    the gated query keys on the regex host shared verbatim with the
+    DuckDB twin (subdomain-level granularity; strictly finer splits,
+    same leakage guarantee per host)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from wbot_ray.pipelines.common import md5_lower64
+
+    pages = rd.read_parquet(pages_path or _pages_path_for(sf_dir), columns=["url"])
+    t_hi, v_hi = int(test_pct), int(test_pct) + int(val_pct)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(batch.select(["url"]))
+            .with_columns(
+                host=pl.col("url").str.extract(HOST_RE, 1).fill_null("").str.to_lowercase()
+            )
+            .group_by("host")
+            .agg(n=pl.len().cast(pl.Int64))
+        )
+        hosts = df.get_column("host").to_list()
+        splits = [
+            "test" if r < t_hi else ("val" if r < v_hi else "train")
+            for r in (md5_lower64(SPLIT_SALT + h) % 100 for h in hosts)
+        ]
+        return pa.table(
+            {
+                "split": pa.array(splits, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "n": df.get_column("n").to_arrow().cast(pa.int64()),
+            }
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "split": batch.column("split"),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "split": batch.column("split"),
+                "n_pages": pc.cast(batch.column("n_pages"), pa.int64()),
+                "n_hosts": pc.cast(batch.column("n_hosts"), pa.int64()),
+            }
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "host"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Sum("n", alias_name="n_pages"), Sum("one", alias_name="n_hosts"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def holdout_split_oracle_sql(
+    pages_path: str,
+    test_pct: int = SPLIT_TEST_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+) -> str:
+    """DuckDB twin: same host regex, same salted md5 gate."""
+    return f"""
+        WITH p AS (
+          SELECT lower(COALESCE(regexp_extract(url, '{HOST_RE}', 1), '')) AS host
+          FROM read_parquet('{pages_path}')
+        ), s AS (
+          SELECT host,
+                 CASE WHEN md5_number_lower('{SPLIT_SALT}' || host) % 100
+                           < {int(test_pct)} THEN 'test'
+                      WHEN md5_number_lower('{SPLIT_SALT}' || host) % 100
+                           < {int(test_pct) + int(val_pct)} THEN 'val'
+                      ELSE 'train' END AS split,
+                 COUNT(*) AS n
+          FROM p GROUP BY host
+        )
+        SELECT split,
+               CAST(SUM(n) AS BIGINT) AS n_pages,
+               CAST(COUNT(*) AS BIGINT) AS n_hosts
+        FROM s GROUP BY split
     """
