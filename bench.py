@@ -115,14 +115,19 @@ def run_crawl_bench(num_cpus: int) -> dict:
     workdir = os.path.join(_bench_root(), f"run_cpus{num_cpus}")
     shutil.rmtree(workdir, ignore_errors=True)
     # partitioning is FIXED across parallelism levels so the scaling runs
-    # execute identical work (only the executor width changes); the hot
-    # host (20x pages) is salt-split so no single fetch task straggles
+    # execute identical work (only the executor width changes). Threshold
+    # 128: ANY root above 128 frontier rows is salt-split, not just the
+    # 20x hot host — fetch cost per row varies ~20x across roots (wide
+    # bodies), so coarse parts made one task a 10 s straggler in a round
+    # with 7 s of work per executor; sub-parts stride the sort key space,
+    # spreading an expensive root across tasks (max part 9.5 s -> 3.1 s
+    # measured at 32 CPUs, metrics byte-identical)
     cfg = CrawlConfig(
         max_depth=MAX_DEPTH,
         max_body_size=64 * 1024,
         num_buckets=NUM_BUCKETS,
         seen_shards=16,
-        hot_host_threshold=512,
+        hot_host_threshold=128,
         local_round_threshold=16_384,
     )
     seeds = seeds_for_scale(BENCH_SCALE, N_SEEDS)

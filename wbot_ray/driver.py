@@ -271,14 +271,29 @@ class Crawler:
 
         cfg = self.cfg
         assigned = make_assign_fetch_part(cfg, hot_roots)(frontier_tbl)
-        fused = ray.remote(
-            make_fused_fetch_fn(index_dir, cfg, results_dir, metrics_parts, hot_roots)
+        fused_fn = make_fused_fetch_fn(
+            index_dir, cfg, results_dir, metrics_parts, hot_roots
         )
-        refs = []
-        for part in sorted(set(assigned.column("fetch_part").to_pylist())):
-            sub = assigned.filter(pc.equal(assigned.column("fetch_part"), part))
-            refs.append(fused.remote(sub))
-        cand_parts = ray.get(refs)
+        parts = sorted(set(assigned.column("fetch_part").to_pylist()))
+        # tiny rounds produce hundreds of near-empty parts; one Ray task
+        # per part is pure launch latency. Chunk parts into ~4 tasks per
+        # executor slot — each task runs its parts' fused calls
+        # sequentially, so every per-part artifact (results file, metric
+        # sidecar) is byte-identical to the one-task-per-part layout.
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n_tasks = max(1, min(len(parts), 4 * ncpu))
+
+        @ray.remote
+        def run_parts(sub_tbls: list[pa.Table]) -> list[pa.Table]:
+            return [fused_fn(t) for t in sub_tbls]
+
+        chunks: list[list[pa.Table]] = [[] for _ in range(n_tasks)]
+        for i, part in enumerate(parts):
+            chunks[i % n_tasks].append(
+                assigned.filter(pc.equal(assigned.column("fetch_part"), part))
+            )
+        refs = [run_parts.remote(c) for c in chunks if c]
+        cand_parts = [t for sub in ray.get(refs) for t in sub]
         cand = pa.concat_tables(cand_parts).combine_chunks()
         # shard dedups are independent (one ordered actor call each) —
         # run them as parallel raw tasks, not a sequential RPC chain
@@ -478,16 +493,23 @@ class Crawler:
                 else:
                     # block count = shuffle/task width of the round. Two
                     # floors: enough rows per block (batch_size) AND at
-                    # least 2 tasks per executor slot — a width below the
+                    # least 4 tasks per executor slot — a width below the
                     # CPU count caps the fused stage's parallelism (seen
-                    # as a 1.8x round-5 speedup on 4x CPUs); capped at
-                    # num_buckets (a group cannot split across tasks).
+                    # as a 1.8x round-5 speedup on 4x CPUs) and coarse
+                    # blocks let one expensive fetch part straggle the
+                    # whole round (measured: a 10 s straggler task in a
+                    # 7 s-of-work round). Capped at the distinct part
+                    # count (a group cannot split across tasks): buckets
+                    # plus the extra sub-parts the hot-root salts add.
                     ncpu = int(ray.cluster_resources().get("CPU", 8))
+                    n_parts = cfg.num_buckets + sum(
+                        k - 1 for k in (hot_roots or {}).values()
+                    )
                     n_blocks = max(
                         1,
                         min(
-                            cfg.num_buckets,
-                            max(2 * ncpu, math.ceil(n_d / cfg.batch_size)),
+                            n_parts,
+                            max(4 * ncpu, math.ceil(n_d / cfg.batch_size)),
                         ),
                     )
                     pipe = (
