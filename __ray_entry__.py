@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "tfidf_topterms": textops.tfidf_topterms,
         "lm_score": textops.lm_score,
+        "dsir_logweight": textops.dsir_logweight,
         "length_sketch_quantiles": textops.length_sketch_quantiles,
         "normalize_text": textops.normalize_text,
         # -- deduplication (pair queries via _pairs_query: a legitimately
@@ -161,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_dist": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["degree_dist"]
         ).degree_dist(sf),
+        "host_sssp": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["host_sssp"]
+        ).host_sssp(sf),
         "retention_cohorts": lambda sf: __import__(
             "wbot_ray.pipelines.relational", fromlist=["retention_cohorts"]
         ).retention_cohorts(sf),
@@ -210,6 +214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holdout_split": lambda sf: __import__(
             "wbot_ray.pipelines.webops", fromlist=["holdout_split"]
         ).holdout_split(sf),
+        "warc_stats": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["warc_stats"]
+        ).warc_stats(sf),
         "table_profile": lambda sf: __import__(
             "wbot_ray.pipelines.relational", fromlist=["table_profile"]
         ).table_profile(sf),
@@ -904,6 +911,9 @@ def oracle_sql() -> dict[str, str]:
         "degree_dist": __import__(
             "wbot_ray.pipelines.graph", fromlist=["degree_dist_oracle_sql"]
         ).degree_dist_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "host_sssp": __import__(
+            "wbot_ray.pipelines.graph", fromlist=["host_sssp_oracle_sql"]
+        ).host_sssp_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "retention_cohorts": __import__(
             "wbot_ray.pipelines.relational", fromlist=["retention_cohorts_oracle_sql"]
         ).retention_cohorts_oracle_sql(),
@@ -923,6 +933,13 @@ def oracle_sql() -> dict[str, str]:
         "holdout_split": __import__(
             "wbot_ray.pipelines.webops", fromlist=["holdout_split_oracle_sql"]
         ).holdout_split_oracle_sql(
+            __import__(
+                "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
+            )._pages_path_for("/root/testdata/sf0.01")
+        ),
+        "warc_stats": __import__(
+            "wbot_ray.pipelines.webops", fromlist=["warc_stats_oracle_sql"]
+        ).warc_stats_oracle_sql(
             __import__(
                 "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
             )._pages_path_for("/root/testdata/sf0.01")
@@ -1058,6 +1075,9 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": __import__(
             "wbot_ray.pipelines.textops", fromlist=["lm_score_oracle_sql"]
         ).lm_score_oracle_sql(),
+        "dsir_logweight": __import__(
+            "wbot_ray.pipelines.textops", fromlist=["dsir_logweight_oracle_sql"]
+        ).dsir_logweight_oracle_sql(),
         "global_shuffle": _global_shuffle_oracle_sql(),
         "quality_score": _quality_oracle_sql(),
         "text_stats": f"""

@@ -264,6 +264,12 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "host_dup_ratio",
         "text_outlinks",
         "table_profile",
+        "bm25_search",
+        "lm_score",
+        "dsir_logweight",
+        "holdout_split",
+        "warc_stats",
+        "host_sssp",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -3720,3 +3720,122 @@ class TestTableProfile:
         assert got["l_quantity"] == (3, 1, 100, 200, 300)
         assert got["l_discount"] == (3, 2, 5, 5, 5)
         assert got["l_extendedprice"] == (3, 0, 1001, 3003, 6006)
+
+
+class TestHostSssp:
+    def _links(self, tmp_path, rows, gated=None):
+        p = os.path.join(tmp_path, "links.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": pa.array([a for a, _ in rows], pa.string()),
+                    "dst_url": pa.array([b for _, b in rows], pa.string()),
+                    "gated": pa.array(gated or [True] * len(rows), pa.bool_()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    def test_chain_cycle_and_unreachable(self, tmp_path, ray_session):
+        """Directed BFS from the max-out-degree source host (all-ties
+        graph -> lexicographic tie-break picks a.com): chain distances
+        are hop counts, a back-cycle never inflates a settled distance,
+        hosts not reachable from the seed are absent, directionality is
+        respected — parity with the recursive-CTE twin on both
+        execution paths."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        rows = [
+            # all hosts have out-degree 1 -> tie-break seeds a.com;
+            # chain a -> b -> c
+            ("https://a.com/1", "https://b.com/1"),
+            ("https://b.com/1", "https://c.com/1"),
+            # cycle back c -> a: must not change any settled dist
+            ("https://c.com/1", "https://a.com/2"),
+            # a also links c directly via a second page? no — keep c at 2
+            # z.org is only a SOURCE pointing at a.com: never reached
+            # (direction matters), and never the seed (a.com < z.org)
+            ("https://z.org/1", "https://a.com/3"),
+            # island pair, unreachable from the seed
+            ("https://q.net/1", "https://r.net/1"),
+        ]
+        p = self._links(tmp_path, rows)
+        got = {
+            r["host"]: r["dist"]
+            for r in graph.host_sssp(str(tmp_path), links_path=p).take_all()
+        }
+        want = {
+            h: d
+            for h, d in duckdb.connect()
+            .execute(graph.host_sssp_oracle_sql(p))
+            .fetchall()
+        }
+        assert got == want
+        assert got == {"a.com": 0, "b.com": 1, "c.com": 2}
+        # distributed path (local_threshold=0) is value-identical
+        dist = {
+            r["host"]: r["dist"]
+            for r in graph.host_sssp(
+                str(tmp_path), links_path=p, local_threshold=0
+            ).take_all()
+        }
+        assert dist == got
+
+    def test_max_hops_bounds_both_engines(self, tmp_path, ray_session):
+        """A chain longer than max_hops truncates identically in the
+        engine and the recursive oracle (the shared contract that also
+        keeps the CTE finite on cycles)."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        hosts = [f"h{i:02d}.com" for i in range(6)]
+        rows = [
+            (f"https://{hosts[i]}/x", f"https://{hosts[i + 1]}/x")
+            for i in range(len(hosts) - 1)
+        ]
+        p = self._links(tmp_path, rows)
+        for path_kw in ({}, {"local_threshold": 0}):
+            got = {
+                r["host"]: r["dist"]
+                for r in graph.host_sssp(
+                    str(tmp_path), links_path=p, max_hops=3, **path_kw
+                ).take_all()
+            }
+            assert got == {"h00.com": 0, "h01.com": 1, "h02.com": 2, "h03.com": 3}
+        want = {
+            h: d
+            for h, d in duckdb.connect()
+            .execute(graph.host_sssp_oracle_sql(p, max_hops=3))
+            .fetchall()
+        }
+        assert want == {"h00.com": 0, "h01.com": 1, "h02.com": 2, "h03.com": 3}
+
+    def test_seed_is_max_out_degree_hub(self, tmp_path, ray_session):
+        """The seed is the best-connected source host, NOT the
+        lexicographic minimum: hub.com (out-degree 3) wins over
+        a.com (out-degree 1) on both execution paths and in the twin."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        rows = [
+            ("https://hub.com/x", "https://m1.com/x"),
+            ("https://hub.com/x", "https://m2.com/x"),
+            ("https://hub.com/x", "https://m3.com/x"),
+            ("https://a.com/x", "https://hub.com/x"),
+        ]
+        p = self._links(tmp_path, rows)
+        for path_kw in ({}, {"local_threshold": 0}):
+            got = {
+                r["host"]: r["dist"]
+                for r in graph.host_sssp(str(tmp_path), links_path=p, **path_kw).take_all()
+            }
+            assert got == {"hub.com": 0, "m1.com": 1, "m2.com": 1, "m3.com": 1}
+        want = dict(
+            duckdb.connect().execute(graph.host_sssp_oracle_sql(p)).fetchall()
+        )
+        assert want == {"hub.com": 0, "m1.com": 1, "m2.com": 1, "m3.com": 1}

@@ -143,3 +143,42 @@ class TestLmScore:
         _assert_match(
             textops.lm_score(str(tmp_path)), textops.lm_score_oracle_sql(), p
         )
+
+
+class TestDsir:
+    def test_target_like_scores_higher_and_parity(self, ray_session, tmp_path):
+        """Docs built from target-slice bigrams get a higher log
+        importance weight than off-target docs; exact parity with the
+        SQL twin (md5 feature hash, bit-length logs, closed-form
+        normalizer)."""
+        target = ["alpha beta alpha beta alpha beta", "alpha beta gamma"]
+        texts = target + [
+            "alpha beta alpha beta",   # target-like
+            "zz yy xx ww vv uu",       # off-target
+            "solo",                    # 0 features
+        ]
+        sources = ["src0", "src0", "web", "web", "web"]
+        p = _write_docs(tmp_path, texts, sources)
+        ds = textops.dsir_logweight(str(tmp_path))
+        _assert_match(ds, textops.dsir_logweight_oracle_sql(), p)
+        got = {r["doc_id"]: r for r in ds.take_all()}
+        assert got[2]["logw_bits"] > got[3]["logw_bits"]
+        assert got[4] == {"doc_id": 4, "n_feats": 0, "logw_bits": 0}
+
+    def test_randomized_parity(self, ray_session, tmp_path):
+        """Randomized corpus and target slice: every row value-exact
+        (hash bucketing collisions included — both engines share the
+        md5 % n_features identity)."""
+        rng = random.Random(31)
+        vocab = [f"w{i}" for i in range(25)]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 25)))
+            for _ in range(90)
+        ]
+        sources = [rng.choice(["src0", "src1"]) for _ in texts]
+        p = _write_docs(tmp_path, texts, sources)
+        _assert_match(
+            textops.dsir_logweight(str(tmp_path)),
+            textops.dsir_logweight_oracle_sql(),
+            p,
+        )

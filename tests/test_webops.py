@@ -472,3 +472,38 @@ class TestHoldoutSplit:
         r = md5_lower64(webops.SPLIT_SALT + "solo.example") % 100
         want = "test" if r < 5 else ("val" if r < 10 else "train")
         assert rows[0]["split"] == want
+
+
+class TestWarcStats:
+    def _pages(self, tmp_path, urls, texts, langs):
+        import pandas as pd
+
+        p = os.path.join(tmp_path, "pages.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(
+                        pd.to_datetime([1_700_000_000_000_000 + i for i in range(len(urls))], unit="us"),
+                        pa.timestamp("us"),
+                    ),
+                    "html": pa.array([t.encode() for t in texts], pa.binary()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    def test_roundtrip_fingerprint_parity(self, ray_session, tmp_path):
+        """The engine's stats come from a WARC-lite export + read-back
+        while the oracle scans the original parquet — equality proves
+        the connector loses/duplicates/corrupts nothing (XOR content
+        fingerprint included). Non-ASCII text pins strlen=bytes."""
+        urls = [f"http://h{i % 3}.example/p{i}" for i in range(40)]
+        texts = [f"text {i} naïve café {'x' * (i % 7)}" for i in range(40)]
+        langs = ["en" if i % 2 else "fr" for i in range(40)]
+        p = self._pages(tmp_path, urls, texts, langs)
+        ds = webops.warc_stats(str(tmp_path), pages_path=p)
+        _assert_match(ds, webops.warc_stats_oracle_sql(p))

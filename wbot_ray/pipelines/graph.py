@@ -44,6 +44,8 @@ __all__ = [
     "link_reciprocity_oracle_sql",
     "degree_dist",
     "degree_dist_oracle_sql",
+    "host_sssp",
+    "host_sssp_oracle_sql",
 ]
 
 ONE = 1 << 20  # fixed-point unit
@@ -1989,4 +1991,298 @@ def degree_dist_oracle_sql(links_path: str) -> str:
         )
         SELECT in_deg, CAST(COUNT(*) AS BIGINT) AS n_urls
         FROM ind GROUP BY in_deg
+    """
+
+
+# -- host-graph BFS distances (single-source shortest paths) --------------
+
+
+def host_sssp(
+    sf_dir: str,
+    max_hops: int = 8,
+    num_buckets: int = 8,
+    links_path: str | None = None,
+    local_threshold: int = 100_000,
+):
+    """Directed BFS hop distance over the DISTINCT host graph from a
+    deterministic seed — the "how far does influence/discovery travel
+    from a site" signal (seed-set expansion radius, crawl-depth audit
+    at host granularity). Seed = the source host with the HIGHEST
+    distinct out-degree, ties broken by lexicographically smallest
+    name (content-derived, no config — the best-connected site, so the
+    BFS actually explores; a lexicographic-min seed lands on stub
+    hosts). Output ``(host, dist)`` for every host reachable in ≤
+    ``max_hops`` directed hops; unreachable hosts are absent.
+    ``max_hops`` is part of the operator contract (shared with the SQL
+    twin), which also bounds the recursive oracle on cyclic graphs.
+
+    Ray shape — the :func:`link_pagerank` staged-edge skeleton, BFS
+    flavored: the distinct host pairs (one pair-dedup exchange, shared
+    helper) are hashed to int64 ids and staged ONCE as
+    bucket-partitioned parquet; each of the ``max_hops`` rounds is ONE
+    ``groupby(bucket).map_groups`` exchange carrying slim ``(bucket,
+    node, dist)`` int64 state rows — the fold keeps the per-node MIN
+    dist, and only the round's FRONTIER (nodes first settled last
+    round) fans out over its bucket's staged out-edges, so a round's
+    wire cost is O(V + frontier out-edges), never O(E · rounds). Host
+    strings ride only the final exchange (the nodemap pattern). The
+    whole BFS is one lazy DAG — no driver sync per round.
+
+    Below ``local_threshold`` distinct pairs the BFS runs driver-side
+    on the materialized pair set (the local-tiny-round scheduler
+    choice; both paths are pinned to the same oracle in
+    ``tests/test_pipelines.py``)."""
+    import os
+    import tempfile
+
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    links = rd.read_parquet(
+        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    )
+    pairs = _distinct_host_pairs(links, num_buckets)
+    out_schema = pa.schema([("host", pa.string()), ("dist", pa.int64())])
+
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if n_pairs <= local_threshold:
+        import ray
+
+        tbl = pa.concat_tables(
+            [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        )
+        src = tbl.column("src_url").to_pylist()
+        dst = tbl.column("dst_url").to_pylist()
+        adj: dict[str, list[str]] = {}
+        for s, d in zip(src, dst):
+            adj.setdefault(s, []).append(d)
+        # pairs are globally distinct, so len(adj[s]) IS the distinct
+        # out-degree; max degree, lexicographic tie-break
+        seed = min(adj, key=lambda s: (-len(adj[s]), s))
+        dist = {seed: 0}
+        frontier = [seed]
+        for r in range(1, max_hops + 1):
+            nxt = []
+            for h in frontier:
+                for d in adj.get(h, ()):
+                    if d not in dist:
+                        dist[d] = r
+                        nxt.append(d)
+            if not nxt:
+                break
+            frontier = nxt
+        hosts = sorted(dist)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(hosts, pa.string()),
+                    "dist": pa.array([dist[h] for h in hosts], pa.int64()),
+                },
+                schema=out_schema,
+            )
+        )
+
+    # ---- distributed path: staged edges + min-fold BFS rounds
+    M = (1 << 63) - 1
+
+    def hash_arr(urls: list) -> np.ndarray:
+        h = pl.Series(urls, dtype=pl.String).hash(seed=0).to_numpy()
+        return (h & np.uint64(M)).astype(np.int64)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        sh = hash_arr(batch.column("src_url").to_pylist())
+        dh = hash_arr(batch.column("dst_url").to_pylist())
+        return pa.table(
+            {
+                "bucket": pa.array(sh % num_buckets, pa.int64()),
+                "src": pa.array(sh, pa.int64()),
+                "dst": pa.array(dh, pa.int64()),
+                "dst_bucket": pa.array(dh % num_buckets, pa.int64()),
+            }
+        )
+
+    def to_nodemap(batch: pa.Table) -> pa.Table:
+        hosts = list(
+            dict.fromkeys(
+                batch.column("src_url").to_pylist()
+                + batch.column("dst_url").to_pylist()
+            )
+        )
+        h = hash_arr(hosts)
+        return pa.table(
+            {
+                "bucket": pa.array(h % num_buckets, pa.int64()),
+                "node": pa.array(h, pa.int64()),
+                "dist": pa.nulls(len(h), pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+            }
+        )
+
+    edge_dir = tempfile.mkdtemp(prefix="wbot_sssp_edges_")
+    pairs.map_batches(to_edges, batch_format="pyarrow").write_parquet(
+        edge_dir, partition_cols=["bucket"]
+    )
+    _EDGE_SCHEMA = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("dst_bucket", pa.int64())]
+    )
+
+    def _read_bucket(k: int) -> pa.Table:
+        d = os.path.join(edge_dir, f"bucket={k}")
+        if not os.path.isdir(d):
+            return _EDGE_SCHEMA.empty_table()
+        return pq.read_table(d, columns=["src", "dst", "dst_bucket"])
+
+    # seed: max-distinct-out-degree source host (lexicographic
+    # tie-break). Pairs are globally distinct, so a (src, deg) count is
+    # exact; per-block argmax partials keep the driver pull at
+    # O(blocks), not O(hosts).
+    def batch_best(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], pa.string()), "deg": pa.array([], pa.int64())}
+            )
+        h, deg = min(
+            zip(
+                batch.column("src_url").to_pylist(),
+                batch.column("count()").to_pylist(),
+            ),
+            key=lambda t: (-int(t[1]), t[0]),
+        )
+        return pa.table(
+            {"h": pa.array([h], pa.string()), "deg": pa.array([int(deg)], pa.int64())}
+        )
+
+    degs = (
+        pairs.groupby("src_url")
+        .count()
+        .map_batches(batch_best, batch_format="pyarrow")
+        .take_all()
+    )
+    seed_host = min(degs, key=lambda r: (-int(r["deg"]), r["h"]))["h"]
+    seed_id = int(hash_arr([seed_host])[0])
+
+    state_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("node", pa.int64()),
+            ("dist", pa.int64()),
+            ("host", pa.string()),
+        ]
+    )
+    state = rd.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array([seed_id % num_buckets], pa.int64()),
+                "node": pa.array([seed_id], pa.int64()),
+                "dist": pa.array([0], pa.int64()),
+                "host": pa.nulls(1, pa.string()),
+            },
+            schema=state_schema,
+        )
+    )
+
+    def make_step(r: int):
+        """Round r: min-fold this bucket's state, fan the round's
+        frontier (dist == r-1) over the bucket's staged out-edges."""
+
+        def step(group: pa.Table) -> pa.Table:
+            g = group.filter(pc.is_null(group.column("host")))
+            folded = g.group_by(["node", "bucket"]).aggregate([("dist", "min")])
+            settled = pa.table(
+                {
+                    "bucket": folded.column("bucket"),
+                    "node": folded.column("node"),
+                    "dist": folded.column("dist_min"),
+                    "host": pa.nulls(folded.num_rows, pa.string()),
+                },
+                schema=state_schema,
+            )
+            out = [settled]
+            frontier = folded.filter(pc.equal(folded.column("dist_min"), r - 1))
+            if frontier.num_rows:
+                b = int(group.column("bucket")[0].as_py())
+                e = _read_bucket(b)
+                if e.num_rows:
+                    j = e.join(
+                        frontier.select(["node"]).rename_columns(["src"]),
+                        keys="src",
+                        join_type="inner",
+                    )
+                    if j.num_rows:
+                        cand = j.group_by(["dst", "dst_bucket"]).aggregate([])
+                        out.append(
+                            pa.table(
+                                {
+                                    "bucket": cand.column("dst_bucket"),
+                                    "node": cand.column("dst"),
+                                    "dist": pa.array(
+                                        np.full(cand.num_rows, r, np.int64), pa.int64()
+                                    ),
+                                    "host": pa.nulls(cand.num_rows, pa.string()),
+                                },
+                                schema=state_schema,
+                            )
+                        )
+            return pa.concat_tables(out)
+
+        return step
+
+    for r in range(1, max_hops + 1):
+        state = state.groupby("bucket").map_groups(
+            make_step(r), batch_format="pyarrow"
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        has_host = pc.is_valid(group.column("host"))
+        nm = (
+            group.filter(has_host)
+            .select(["node", "host"])
+            .group_by(["node", "host"])
+            .aggregate([])
+        )
+        g = group.filter(pc.invert(has_host))
+        folded = g.group_by("node").aggregate([("dist", "min")])
+        j = folded.join(nm, keys="node", join_type="inner")
+        return pa.table(
+            {"host": j.column("host"), "dist": j.column("dist_min")},
+            schema=out_schema,
+        )
+
+    nodemap = pairs.map_batches(to_nodemap, batch_format="pyarrow")
+    resolved = (
+        state.union(nodemap)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+    return rd.from_arrow(out_schema.empty_table()).union(resolved)
+
+
+def host_sssp_oracle_sql(links_path: str, max_hops: int = 8) -> str:
+    """DuckDB twin: recursive-CTE BFS over the distinct host pairs,
+    seed = the max-distinct-out-degree source host (lexicographic
+    tie-break), min-dist fold; the ``dist <= max_hops`` bound makes
+    the recursion finite on cyclic graphs (same contract as the
+    engine's round count)."""
+    return f"""
+        WITH RECURSIVE p AS (
+          SELECT DISTINCT
+            lower(COALESCE(regexp_extract(src_url, '{HOST_RE}', 1), '')) AS s,
+            lower(COALESCE(regexp_extract(dst_url, '{HOST_RE}', 1), '')) AS d
+          FROM read_parquet('{links_path}') WHERE gated
+        ), seed AS (
+          SELECT s AS h FROM (
+            SELECT s, COUNT(*) AS deg FROM p GROUP BY s
+          ) ORDER BY deg DESC, s LIMIT 1
+        ), bfs(host, dist) AS (
+          SELECT h, 0 FROM seed
+          UNION
+          SELECT p.d, b.dist + 1
+          FROM bfs b JOIN p ON p.s = b.host
+          WHERE b.dist + 1 <= {max_hops}
+        )
+        SELECT host, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM bfs GROUP BY host
     """

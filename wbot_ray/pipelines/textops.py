@@ -46,6 +46,8 @@ __all__ = [
     "cooccur_counts_oracle_sql",
     "lm_score",
     "lm_score_oracle_sql",
+    "dsir_logweight",
+    "dsir_logweight_oracle_sql",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -1554,4 +1556,173 @@ def lm_score_oracle_sql(train_source: str = LM_TRAIN_SOURCE) -> str:
                CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
                     ELSE a.surprisal * 1000 // a.n_bigrams END AS sbpb_x1000
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_N_FEATURES = 4096
+DSIR_TARGET_SOURCE = LM_TRAIN_SOURCE  # the "target distribution" slice
+
+
+def dsir_logweight(
+    sf_dir: str,
+    target_source: str = DSIR_TARGET_SOURCE,
+    n_features: int = DSIR_N_FEATURES,
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed n-gram features are under the
+    TARGET distribution (the ``source == target_source`` slice — DSIR
+    uses Wikipedia+books) than under the RAW corpus distribution.
+    High ``logw_bits`` = target-like; resampling by this weight is the
+    DSIR selection stage.
+
+    Features are word bigrams hashed into ``n_features`` buckets with
+    the oracle-shared identity ``md5_number_lower(bigram) %
+    n_features`` (hashing IS the DSIR trick — it bounds the model at
+    any corpus scale). Integer-exact log-likelihood ratio via
+    bit-length logs (the ``lm_score`` rule): per feature occurrence
+
+        bits = bitlen(c_tgt(f) + 1) - bitlen(c_raw(f) + 1)
+
+    and per document
+
+        logw_bits = sum(bits) + n_feats * (bitlen(N_raw + 1)
+                                           - bitlen(N_tgt + 1))
+
+    (the corpus-size normalizers are constant per occurrence, so they
+    fold into one closed form — both engines evaluate it exactly).
+
+    Physical plan: ONE combined counting pass (per-batch partial rows
+    carry the target count and the raw count per feature — the target
+    slice is a subset of the corpus, so one read covers both), one
+    keyed exchange whose cardinality is ``n_features`` (never corpus-
+    bounded), the two folded count vectors broadcast ONCE via
+    ``ray.put`` as numpy arrays, then one stateless scoring pass.
+
+    Output: ``(doc_id, n_feats, logw_bits)`` for every document."""
+    import ray
+
+    from wbot_ray.pipelines.common import md5_lower64
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        tgt = np.zeros(n_features, np.int64)
+        raw = np.zeros(n_features, np.int64)
+        for s, txt in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = txt.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                f = md5_lower64(a + " " + b) % n_features
+                raw[f] += 1
+                if s == target_source:
+                    tgt[f] += 1
+        nz = np.nonzero(raw)[0]
+        return pa.table(
+            {
+                "f": pa.array(nz, pa.int64()),
+                "n_tgt": pa.array(tgt[nz], pa.int64()),
+                "n_raw": pa.array(raw[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        read_table(sf_dir, "documents", ["source", "text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(Sum("n_tgt", alias_name="n_tgt"), Sum("n_raw", alias_name="n_raw"))
+        .take_all()
+    )
+    tgt = np.zeros(n_features, np.int64)
+    raw = np.zeros(n_features, np.int64)
+    for r in rows:
+        tgt[int(r["f"])] = int(r["n_tgt"])
+        raw[int(r["f"])] = int(r["n_raw"])
+    n_tgt_total, n_raw_total = int(tgt.sum()), int(raw.sum())
+    # exact integer floor-log2 of (count + 1), vectorized: counts are
+    # < 2^53 so the float64 exponent is exact (np.frexp), matching
+    # DuckDB length(bin(x)) and int.bit_length
+    bits_tgt = np.frexp((tgt + 1).astype(np.float64))[1].astype(np.int64)
+    bits_raw = np.frexp((raw + 1).astype(np.float64))[1].astype(np.int64)
+    norm = (n_raw_total + 1).bit_length() - (n_tgt_total + 1).bit_length()
+    model_ref = ray.put((bits_tgt - bits_raw, norm))
+
+    def score(batch: pa.Table) -> pa.Table:
+        diff, nrm = ray.get(model_ref)
+        o_n, o_w = [], []
+        for txt in batch.column("text").to_pylist():
+            toks = txt.split(" ")
+            nf = len(toks) - 1
+            if nf <= 0:
+                o_n.append(0)
+                o_w.append(0)
+                continue
+            s = 0
+            for a, b in zip(toks, toks[1:]):
+                s += int(diff[md5_lower64(a + " " + b) % n_features])
+            o_n.append(nf)
+            o_w.append(s + nf * nrm)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_feats": pa.array(o_n, pa.int64()),
+                "logw_bits": pa.array(o_w, pa.int64()),
+            }
+        )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def dsir_logweight_oracle_sql(
+    target_source: str = DSIR_TARGET_SOURCE,
+    n_features: int = DSIR_N_FEATURES,
+) -> str:
+    """DuckDB twin: identical tokenization, identical
+    ``md5_number_lower % n_features`` feature hash, identical
+    bit-length closed form."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents),
+        bg AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM toks),
+        f AS (
+          SELECT doc_id, source,
+                 CAST(md5_number_lower(bigram) % {n_features} AS BIGINT) AS f
+          FROM bg),
+        tgt AS (
+          SELECT f, CAST(COUNT(*) AS BIGINT) AS n
+          FROM f WHERE source = '{target_source}' GROUP BY f),
+        raw AS (
+          SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY f),
+        consts AS (
+          SELECT (SELECT COALESCE(SUM(n), 0) FROM tgt) AS nt,
+                 (SELECT COALESCE(SUM(n), 0) FROM raw) AS nr),
+        scored AS (
+          SELECT ff.doc_id,
+                 CAST(length(bin(COALESCE(t.n, 0) + 1)) AS BIGINT)
+                 - CAST(length(bin(r.n + 1)) AS BIGINT) AS bits
+          FROM f ff
+          LEFT JOIN tgt t USING (f)
+          JOIN raw r USING (f)),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                 CAST(SUM(bits) AS BIGINT) AS base
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n_feats, 0) AS n_feats,
+               COALESCE(a.base, 0)
+                 + COALESCE(a.n_feats, 0)
+                   * (CAST(length(bin(c.nr + 1)) AS BIGINT)
+                      - CAST(length(bin(c.nt + 1)) AS BIGINT)) AS logw_bits
+        FROM documents d
+        LEFT JOIN agg a USING (doc_id), consts c
     """

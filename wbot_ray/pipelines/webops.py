@@ -68,6 +68,8 @@ __all__ = [
     "text_outlinks_oracle_sql",
     "holdout_split",
     "holdout_split_oracle_sql",
+    "warc_stats",
+    "warc_stats_oracle_sql",
     "URL_MENTION_RE",
     "TRAP_DIGIT_RE",
 ]
@@ -1193,4 +1195,116 @@ def holdout_split_oracle_sql(
                CAST(SUM(n) AS BIGINT) AS n_pages,
                CAST(COUNT(*) AS BIGINT) AS n_hosts
         FROM s GROUP BY split
+    """
+
+
+# ---------------------------------------------------------------------------
+# WARC-lite connector gate
+# ---------------------------------------------------------------------------
+
+_WARC_CACHE_VERSION = 1
+
+
+def warc_stats(sf_dir: str, pages_path: str | None = None):
+    """Connector conformance gate: export the page corpus to WARC-lite
+    shards (``sources.warc.write_warcish``), stream the shards BACK
+    (``read_warcish``), and fold per-language stats over the
+    round-tripped rows — while the oracle computes the same stats from
+    the original parquet. Any record the connector loses, duplicates
+    or corrupts flips the count or the order-independent XOR content
+    fingerprint, so the driver's value gate covers the whole
+    encode/decode path, not just a hand-picked sample.
+
+    Fingerprint identity (shared verbatim with the twin):
+    ``xor-fold of md5_number_lower(url || US || text) masked to 63
+    bits`` — XOR commutes with the mask and with row order, so batch
+    partials fold exactly. ``n_text_bytes`` uses UTF-8 byte length
+    (DuckDB ``strlen``).
+
+    Shape: one streaming export pass (shards content-named, committed
+    atomically, cached per corpus under ``_DONE``), one shard-parallel
+    read-back, per-batch partials, ONE lang-keyed exchange."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+
+    from wbot_ray.pipelines.common import md5_lower64
+    from wbot_ray.sources.warc import read_warcish, write_warcish
+
+    src = pages_path or _pages_path_for(sf_dir)
+    st = os.stat(src if os.path.isfile(src) else os.path.dirname(src) or ".")
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    warc_dir = f"/tmp/wbot_ray_warc/v{_WARC_CACHE_VERSION}/{fp}"
+    # shards live in their own subdir: read_binary_files streams every
+    # file in the directory it is given, so the _DONE marker must not
+    # sit next to them
+    shard_dir = os.path.join(warc_dir, "shards")
+    if not os.path.exists(os.path.join(warc_dir, "_DONE")):
+        pages = rd.read_parquet(src)
+        write_warcish(pages, shard_dir).materialize()
+        with open(os.path.join(warc_dir, "_DONE"), "w") as f:
+            f.write("ok")
+
+    MASK = (1 << 63) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        acc: dict[str, list[int]] = {}  # lang -> [n, xor, bytes]
+        for lg, u, t in zip(langs, urls, texts):
+            a = acc.setdefault(lg, [0, 0, 0])
+            a[0] += 1
+            a[1] ^= md5_lower64(u + "\x1f" + t) & MASK
+            a[2] += len(t.encode())
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array(ks, pa.string()),
+                "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "xor_fp": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "n_text_bytes": pa.array([acc[k][2] for k in ks], pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        xs = group.column("xor_fp").to_pylist()
+        acc = 0
+        for x in xs:
+            acc ^= int(x)
+        return pa.table(
+            {
+                "lang": pa.array([group.column("lang")[0].as_py()], pa.string()),
+                "n_pages": pa.array(
+                    [int(pc.sum(group.column("n")).as_py())], pa.int64()
+                ),
+                "xor_fp": pa.array([acc], pa.int64()),
+                "n_text_bytes": pa.array(
+                    [int(pc.sum(group.column("n_text_bytes")).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        read_warcish(shard_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def warc_stats_oracle_sql(pages_path: str) -> str:
+    """DuckDB twin over the ORIGINAL parquet — the engine's numbers
+    come from the WARC round-trip, so equality proves the connector."""
+    return f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               bit_xor(CAST(md5_number_lower(url || chr(31) || text)
+                            % 9223372036854775808 AS BIGINT)) AS xor_fp,
+               CAST(SUM(strlen(text)) AS BIGINT) AS n_text_bytes
+        FROM read_parquet('{pages_path}')
+        GROUP BY lang
     """
