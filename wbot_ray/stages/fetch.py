@@ -38,12 +38,26 @@ import zlib
 
 import pyarrow as pa
 
+from functools import lru_cache
+
 from wbot_ray.config import CrawlConfig
 from wbot_ray.filters import RuleFilter, in_scope
 from wbot_ray.html import parse_page
 from wbot_ray.robots import RobotsGate
 from wbot_ray.urlnorm import URLError, parse_url, resolve_url
 from wbot_ray.web_index import bucket_of_root, lookup_pages
+
+# parse_url is a pure function of the url string and ParsedURL is an
+# immutable record, so memoizing is semantics-free. It pays because a
+# fetch task owns whole sites and a site's pages link into the same
+# small target set — most resolved urls repeat within one worker.
+# lru_cache does not cache raised URLErrors; invalid urls (the
+# minority) just recompute. (A named wrapper, not lru_cache(parse_url):
+# the bare wrapper inherits parse_url's qualname, which breaks
+# cloudpickle's serialize-by-reference.)
+@lru_cache(maxsize=1 << 17)
+def _parse_url_cached(raw: str):
+    return parse_url(raw)
 
 __all__ = ["make_assign_fetch_part", "make_fetch_group_fn", "make_fused_fetch_fn", "NEXT_TYPE", "RESULT_SCHEMA"]
 
@@ -240,7 +254,7 @@ def make_fetch_group_fn(
             children = []
             for href in hrefs:
                 try:
-                    children.append(parse_url(resolve_url(url, href)))
+                    children.append(_parse_url_cached(resolve_url(url, href)))
                 except URLError:
                     continue
             out["status"].append(200)
@@ -354,8 +368,13 @@ def make_fused_fetch_fn(
         # BYTES are a pure function of the logical content — identical
         # logical tables with different upstream chunking (cache-warm
         # retry runs concat differently) must rewrite identical files
-        # for the retry contract (byte-level idempotency, test-pinned)
-        pq.write_table(results.combine_chunks(), tmp)
+        # for the retry contract (byte-level idempotency, test-pinned).
+        # The nested `next` candidate lists are dropped from the FILE:
+        # they exist for the in-memory explode below and nothing reads
+        # them back (measured 44 s of a 184 cpu-s round spent
+        # serializing them at bench scale); the counters
+        # (n_links/n_links_total/n_skipped) keep the lineage audit.
+        pq.write_table(results.drop_columns(["next"]).combine_chunks(), tmp)
         os.replace(tmp, os.path.join(results_dir, f"part-{part:05d}.parquet"))
         t_write = time.perf_counter() - t0
 
