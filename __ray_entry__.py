@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topterms": textops.tfidf_topterms,
         "lm_score": textops.lm_score,
         "dsir_logweight": textops.dsir_logweight,
+        "ccnet_buckets": textops.ccnet_buckets,
         "length_sketch_quantiles": textops.length_sketch_quantiles,
         "normalize_text": textops.normalize_text,
         # -- deduplication (pair queries via _pairs_query: a legitimately
@@ -1078,6 +1079,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logweight": __import__(
             "wbot_ray.pipelines.textops", fromlist=["dsir_logweight_oracle_sql"]
         ).dsir_logweight_oracle_sql(),
+        "ccnet_buckets": __import__(
+            "wbot_ray.pipelines.textops", fromlist=["ccnet_buckets_oracle_sql"]
+        ).ccnet_buckets_oracle_sql(),
         "global_shuffle": _global_shuffle_oracle_sql(),
         "quality_score": _quality_oracle_sql(),
         "text_stats": f"""

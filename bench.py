@@ -270,6 +270,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "holdout_split",
         "warc_stats",
         "host_sssp",
+        "ccnet_buckets",
     ]
     out: dict[str, float] = {}
     for name in names:

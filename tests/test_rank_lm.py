@@ -182,3 +182,71 @@ class TestDsir:
             textops.dsir_logweight_oracle_sql(),
             p,
         )
+
+
+class TestCcnetBuckets:
+    def test_tercile_assignment_and_parity(self, ray_session, tmp_path):
+        """Per-lang NTILE(3) over surprisal with the exact SQL window
+        semantics (first n%k buckets get one extra row, (sbpb, doc_id)
+        tie-break); fluent docs land in head, junk in tail."""
+        train = ["a b a b a b a b a b", "a b c a b c"]
+        texts = train + [
+            "a b a b",            # en, fluent
+            "a b a b a b",        # en, fluent
+            "q r s t u v w x",    # en, junk
+            "m n o p q r",        # en, junk-ish
+            "a b",                # fr
+            "z z z z z",          # fr
+            "a b c",              # fr
+        ]
+        langs = ["en", "en", "en", "en", "en", "en", "fr", "fr", "fr"]
+        sources = ["src0", "src0"] + ["web"] * 7
+        p = os.path.join(tmp_path, "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                }
+            ),
+            p,
+        )
+        ds = textops.ccnet_buckets(str(tmp_path))
+        _assert_match(ds, textops.ccnet_buckets_oracle_sql(), p)
+        got = {r["doc_id"]: r for r in ds.take_all()}
+        assert got[2]["label"] == "head" and got[4]["label"] == "tail"
+        # every lang uses the full 1..3 bucket range when n >= k
+        for lang in ("en", "fr"):
+            assert {r["bucket"] for r in got.values() if r["lang"] == lang} == {1, 2, 3}
+
+    def test_randomized_parity(self, ray_session, tmp_path):
+        """Randomized corpus: byte-exact NTILE parity including tie
+        groups and languages smaller than k."""
+        rng = random.Random(41)
+        vocab = [f"w{i}" for i in range(10)]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 20)))
+            for _ in range(80)
+        ]
+        langs = [rng.choice(["en", "de", "zz"]) for _ in texts]  # zz tiny
+        langs[:2] = ["qq", "qq"]  # a lang with n < k
+        sources = [rng.choice(["src0", "src1"]) for _ in texts]
+        p = os.path.join(tmp_path, "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                }
+            ),
+            p,
+        )
+        _assert_match(
+            textops.ccnet_buckets(str(tmp_path)),
+            textops.ccnet_buckets_oracle_sql(),
+            p,
+        )

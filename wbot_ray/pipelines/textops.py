@@ -48,6 +48,8 @@ __all__ = [
     "lm_score_oracle_sql",
     "dsir_logweight",
     "dsir_logweight_oracle_sql",
+    "ccnet_buckets",
+    "ccnet_buckets_oracle_sql",
 ]
 
 # BPE-ish word/punct splitter (ASCII classes — matches RE2 semantics so the
@@ -1409,7 +1411,11 @@ def cooccur_counts_oracle_sql(window: int = 3, min_count: int = 5) -> str:
 LM_TRAIN_SOURCE = "src0"  # the "clean reference corpus" slice (CCNet: wiki)
 
 
-def lm_score(sf_dir: str, train_source: str = LM_TRAIN_SOURCE):
+def lm_score(
+    sf_dir: str,
+    train_source: str = LM_TRAIN_SOURCE,
+    extra_cols: tuple[str, ...] = (),
+):
     """CCNet-style LM quality scoring: train a word-bigram language
     model on ONE clean reference slice of the corpus (``source ==
     train_source`` — CCNet trains KenLM on Wikipedia), then score every
@@ -1441,7 +1447,9 @@ def lm_score(sf_dir: str, train_source: str = LM_TRAIN_SOURCE):
 
     Output: ``(doc_id, n_bigrams, surprisal, sbpb_x1000)`` for every
     document (``sbpb_x1000`` = surprisal * 1000 // n_bigrams, 0 for
-    docs with < 2 tokens)."""
+    docs with < 2 tokens), plus any ``extra_cols`` carried through
+    from the documents read (:func:`ccnet_buckets` rides ``lang``
+    along)."""
     import ray
 
     def train_partial(batch: pa.Table) -> pa.Table:
@@ -1501,18 +1509,19 @@ def lm_score(sf_dir: str, train_source: str = LM_TRAIN_SOURCE):
             o_n.append(nb)
             o_s.append(s)
             o_q.append(s * 1000 // nb)
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_bigrams": pa.array(o_n, pa.int64()),
-                "surprisal": pa.array(o_s, pa.int64()),
-                "sbpb_x1000": pa.array(o_q, pa.int64()),
-            }
-        )
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "n_bigrams": pa.array(o_n, pa.int64()),
+            "surprisal": pa.array(o_s, pa.int64()),
+            "sbpb_x1000": pa.array(o_q, pa.int64()),
+        }
+        for c in extra_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
-    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        score, batch_format="pyarrow"
-    )
+    return read_table(
+        sf_dir, "documents", ["doc_id", "text", *extra_cols]
+    ).map_batches(score, batch_format="pyarrow")
 
 
 def lm_score_oracle_sql(train_source: str = LM_TRAIN_SOURCE) -> str:
@@ -1725,4 +1734,96 @@ def dsir_logweight_oracle_sql(
                       - CAST(length(bin(c.nt + 1)) AS BIGINT)) AS logw_bits
         FROM documents d
         LEFT JOIN agg a USING (doc_id), consts c
+    """
+
+
+def ccnet_buckets(sf_dir: str, k: int = 3, train_source: str = LM_TRAIN_SOURCE):
+    """The CCNet quality-bucket assignment — the pipeline's published
+    output shape: every document labeled ``head`` / ``middle`` /
+    ``tail`` by LM surprisal WITHIN its language (CCNet computes
+    per-lang perplexity terciles over Wikipedia-trained KenLM; head =
+    most fluent third). Composes :func:`lm_score` (bits-per-bigram,
+    ``lang`` carried through the scoring pass — no join) with the
+    exact-NTILE machinery of :func:`length_deciles`: one distributed
+    range-partitioned sort on ``(lang, sbpb_x1000, doc_id)``, dense
+    global ranks from block METADATA offsets, per-lang rank by
+    contiguous-range subtraction, pure-integer SQL-NTILE bucket math.
+
+    Output: ``(doc_id, lang, sbpb_x1000, bucket, label)`` with
+    ``bucket`` the 1-based NTILE(k) index and ``label`` the CCNet name
+    (bucket 1 = head, k = tail, anything between = middle)."""
+    from wbot_ray.stages.order import assign_crawl_ord
+
+    def part_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("lang"))
+        return pa.table(
+            {"lang": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts_rows = (
+        read_table(sf_dir, "documents", ["lang"])
+        .map_batches(part_counts, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    lang_n = {r["lang"]: int(r["n"]) for r in counts_rows}
+    lang_start, acc = {}, 0
+    for lang in sorted(lang_n):  # ascending string order == the sort order
+        lang_start[lang] = acc
+        acc += lang_n[lang]
+
+    scores = lm_score(sf_dir, train_source=train_source, extra_cols=("lang",))
+    ranked, _ = assign_crawl_ord(
+        scores.sort(["lang", "sbpb_x1000", "doc_id"]), 0
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(batch.column("lang")).combine_chunks()
+        vals = codes.dictionary.to_pylist()
+        idx = codes.indices.to_numpy()
+        r = batch.column("crawl_ord").to_numpy() - np.array(
+            [lang_start[v] for v in vals], dtype=np.int64
+        )[idx]
+        n = np.array([lang_n[v] for v in vals], dtype=np.int64)[idx]
+        base, extra = n // k, n % k
+        cut = extra * (base + 1)
+        bucket = np.where(
+            r < cut,
+            r // (base + 1) + 1,
+            extra + (r - cut) // np.maximum(base, 1) + 1,
+        )
+        label = np.where(
+            bucket == 1, "head", np.where(bucket == k, "tail", "middle")
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "sbpb_x1000": batch.column("sbpb_x1000"),
+                "bucket": pa.array(bucket, pa.int64()),
+                "label": pa.array(label.tolist(), pa.string()),
+            }
+        )
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
+def ccnet_buckets_oracle_sql(k: int = 3, train_source: str = LM_TRAIN_SOURCE) -> str:
+    """DuckDB twin: the lm_score twin as a CTE, lang joined on, plain
+    ``NTILE(k) OVER (PARTITION BY lang ORDER BY sbpb_x1000, doc_id)``."""
+    lm = lm_score_oracle_sql(train_source)
+    return f"""
+        WITH lm AS ({lm}),
+        j AS (
+          SELECT lm.doc_id, d.lang, lm.sbpb_x1000,
+                 CAST(NTILE({k}) OVER (
+                   PARTITION BY d.lang ORDER BY lm.sbpb_x1000, lm.doc_id
+                 ) AS BIGINT) AS bucket
+          FROM lm JOIN documents d USING (doc_id))
+        SELECT doc_id, lang, sbpb_x1000, bucket,
+               CASE WHEN bucket = 1 THEN 'head'
+                    WHEN bucket = {k} THEN 'tail'
+                    ELSE 'middle' END AS label
+        FROM j
     """
