@@ -201,6 +201,24 @@ class Crawler:
         threshold = cfg.hot_host_threshold
         if n_frontier <= threshold:
             return {}, {}
+        if n_frontier <= cfg.local_round_threshold:
+            # the round runs on the raw-task path anyway — a Dataset
+            # groupby over a few thousand rows is ~1 s of pure pipeline
+            # launch latency; count driver-side instead
+            import pyarrow.compute as pc
+
+            vc = pc.value_counts(frontier.read_table(d).column("root"))
+            hot = {
+                str(v): int(n)
+                for v, n in zip(
+                    vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+                )
+                if n > threshold
+            }
+            return (
+                {r: max(2, math.ceil(n / threshold)) for r, n in hot.items()},
+                hot,
+            )
         counts = frontier.read_dataset(d, columns=["root"]).groupby("root").count()
 
         def partials(batch: pa.Table) -> pa.Table:
@@ -265,38 +283,73 @@ class Crawler:
         pipeline-launch + shuffle latency dwarfs the round's work, but
         the per-bucket index lookups still want parallel IO. Returns the
         ordered next frontier (without final crawl_ord)."""
+        import time as _time
+
         import ray
 
+        import numpy as np
         import pyarrow.compute as pc
 
+        sub: dict[str, float] = {}
+        self._last_local_stages = sub
+        _t = _time.perf_counter()
         cfg = self.cfg
         assigned = make_assign_fetch_part(cfg, hot_roots)(frontier_tbl)
         fused_fn = make_fused_fetch_fn(
             index_dir, cfg, results_dir, metrics_parts, hot_roots
         )
-        parts = sorted(set(assigned.column("fetch_part").to_pylist()))
+        # ONE stable argsort splits the frontier into per-part row ranges
+        # (identical rows + order to a per-part ``filter(==part)`` loop,
+        # which re-scans the whole table once per part — quadratic-ish at
+        # hundreds of salt parts × 10^5 rows)
+        part_col = assigned.column("fetch_part").to_numpy(zero_copy_only=False)
+        order = np.argsort(part_col, kind="stable")
+        sorted_tbl = assigned.take(pa.array(order))
+        sorted_parts = part_col[order]
+        bounds = np.flatnonzero(np.diff(sorted_parts)) + 1
+        starts = np.concatenate(([0], bounds)).astype(np.int64)
+        ends = np.concatenate((bounds, [len(sorted_parts)])).astype(np.int64)
+        n_parts = len(starts)
         # tiny rounds produce hundreds of near-empty parts; one Ray task
         # per part is pure launch latency. Chunk parts into ~4 tasks per
         # executor slot — each task runs its parts' fused calls
         # sequentially, so every per-part artifact (results file, metric
         # sidecar) is byte-identical to the one-task-per-part layout.
+        sub["split"] = round(_time.perf_counter() - _t, 3)
+        _t = _time.perf_counter()
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        n_tasks = max(1, min(len(parts), 4 * ncpu))
-
+        n_tasks = max(1, min(n_parts, 4 * ncpu))
         @ray.remote
-        def run_parts(sub_tbls: list[pa.Table]) -> list[pa.Table]:
-            return [fused_fn(t) for t in sub_tbls]
+        def run_parts(tbl: pa.Table, sizes: list[int]) -> list[pa.Table]:
+            out, off = [], 0
+            for n in sizes:
+                out.append(fused_fn(tbl.slice(off, n)))
+                off += n
+            return out
 
-        chunks: list[list[pa.Table]] = [[] for _ in range(n_tasks)]
-        for i, part in enumerate(parts):
-            chunks[i % n_tasks].append(
-                assigned.filter(pc.equal(assigned.column("fetch_part"), part))
+        refs = []
+        for c in range(n_tasks):
+            idx = range(c, n_parts, n_tasks)  # round-robin part -> chunk
+            sizes = [int(ends[i] - starts[i]) for i in idx]
+            if not sizes:
+                continue
+            rows = np.concatenate(
+                [np.arange(starts[i], ends[i]) for i in idx]
             )
-        refs = [run_parts.remote(c) for c in chunks if c]
-        cand_parts = [t for sub in ray.get(refs) for t in sub]
+            # take (not slice): fresh buffers, so the task ships only its
+            # own rows — a slice would pickle the parent table's buffers
+            refs.append(run_parts.remote(sorted_tbl.take(pa.array(rows)), sizes))
+        cand_parts = [t for lst in ray.get(refs) for t in lst]
         cand = pa.concat_tables(cand_parts).combine_chunks()
+        sub["fetch_tasks"] = round(_time.perf_counter() - _t, 3)
+        _t = _time.perf_counter()
         # shard dedups are independent (one ordered actor call each) —
-        # run them as parallel raw tasks, not a sequential RPC chain
+        # run them as parallel raw tasks, not a sequential RPC chain.
+        # (Measured alternative: fetch tasks returning per-shard pieces
+        # via num_returns=S so dedup inputs flow worker-to-worker — LOST
+        # on this box: n_tasks x S tiny objects per round doubled the
+        # small-round latency. Driver gather of the slim candidate
+        # columns is cheaper until rounds are orders of magnitude wider.)
         dedup_task = ray.remote(
             make_dedup_fn(seen.shards, round_id, stats_dir=metrics_parts)
         )
@@ -305,9 +358,14 @@ class Crawler:
             for s in sorted(set(cand.column("seen_shard").to_pylist()))
         ]
         survivors = ray.get(shard_refs)
+        sub["dedup_tasks"] = round(_time.perf_counter() - _t, 3)
+        _t = _time.perf_counter()
         if not survivors:
-            return self._order_table(cand.drop_columns(["seen_shard"]))
-        return self._order_table(pa.concat_tables(survivors).combine_chunks())
+            out = self._order_table(cand.drop_columns(["seen_shard"]))
+        else:
+            out = self._order_table(pa.concat_tables(survivors).combine_chunks())
+        sub["order"] = round(_time.perf_counter() - _t, 3)
+        return out
 
     def _order_table(self, tbl: pa.Table) -> pa.Table:
         """Next-frontier scheduling order: BFS rank (``ord64``), or the
@@ -476,6 +534,8 @@ class Crawler:
                     )
                     n_next = ordered_tbl.num_rows
                     stage_sec["fetch_dedup"] = round(_time.perf_counter() - _t, 3)
+                    for k, v in getattr(self, "_last_local_stages", {}).items():
+                        stage_sec[f"local_{k}"] = v
 
                     _t = _time.perf_counter()
                     if n_next == 0:
