@@ -270,6 +270,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": lambda sf: __import__(
             "wbot_ray.pipelines.join", fromlist=["q3_shipping"]
         ).q3_shipping(sf),
+        "bloom_semi_join": lambda sf: __import__(
+            "wbot_ray.pipelines.join", fromlist=["bloom_semi_join"]
+        ).bloom_semi_join(sf),
+        "zorder_layout": lambda sf: __import__(
+            "wbot_ray.pipelines.layout", fromlist=["zorder_layout"]
+        ).zorder_layout(sf),
+        "inverted_postings": _typed_query(
+            search.inverted_postings,
+            ("term", "df", "tf_sum", "postings_sum", "postings_xor"),
+        ),
         "churned_users": _typed_query(relational.churned_users, ("user_id",)),
         "props_by_type": relational.props_by_type,
         "user_running_value": relational.user_running_value,
@@ -551,6 +561,48 @@ def _embed_oracle_sql(threshold: float = 0.92) -> str:
                 JOIN nrm nb ON nb.vec_id = d.id_b
                 WHERE na.nn > 0 AND nb.nn > 0)
         SELECT id_a, id_b, sim_pm FROM sim WHERE sim_pm >= {thr_pm}
+    """
+
+
+def _knn_brute_oracle_sql() -> str:
+    """knn_brute recomputed from scratch on the same integer grid as
+    the engine (``wbot_ray.pipelines.similarity.knn_brute``):
+    components ``floor(x * 2^20)``, every cosine the fixed IEEE tree
+    ``floor(dot / (sqrt(na)*sqrt(nb)) * 2^20)`` over exact integer
+    dots — bit-equal cross-engine (integer dots accumulate exactly in
+    doubles below 2^53, so summation order cannot matter). Zero
+    quantized vectors are excluded on both sides; final rank = pm
+    desc, n_id asc. Parameters read from the engine's signature."""
+    import inspect
+
+    from wbot_ray.pipelines import similarity
+
+    sig = inspect.signature(similarity.knn_brute)
+    nq = sig.parameters["n_queries"].default
+    k = sig.parameters["k"].default
+    quant = float(similarity.IVF_QUANT)
+    return f"""
+        WITH g AS (SELECT vec_id, list_transform(embedding,
+                              x -> CAST(floor(x * {quant}) AS BIGINT)) AS q
+                   FROM embeddings),
+        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        qv AS (SELECT vec_id, i, q[i] AS qv FROM g CROSS JOIN dims),
+        nrm AS (SELECT vec_id, SUM(qv * qv) AS nn FROM qv GROUP BY vec_id),
+        ndot AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, SUM(a.qv * b.qv) AS dot
+                 FROM qv a JOIN qv b ON b.i = a.i AND b.vec_id <> a.vec_id
+                 WHERE a.vec_id < {nq}
+                 GROUP BY a.vec_id, b.vec_id),
+        nsim AS (SELECT d.q_id, d.n_id,
+                        CAST(floor((CAST(d.dot AS DOUBLE)
+                                    / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))))
+                                   * {quant}) AS BIGINT) AS pm
+                 FROM ndot d
+                 JOIN nrm na ON na.vec_id = d.q_id AND na.nn > 0
+                 JOIN nrm nb ON nb.vec_id = d.n_id AND nb.nn > 0),
+        r AS (SELECT q_id, n_id,
+                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY pm DESC, n_id) AS BIGINT) AS knn_rank
+              FROM nsim)
+        SELECT q_id, n_id, knn_rank FROM r WHERE knn_rank <= {k}
     """
 
 
@@ -1049,6 +1101,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN li ON li.l_orderkey = orders.o_orderkey
             GROUP BY o_orderpriority
         """,
+        "bloom_semi_join": __import__(
+            "wbot_ray.pipelines.join", fromlist=["bloom_semi_join_oracle_sql"]
+        ).bloom_semi_join_oracle_sql(),
+        "zorder_layout": __import__(
+            "wbot_ray.pipelines.layout", fromlist=["zorder_layout_oracle_sql"]
+        ).zorder_layout_oracle_sql(),
+        "inverted_postings": __import__(
+            "wbot_ray.pipelines.search", fromlist=["inverted_postings_oracle_sql"]
+        ).inverted_postings_oracle_sql(),
         "dedup_keep": _dedup_keep_oracle_sql(),
         "prepare_corpus": f"""
             -- the composed pipeline: dedup_keep survivors ∧ quality pass
@@ -1181,28 +1242,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, (i * 1048576) // u AS sim_pm
             FROM pairs WHERE (i * 1048576) // u >= 838860
         """,
-        "knn_brute": """
-            WITH q AS (
-              SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8
-            ), s AS (
-              SELECT q.q_id, e.vec_id AS n_id,
-                     list_cosine_similarity(q.qe, e.embedding) AS sim
-              FROM q CROSS JOIN embeddings e
-              WHERE e.vec_id <> q.q_id
-            ), r AS (
-              -- rank on the SAME quantized grid as the engine
-              -- (similarity.SIM_QUANT): float accumulation order differs
-              -- between numpy and DuckDB; the integer grid makes the
-              -- rank order platform-independent
-              SELECT q_id, n_id,
-                     CAST(ROW_NUMBER() OVER (
-                       PARTITION BY q_id
-                       ORDER BY round(sim * 1000000) DESC, n_id
-                     ) AS BIGINT) AS knn_rank
-              FROM s
-            )
-            SELECT q_id, n_id, knn_rank FROM r WHERE knn_rank <= 10
-        """,
+        "knn_brute": _knn_brute_oracle_sql(),
         "payload_features": """
             SELECT doc_id,
                    CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -355,7 +355,16 @@ def scaling(
     the per-rep pair efficiencies with their MEDIAN (``value`` is the
     median — the conservative headline). The hi level runs first in
     each rep so cache-warming order favors (conservatively) the lo
-    level."""
+    level.
+
+    Each child is pinned to a physical CPU set (``taskset -c 0-(n-1)``)
+    matching its Ray budget: ``ray.init(num_cpus=n)`` only caps TASK
+    SLOTS, so on an otherwise-idle 32-core host an "8-CPU" leg can
+    borrow extra cores (object-store/raylet threads, per-task kernel
+    threads) and record impossible throughput — one measured window
+    logged an 8-CPU leg at 4,227 pages/s, 1.5× the honest 8-core
+    envelope, crushing the efficiency ratio. The OS pin makes the
+    small-cluster leg a real small cluster in both directions."""
     # corpus + index prepared ONCE here so neither timed run pays for
     # them — skipped entirely when the cache markers exist (a no-op prep
     # session still burns ~60 s of 32-CPU churn right before the timed
@@ -390,8 +399,12 @@ def scaling(
                     load1_before = float(lf.read().split()[0])
             except OSError:
                 load1_before = None
+            cpuset = f"0-{n - 1}"
+            cmd = [sys.executable, os.path.abspath(__file__), "--one", "--cpus", str(n), "--crawl-only"]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", cpuset] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", "--cpus", str(n), "--crawl-only"],
+                cmd,
                 capture_output=True,
                 text=True,
                 env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
@@ -419,6 +432,7 @@ def scaling(
             runs.append(
                 {
                     "cpus": n,
+                    "cpuset": cpuset if shutil.which("taskset") else None,
                     "pages_per_sec": r["crawl"]["pages_per_sec"],
                     "load1_before": load1_before,
                     "load1_after": load1,

@@ -1,0 +1,220 @@
+"""Tests for the data-layout (Z-order) and Bloom-semi-join operators."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from wbot_ray.pipelines import join as joinmod
+from wbot_ray.pipelines import layout, search
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory, ray_session):
+    """A small deterministic sf_dir: documents (mixed langs/lengths),
+    orders (two priorities), lineitem (fan-out per order)."""
+    rng = np.random.RandomState(11)
+    d = tmp_path_factory.mktemp("layoutbloom")
+
+    n_docs = 60
+    langs = ["en", "fr", "zh"]
+    texts = [
+        " ".join(f"t{rng.randint(0, 30)}" for _ in range(rng.randint(3, 12)))
+        for _ in range(n_docs)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array([langs[i % 3] for i in range(n_docs)], pa.string()),
+                "source": pa.array(["s0"] * n_docs, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    n_orders = 40
+    prio = ["1-URGENT" if i % 3 == 0 else "5-LOW" for i in range(n_orders)]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n_orders), pa.int64()),
+                "o_orderpriority": pa.array(prio, pa.string()),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    ok, rf, qty = [], [], []
+    for o in range(n_orders):
+        for _ in range(rng.randint(1, 5)):
+            ok.append(o)
+            rf.append("ARN"[rng.randint(0, 3)])
+            qty.append(float(rng.randint(1, 50)))
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_returnflag": pa.array(rf, pa.string()),
+                "l_quantity": pa.array(qty, pa.float64()),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    return str(d)
+
+
+class TestMorton:
+    def test_matches_bitwise_reference(self):
+        rng = np.random.RandomState(3)
+        x = rng.randint(0, 1 << 16, 200).astype(np.int64)
+        y = rng.randint(0, 1 << 16, 200).astype(np.int64)
+        z = layout.morton32(x, y)
+        for j in range(200):
+            want = 0
+            for i in range(16):
+                want |= ((int(x[j]) >> i) & 1) << (2 * i)
+                want |= ((int(y[j]) >> i) & 1) << (2 * i + 1)
+            assert int(z[j]) == want
+
+    def test_zone_maps_match_reference(self, tiny_dir):
+        file_rows = 8
+        got = {
+            int(r["file_id"]): r
+            for r in layout.zorder_layout(tiny_dir, file_rows=file_rows).take_all()
+        }
+        t = pq.read_table(os.path.join(tiny_dir, "documents.parquet"))
+        x = np.minimum(t.column("n_chars").to_numpy(), (1 << 16) - 1).astype(np.int64)
+        y = np.array(
+            [layout._lang_bucket(v) for v in t.column("lang").to_pylist()],
+            dtype=np.int64,
+        )
+        z = layout.morton32(x, y)
+        doc = t.column("doc_id").to_numpy()
+        order = np.lexsort((doc, z))
+        ty = layout._lang_bucket(layout.Z_PRED_LANG)
+        for f in range(int(np.ceil(len(doc) / file_rows))):
+            rows = order[f * file_rows : (f + 1) * file_rows]
+            r = got[f]
+            assert r["n_docs"] == len(rows)
+            assert r["min_x"] == x[rows].min() and r["max_x"] == x[rows].max()
+            assert r["min_y"] == y[rows].min() and r["max_y"] == y[rows].max()
+            want_surv = int(
+                x[rows].max() >= layout.Z_PRED_X_LO
+                and x[rows].min() <= layout.Z_PRED_X_HI
+                and y[rows].min() <= ty <= y[rows].max()
+            )
+            assert r["survives"] == want_surv
+
+    def test_zorder_prunes_on_both_dims(self, ray_session, tmp_path):
+        """The point of the interleave: a per-language slice must NOT
+        have to read every file (a pure length-sort layout would)."""
+        n = 256
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(["x"] * n, pa.string()),
+                    "lang": pa.array(
+                        ["en", "fr", "zh", "de"] * (n // 4), pa.string()
+                    ),
+                    "source": pa.array(["s0"] * n, pa.string()),
+                    # lengths inside the predicate range so pruning can
+                    # only come from the language dimension
+                    "n_chars": pa.array(
+                        [layout.Z_PRED_X_LO + i % 100 for i in range(n)], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        rows = layout.zorder_layout(str(tmp_path), file_rows=16).take_all()
+        survived = sum(int(r["survives"]) for r in rows)
+        assert 0 < survived < len(rows)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_pruned(self, ray_session):
+        import ray
+        import ray.data
+
+        members = np.arange(0, 3000, 3, dtype=np.int64)  # 1000 keys
+        ds = ray.data.from_arrow(
+            pa.table({"k": pa.array(members, pa.int64())})
+        ).repartition(4)
+        # deliberately undersized filter: 2048 bits / 1000 keys -> FPs
+        ref = joinmod.build_bloom(ds, "k", m_bits=2048, k_hashes=3)
+        assert joinmod.LAST_BLOOM_STATS["fill_fraction"] > 0.5
+        probe = pa.table({"k": pa.array(np.arange(3000, dtype=np.int64), pa.int64())})
+        kept = joinmod.bloom_prune(
+            ray.data.from_arrow(probe), "k", ref, m_bits=2048, k_hashes=3
+        ).take_all()
+        kept_keys = {r["k"] for r in kept}
+        # zero false negatives — every member survives
+        assert set(members.tolist()) <= kept_keys
+        # undersized filter admits SOME false positives (that's the test
+        # that exactness can't rest on the bloom) but still prunes most
+        fps = kept_keys - set(members.tolist())
+        assert len(fps) < 1500
+
+    def test_bloom_semi_join_matches_plain_join(self, tiny_dir):
+        got = {
+            r["l_returnflag"]: (int(r["n_items"]), int(r["sum_qty"]))
+            for r in joinmod.bloom_semi_join(tiny_dir).take_all()
+        }
+        li = pq.read_table(os.path.join(tiny_dir, "lineitem.parquet"))
+        orders = pq.read_table(os.path.join(tiny_dir, "orders.parquet"))
+        urgent = {
+            int(k)
+            for k, p in zip(
+                orders.column("o_orderkey").to_pylist(),
+                orders.column("o_orderpriority").to_pylist(),
+            )
+            if p == "1-URGENT"
+        }
+        want: dict[str, list[int]] = {}
+        for k, f, q in zip(
+            li.column("l_orderkey").to_pylist(),
+            li.column("l_returnflag").to_pylist(),
+            li.column("l_quantity").to_pylist(),
+        ):
+            if k in urgent:
+                w = want.setdefault(f, [0, 0])
+                w[0] += 1
+                w[1] += int(q)
+        assert got == {f: (n, s) for f, (n, s) in want.items()}
+
+
+class TestInvertedPostings:
+    def test_matches_reference(self, tiny_dir):
+        got = {
+            r["term"]: (
+                int(r["df"]),
+                int(r["tf_sum"]),
+                int(r["postings_sum"]),
+                int(r["postings_xor"]),
+            )
+            for r in search.inverted_postings(tiny_dir, min_df=2).take_all()
+        }
+        t = pq.read_table(os.path.join(tiny_dir, "documents.parquet"))
+        ref: dict[str, dict[int, int]] = {}
+        for did, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            for tok in text.split(" "):
+                ref.setdefault(tok, {}).setdefault(did, 0)
+                ref[tok][did] += 1
+        want = {}
+        for term, posts in ref.items():
+            if len(posts) < 2:
+                continue
+            xor = 0
+            for d in posts:
+                xor ^= d
+            want[term] = (len(posts), sum(posts.values()), sum(posts), xor)
+        assert got == want

@@ -334,19 +334,30 @@ class TestDedup:
 
 class TestSimilarity:
     def test_brute_matches_numpy(self, planted_dir):
+        # reference on the SAME integer grid as the engine: quantized
+        # components, exact integer dots, fixed-tree quantized cosine
         t = pq.read_table(os.path.join(planted_dir, "embeddings.parquet"))
         ids = np.asarray(t.column("vec_id").to_pylist())
         vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        sims = unit @ unit.T
+        g = np.floor(vecs * float(similarity.IVF_QUANT)).astype(np.int64)
+        nn = (g * g).sum(axis=1)
+        dots = g @ g.T
+        pm = np.floor(
+            dots.astype(np.float64)
+            / (np.sqrt(nn.astype(np.float64))[:, None] * np.sqrt(nn.astype(np.float64))[None, :])
+            * float(similarity.IVF_QUANT)
+        ).astype(np.int64)
         got = {}
         for r in similarity.knn_brute(planted_dir, n_queries=4, k=5).take_all():
             got.setdefault(r["q_id"], []).append((r["knn_rank"], r["n_id"]))
         for qi in range(4):
             q_idx = int(np.nonzero(ids == qi)[0][0])
+            if nn[q_idx] == 0:
+                assert qi not in got
+                continue
             order = sorted(
-                (j for j in range(len(ids)) if ids[j] != qi),
-                key=lambda j: (-sims[q_idx, j], ids[j]),
+                (j for j in range(len(ids)) if ids[j] != qi and nn[j] > 0),
+                key=lambda j: (-pm[q_idx, j], ids[j]),
             )[:5]
             want = [int(ids[j]) for j in order]
             assert [n for _, n in sorted(got[qi])] == want, qi

@@ -51,7 +51,15 @@ from ray.data.aggregate import Sum
 
 from wbot_ray.pipelines.common import cents, read_table
 
-__all__ = ["hash_join", "order_priority_revenue", "q3_shipping"]
+__all__ = [
+    "hash_join",
+    "order_priority_revenue",
+    "q3_shipping",
+    "build_bloom",
+    "bloom_prune",
+    "bloom_semi_join",
+    "bloom_semi_join_oracle_sql",
+]
 
 
 def _hash_col(arr: pa.ChunkedArray) -> np.ndarray:
@@ -516,3 +524,198 @@ def q3_shipping(
             }
         )
     return _topk(cand.select(["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_centi"]))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime semi-join
+
+
+BLOOM_M_BITS = 1 << 20  # filter size in bits (128 KiB packed) — see sizing note
+BLOOM_K = 7  # hash probes per key (~optimal for m/n = 10)
+
+# accounting of the most recent bloom_semi_join build (driver-side)
+LAST_BLOOM_STATS: dict = {}
+
+
+def _bloom_hashes(keys: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """(k, n) bit positions for int64 keys via double hashing over one
+    splitmix64 mix: ``pos_i = (h1 + i * h2) % m``. ``h2`` is forced odd
+    so for power-of-two ``m`` the probe sequence covers all positions."""
+    x = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        h1 = x % np.uint64(m_bits)
+        h2 = ((x >> np.uint64(32)) | np.uint64(1)) % np.uint64(m_bits) | np.uint64(1)
+        return np.stack(
+            [(h1 + np.uint64(i) * h2) % np.uint64(m_bits) for i in range(k_hashes)]
+        )
+
+
+def build_bloom(
+    keys_ds: "ray.data.Dataset",
+    key: str,
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K,
+) -> "ray.object_ref.ObjectRef":
+    """Distributed Bloom-filter build over a key Dataset: every block
+    sets its keys' bits into a LOCAL packed bitmap (one vectorized
+    pass), the per-block bitmaps stream to the driver and OR-fold —
+    each block contributes one ``m/8``-byte object regardless of its
+    row count, so the fold moves ``blocks × m/8`` bytes total (at
+    100 TB: fold in a ``num_returns``-tree instead; the OR is
+    associative, the layout change is mechanical). Returns a
+    ``ray.put`` handle to the packed ``uint8`` bitmap.
+
+    Sizing: ``m/n = 10`` bits/key with ``k = 7`` gives ~0.8 % false
+    positives — FPs only cost wasted exchange bytes here, never
+    correctness (callers re-verify exactly)."""
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = _bloom_hashes(k, m_bits, k_hashes).reshape(-1)
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64), (1 << (pos & np.uint64(7))).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    folded = np.zeros(m_bits // 8, dtype=np.uint8)
+    n_blocks = 0
+    for b in keys_ds.map_batches(block_bloom, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in b.column("bloom").to_pylist():
+            folded |= np.frombuffer(buf, dtype=np.uint8)
+            n_blocks += 1
+    LAST_BLOOM_STATS.clear()
+    LAST_BLOOM_STATS.update(
+        {
+            "m_bits": m_bits,
+            "k_hashes": k_hashes,
+            "blocks_folded": n_blocks,
+            "fill_fraction": round(float(np.unpackbits(folded).mean()), 4),
+        }
+    )
+    return ray.put(folded)
+
+
+def bloom_prune(
+    ds: "ray.data.Dataset",
+    key: str,
+    bloom_ref,
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K,
+) -> "ray.data.Dataset":
+    """Drop rows whose ``key`` is definitely not in the Bloom filter
+    (may keep false positives — callers needing exactness re-verify
+    with a real semi-join on the survivors)."""
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = _bloom_hashes(k, m_bits, k_hashes)
+        keep = np.ones(len(k), dtype=bool)
+        for i in range(k_hashes):
+            p = pos[i]
+            byte = bits[(p >> np.uint64(3)).astype(np.int64)]
+            keep &= ((byte >> (p & np.uint64(7))) & 1).astype(bool)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def bloom_semi_join(sf_dir: str, priority: str = "1-URGENT", num_buckets: int = 32):
+    """Per-returnflag lineitem stats for one order priority — the
+    RUNTIME-FILTERED large-large semi-join (the Bloom pushdown every
+    warehouse engine applies when a selective build side gates a big
+    probe side).
+
+    Ray shape: the qualifying orderkeys (≈1/5 of orders) build a
+    distributed Bloom filter ONCE (``build_bloom`` — per-block bitmaps
+    OR-folded, broadcast via ``ray.put``); the lineitem scan probes it
+    per batch and collapses survivors to per-(orderkey, returnflag)
+    partials BEFORE the exchange, so ~80 % of the big side's rows
+    never enter the shuffle and the rest enter pre-aggregated. The
+    ~0.8 % Bloom false positives are removed by the exact
+    ``hash_join(left semi)`` the survivors ride — the filter changes
+    BYTES MOVED, never the answer (contrast q3_shipping's exact
+    sorted-key runtime filter, which pays a barrier to materialize the
+    build side; the Bloom build streams and never blocks the probe
+    scan's launch). Output: ``(l_returnflag, n_items, sum_qty)``."""
+
+    def order_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("o_orderpriority"), priority)
+        return pa.table({"l_orderkey": t.filter(m).column("o_orderkey")})
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        order_keys, batch_format="pyarrow"
+    )
+    orders = orders.materialize()  # used twice: bloom build + verify join
+    bloom_ref = build_bloom(orders, "l_orderkey")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_returnflag": t.column("l_returnflag"),
+                    "qty": pa.array(qty, pa.int64()),
+                }
+            )
+            .group_by(["l_orderkey", "l_returnflag"])
+            .aggregate([("qty", "sum"), ("qty", "count")])
+        )
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "l_returnflag": g.column("l_returnflag"),
+                "qty": g.column("qty_sum"),
+                "n": pc.cast(g.column("qty_count"), pa.int64()),
+            }
+        )
+
+    lineitem = bloom_prune(
+        read_table(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"]),
+        "l_orderkey",
+        bloom_ref,
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    verified = hash_join(
+        lineitem,
+        orders,
+        key="l_orderkey",
+        num_buckets=num_buckets,
+        join_type="left semi",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_returnflag", pa.string()),
+                ("qty", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_orderkey", pa.int64())]),
+    )
+    return (
+        verified.map_batches(
+            lambda t: t.select(["l_returnflag", "qty", "n"]), batch_format="pyarrow"
+        )
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n_items"), Sum("qty", alias_name="sum_qty"))
+    )
+
+
+def bloom_semi_join_oracle_sql(priority: str = "1-URGENT") -> str:
+    """DuckDB twin — the Bloom filter is invisible to the answer (it
+    only prunes; the exact semi-join decides), so the oracle is the
+    plain semi-join aggregate."""
+    return f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '{priority}')
+        GROUP BY l_returnflag
+    """

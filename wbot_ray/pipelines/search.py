@@ -662,3 +662,130 @@ def bm25_oracle_sql(terms: tuple[str, ...] = DEFAULT_TERMS) -> str:
                CAST(SUM(term_score) AS BIGINT) AS bm25_fp
         FROM s GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Checksummed postings-list build (the index-construction audit pass)
+
+POSTINGS_MIN_DF = 5
+
+
+def inverted_postings(sf_dir: str, min_df: int = POSTINGS_MIN_DF):
+    """Full inverted-index CONSTRUCTION pass with verifiable output:
+    one row per term with document frequency, total term frequency,
+    and two order-independent postings-list checksums (sum and XOR of
+    the member doc_ids) — the audit table an index build emits so a
+    reader can verify a posting shard against the corpus without
+    shipping the lists themselves. (``build_term_index`` writes real
+    posting lists for serving; this pass is how you CHECK one at
+    100 TB: checksums are integers, so any lost/duplicated posting
+    changes them.)
+
+    Ray shape: each batch tokenizes its documents entirely inside
+    Arrow (``split_pattern`` → ``list_parent_indices`` — no Python
+    loop over rows or tokens), folds to per-(term, doc) term
+    frequencies, then to per-term BATCH PARTIALS (df / tf / sum / xor
+    over its docs — docs never straddle batches, so a (term, doc)
+    pair lives in exactly one partial). The ``groupby(term)`` exchange
+    therefore carries one slim row per term per batch — never a
+    posting. XOR is not a built-in Dataset aggregate, so the per-term
+    finish is a ``map_groups`` fold (sums for df/tf/sum, XOR for xor
+    — both associative+commutative, so block arrival order cannot
+    matter). ``min_df`` bounds the output to terms worth auditing
+    (the long unique-term tail is noise; the SQL twin shares the
+    HAVING gate)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        flat = toks.flatten()
+        parent = pc.list_parent_indices(toks)
+        doc_ids = batch.column("doc_id").take(parent)
+        td = (
+            pa.table({"term": flat, "doc_id": doc_ids})
+            .group_by(["term", "doc_id"])
+            .aggregate([("doc_id", "count")])
+            .rename_columns(["term", "doc_id", "tf"])
+        )
+        g = td.group_by("term").aggregate(
+            [("doc_id", "count"), ("tf", "sum"), ("doc_id", "sum")]
+        )
+        # per-term XOR of this batch's doc_ids: sort by term, XOR-reduce
+        # each contiguous run (np.bitwise_xor.reduceat — vectorized)
+        td_sorted = td.sort_by("term")
+        codes = pc.dictionary_encode(td_sorted.column("term")).combine_chunks()
+        idx = codes.indices.to_numpy()
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(idx)) + 1))
+        ids = td_sorted.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        xor = np.bitwise_xor.reduceat(ids, starts)
+        xor_terms = codes.dictionary.take(pa.array(idx[starts]))
+        xt = pa.table({"term": xor_terms, "xor_p": pa.array(xor, pa.int64())})
+        gt = pa.table(
+            {
+                "term": g.column("term"),
+                "df_p": pc.cast(g.column("doc_id_count"), pa.int64()),
+                "tf_p": pc.cast(g.column("tf_sum"), pa.int64()),
+                "sum_p": pc.cast(g.column("doc_id_sum"), pa.int64()),
+            }
+        )
+        joined = gt.join(xt, keys=["term"])
+        return joined.select(["term", "df_p", "tf_p", "sum_p", "xor_p"])
+
+    def finish(group: pa.Table) -> pa.Table:
+        df = int(pc.sum(group.column("df_p")).as_py())
+        if df < min_df:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "tf_sum": pa.array([], pa.int64()),
+                    "postings_sum": pa.array([], pa.int64()),
+                    "postings_xor": pa.array([], pa.int64()),
+                }
+            )
+        import numpy as np
+
+        xor = int(
+            np.bitwise_xor.reduce(
+                group.column("xor_p").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        )
+        return pa.table(
+            {
+                "term": pa.array([group.column("term")[0].as_py()], pa.string()),
+                "df": pa.array([df], pa.int64()),
+                "tf_sum": pa.array([int(pc.sum(group.column("tf_p")).as_py())], pa.int64()),
+                "postings_sum": pa.array(
+                    [int(pc.sum(group.column("sum_p")).as_py())], pa.int64()
+                ),
+                "postings_xor": pa.array([xor], pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def inverted_postings_oracle_sql(min_df: int = POSTINGS_MIN_DF) -> str:
+    """DuckDB twin: identical single-space tokenization, identical
+    checksums (BIT_XOR / SUM over the distinct member doc_ids)."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        td AS (
+          SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY term, doc_id)
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS tf_sum,
+               CAST(SUM(doc_id) AS BIGINT) AS postings_sum,
+               CAST(BIT_XOR(doc_id) AS BIGINT) AS postings_xor
+        FROM td GROUP BY term
+        HAVING COUNT(*) >= {min_df}
+    """

@@ -12,20 +12,17 @@
   web index), queries read ONLY their ``nprobe`` closest buckets. The
   pruned-read fraction is logged every run (no silent caps).
 
-Ranking determinism:
-
-* ``knn_brute`` quantizes similarities to an integer grid
-  (``round(sim * 1e6)``) BEFORE ranking, with ``n_id`` as tie-break —
-  reproducible in practice across engines even though multi-term float
-  accumulation order differs.
-* ``knn_ivf`` goes further and is **bit-exact cross-engine** (it has a
-  full DuckDB oracle): vector components are quantized to the integer
-  grid ``floor(x * 2^20)`` and every cosine is the fixed IEEE tree
-  ``floor(dot / (sqrt(na) * sqrt(nb)) * 2^20)`` over exact integer
-  dots (< 2^53) — the same machinery as ``dedup_embed``. Centroid
-  choice, bucket assignment, probe set and final ranking are all
-  deterministic functions of those integers, so the SQL oracle
-  recomputes the identical result from the raw parquet.
+Ranking determinism: BOTH paths are **bit-exact cross-engine** (each
+has a full DuckDB oracle): vector components are quantized to the
+integer grid ``floor(x * 2^20)`` and every cosine is the fixed IEEE
+tree ``floor(dot / (sqrt(na) * sqrt(nb)) * 2^20)`` over exact integer
+dots (< 2^53) — the same machinery as ``dedup_embed``. Ranking is
+``pm`` desc, ``n_id`` asc. (knn_brute originally ranked raw float
+cosines rounded to 1e6 — multi-term float accumulation whose summation
+order differs between numpy and DuckDB, so near-tied similarities
+could flip ranks across engines; the component grid removes the float
+sum entirely.) Zero quantized vectors are neither queried nor answered
+(cosine undefined).
 """
 
 from __future__ import annotations
@@ -38,13 +35,8 @@ import ray
 
 from wbot_ray.pipelines.common import read_table
 
-__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "SIM_QUANT"]
+__all__ = ["knn_brute", "knn_ivf", "build_ivf_index"]
 
-SIM_QUANT = 1e6  # similarity quantization grid (both engines rank on it)
-
-CAND_SCHEMA = pa.schema(
-    [("q_id", pa.int64()), ("n_id", pa.int64()), ("sim", pa.float64())]
-)
 OUT_SCHEMA = pa.schema(
     [("q_id", pa.int64()), ("n_id", pa.int64()), ("knn_rank", pa.int64())]
 )
@@ -52,51 +44,6 @@ OUT_SCHEMA = pa.schema(
 
 def _vecs(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     return np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
-
-
-def _unit(m: np.ndarray) -> np.ndarray:
-    n = np.linalg.norm(m, axis=1, keepdims=True)
-    n[n == 0] = 1.0
-    return m / n
-
-
-def _rank_candidates(sim: np.ndarray, nid: np.ndarray, kk: int) -> np.ndarray:
-    """Indices of the top ``kk`` candidates under the deterministic order:
-    quantized similarity desc, then n_id asc."""
-    sim_q = np.round(sim * SIM_QUANT)
-    return np.lexsort((nid, -sim_q))[:kk]
-
-
-def _topk_of_group(group: pa.Table, k: int) -> pa.Table:
-    """Merge a query's candidate rows into its global top-k."""
-    qid = int(group.column("q_id")[0].as_py())
-    nid = np.asarray(group.column("n_id").to_pylist(), dtype=np.int64)
-    sim = np.asarray(group.column("sim").to_pylist(), dtype=np.float64)
-    order = _rank_candidates(sim, nid, k)
-    return pa.table(
-        {
-            "q_id": pa.array([qid] * len(order), pa.int64()),
-            "n_id": pa.array(nid[order], pa.int64()),
-            "knn_rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-        },
-        schema=OUT_SCHEMA,
-    )
-
-
-def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    """The benchmark query set: the first ``n_queries`` vectors (a tiny
-    driver-side read — at scale this is the user-provided query matrix)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    t = t.filter(pc.less(t.column("vec_id"), n_queries))
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    order = np.argsort(ids)
-    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    return ids[order], _unit(vecs[order])
 
 
 def _load_queries_raw(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -118,35 +65,66 @@ def _load_queries_raw(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarr
 
 def knn_brute(sf_dir: str, n_queries: int = 8, k: int = 10):
     """Exact cosine top-k of each query vector against the whole corpus
-    (excluding itself)."""
-    q_ids, q_unit = _load_queries(sf_dir, n_queries)
-    q_ref = ray.put((q_ids, q_unit))
+    (excluding itself), on the bit-deterministic integer grid: query
+    and corpus components are quantized ``floor(x * 2^20)``, dots are
+    exact int64 matmuls, and the cosine is the fixed IEEE tree of
+    ``_qcos_pm`` — the DuckDB oracle recomputes the identical ``pm``
+    integers, so rank order can never flip across engines. Zero
+    quantized vectors (cosine undefined) are excluded on both sides,
+    matching the oracle's ``nn > 0`` gates."""
+    q_ids, q_raw = _load_queries_raw(sf_dir, n_queries)
+    q_int = _quant(q_raw)
+    q_nn = (q_int * q_int).sum(axis=1)
+    nzq = q_nn > 0
+    q_ids, q_int, q_nn = q_ids[nzq], q_int[nzq], q_nn[nzq]
+    if len(q_ids) == 0:
+        return ray.data.from_arrow(OUT_SCHEMA.empty_table())
+    q_ref = ray.put((q_ids, q_int, q_nn))
 
     def batch_topk(batch: pa.Table) -> pa.Table:
-        qids, qm = ray.get(q_ref)
+        qids, qm, qnn = ray.get(q_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        unit = _unit(_vecs(batch))
-        sims = qm @ unit.T  # (nq, batch)
-        out_q, out_n, out_s = [], [], []
-        kk = min(k + 1, len(ids))  # +1: self may be in-batch
+        g = _quant(_vecs(batch))
+        nn = (g * g).sum(axis=1)
+        pm = _qcos_pm(qm @ g.T, qnn[:, None], nn[None, :])  # (nq, batch)
+        out_q, out_n, out_pm = [], [], []
         for qi in range(len(qids)):
-            for j in _rank_candidates(sims[qi], ids, kk):
-                if ids[j] == qids[qi]:
-                    continue
-                out_q.append(qids[qi])
-                out_n.append(ids[j])
-                out_s.append(sims[qi, j])
+            j_idx = np.nonzero((nn > 0) & (ids != qids[qi]))[0]
+            if len(j_idx) > k:  # per-batch partial top-k: pm desc, n_id asc
+                order = np.lexsort((ids[j_idx], -pm[qi, j_idx]))[:k]
+                j_idx = j_idx[order]
+            for j in j_idx:
+                out_q.append(int(qids[qi]))
+                out_n.append(int(ids[j]))
+                out_pm.append(int(pm[qi, j]))
         return pa.table(
             {"q_id": pa.array(out_q, pa.int64()), "n_id": pa.array(out_n, pa.int64()),
-             "sim": pa.array(out_s, pa.float64())},
-            schema=CAND_SCHEMA,
+             "pm": pa.array(out_pm, pa.int64())},
+            schema=CAND_PM_SCHEMA,
         )
 
     return (
         read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(batch_topk, batch_format="pyarrow")
         .groupby("q_id")
-        .map_groups(lambda g: _topk_of_group(g, k), batch_format="pyarrow")
+        .map_groups(lambda g: _merge_topk_pm(g, k), batch_format="pyarrow")
+    )
+
+
+def _merge_topk_pm(group: pa.Table, k: int) -> pa.Table:
+    """Merge one query's candidate rows into its global top-k
+    (``pm`` desc, ``n_id`` asc)."""
+    qid = int(group.column("q_id")[0].as_py())
+    nid = np.asarray(group.column("n_id").to_pylist(), dtype=np.int64)
+    pm = np.asarray(group.column("pm").to_pylist(), dtype=np.int64)
+    order = np.lexsort((nid, -pm))[:k]
+    return pa.table(
+        {
+            "q_id": pa.array([qid] * len(order), pa.int64()),
+            "n_id": pa.array(nid[order], pa.int64()),
+            "knn_rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        },
+        schema=OUT_SCHEMA,
     )
 
 
