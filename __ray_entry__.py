@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "langid": textops.langid,
         "heavy_hitters": textops.heavy_hitters,
+        "cms_sketch": textops.cms_sketch,
         "corpus_filter": textops.corpus_filter,
         "filter_funnel": textops.filter_funnel,
         "ngram_counts": _typed_query(textops.ngram_counts, ("ngram", "n_occurrences")),
@@ -166,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_sssp": lambda sf: __import__(
             "wbot_ray.pipelines.graph", fromlist=["host_sssp"]
         ).host_sssp(sf),
+        "link_kcore": lambda sf: __import__(
+            "wbot_ray.pipelines.graph", fromlist=["link_kcore"]
+        ).link_kcore(sf),
         "retention_cohorts": lambda sf: __import__(
             "wbot_ray.pipelines.relational", fromlist=["retention_cohorts"]
         ).retention_cohorts(sf),
@@ -967,6 +971,9 @@ def oracle_sql() -> dict[str, str]:
         "host_sssp": __import__(
             "wbot_ray.pipelines.graph", fromlist=["host_sssp_oracle_sql"]
         ).host_sssp_oracle_sql(_links_path("/root/testdata/sf0.01")),
+        "link_kcore": __import__(
+            "wbot_ray.pipelines.graph", fromlist=["link_kcore_oracle_sql"]
+        ).link_kcore_oracle_sql(_links_path("/root/testdata/sf0.01")),
         "retention_cohorts": __import__(
             "wbot_ray.pipelines.relational", fromlist=["retention_cohorts_oracle_sql"]
         ).retention_cohorts_oracle_sql(),
@@ -1140,6 +1147,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logweight": __import__(
             "wbot_ray.pipelines.textops", fromlist=["dsir_logweight_oracle_sql"]
         ).dsir_logweight_oracle_sql(),
+        "cms_sketch": __import__(
+            "wbot_ray.pipelines.textops", fromlist=["cms_sketch_oracle_sql"]
+        ).cms_sketch_oracle_sql(),
         "ccnet_buckets": __import__(
             "wbot_ray.pipelines.textops", fromlist=["ccnet_buckets_oracle_sql"]
         ).ccnet_buckets_oracle_sql(),

@@ -296,6 +296,11 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "warc_stats",
         "host_sssp",
         "ccnet_buckets",
+        "bloom_semi_join",
+        "zorder_layout",
+        "inverted_postings",
+        "link_kcore",
+        "cms_sketch",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -218,3 +218,120 @@ class TestInvertedPostings:
                 xor ^= d
             want[term] = (len(posts), sum(posts.values()), sum(posts), xor)
         assert got == want
+
+
+class TestLinkKcore:
+    def _links(self, tmp_path, rows):
+        p = os.path.join(tmp_path, "links.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "src_url": pa.array([a for a, _ in rows], pa.string()),
+                    "dst_url": pa.array([b for _, b in rows], pa.string()),
+                    "gated": pa.array([True] * len(rows), pa.bool_()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    def test_core_peels_tails_both_paths(self, tmp_path, ray_session):
+        """A triangle with pendant tails: the 2-core is exactly the
+        triangle (tails peel in round 1, which drops a chain node to
+        degree 1 so it peels in round 2 — the iteration matters);
+        parity with the unrolled SQL twin on both execution paths,
+        self-loops and duplicate/reverse edges ignored."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        tri = [f"https://t{i}.com/" for i in range(3)]
+        rows = [
+            (tri[0], tri[1]),
+            (tri[1], tri[2]),
+            (tri[2], tri[0]),
+            (tri[1], tri[0]),  # reverse duplicate: same undirected edge
+            (tri[0], tri[0]),  # self-loop: ignored
+            # chain hanging off the triangle: c1 - c2 (c1 also - t0)
+            (tri[0], "https://c1.com/"),
+            ("https://c1.com/", "https://c2.com/"),
+        ]
+        p = self._links(tmp_path, rows)
+        want = {
+            h: d
+            for h, d in duckdb.connect()
+            .execute(graph.link_kcore_oracle_sql(p))
+            .fetchall()
+        }
+        assert want == {t: 2 for t in tri}
+        for path_kw in ({}, {"local_threshold": 0}):
+            got = {
+                r["host"]: r["deg"]
+                for r in graph.link_kcore(
+                    str(tmp_path), links_path=p, **path_kw
+                ).take_all()
+            }
+            assert got == want, path_kw
+
+    def test_round_bound_is_shared(self, tmp_path, ray_session):
+        """A long pendant chain peels one node per round: with
+        rounds=2 both engines keep the not-yet-peeled chain interior,
+        with a large bound both fully peel to the triangle core."""
+        import duckdb
+
+        from wbot_ray.pipelines import graph
+
+        tri = [f"https://t{i}.com/" for i in range(3)]
+        chain = [f"https://c{i}.com/" for i in range(4)]
+        rows = [(tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0])]
+        prev = tri[0]
+        for c in chain:
+            rows.append((prev, c))
+            prev = c
+        p = self._links(tmp_path, rows)
+        for r_bound in (2, 8):
+            want = {
+                h: d
+                for h, d in duckdb.connect()
+                .execute(graph.link_kcore_oracle_sql(p, rounds=r_bound))
+                .fetchall()
+            }
+            got = {
+                r["host"]: r["deg"]
+                for r in graph.link_kcore(
+                    str(tmp_path), links_path=p, rounds=r_bound
+                ).take_all()
+            }
+            assert got == want, r_bound
+        # the full peel leaves exactly the triangle
+        assert {
+            r["host"]
+            for r in graph.link_kcore(str(tmp_path), links_path=p).take_all()
+        } == set(tri)
+
+
+class TestCmsSketch:
+    def test_never_undercounts_and_merges_by_sum(self, tiny_dir):
+        from wbot_ray.pipelines import textops
+        from wbot_ray.pipelines.common import md5_lower64
+
+        cells = {
+            (int(r["row"]), int(r["cell"])): int(r["cnt"])
+            for r in textops.cms_sketch(tiny_dir).take_all()
+        }
+        t = pq.read_table(os.path.join(tiny_dir, "documents.parquet"))
+        true: dict[str, int] = {}
+        for text in t.column("text").to_pylist():
+            for tok in text.split(" "):
+                true[tok] = true.get(tok, 0) + 1
+        # total mass per sketch row == total token occurrences
+        n_total = sum(true.values())
+        for r in range(textops.CMS_DEPTH):
+            assert sum(c for (rr, _), c in cells.items() if rr == r) == n_total
+        # the CMS estimate (min over rows) never undercounts any token
+        for tok, n in true.items():
+            est = min(
+                cells[(r, md5_lower64(f"cms{r}:{tok}") % textops.CMS_WIDTH)]
+                for r in range(textops.CMS_DEPTH)
+            )
+            assert est >= n

@@ -46,6 +46,8 @@ __all__ = [
     "degree_dist_oracle_sql",
     "host_sssp",
     "host_sssp_oracle_sql",
+    "link_kcore",
+    "link_kcore_oracle_sql",
 ]
 
 ONE = 1 << 20  # fixed-point unit
@@ -1414,6 +1416,50 @@ def _distinct_host_pairs(links, num_buckets: int):
     )
 
 
+def _distinct_url_pairs(links, num_buckets: int):
+    """Globally-distinct gated (src_url, dst_url) pairs — the URL-level
+    sibling of :func:`_distinct_host_pairs` (no host collapse):
+    batch-local ``unique`` then ONE pair-hash-bucketed exchange for
+    global dedup. Used by :func:`link_kcore`, whose semantics need
+    intra-site edges."""
+    import polars as pl
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("gated"))
+        df = (
+            pl.from_arrow(t.select(["src_url", "dst_url"]))
+            .unique()
+            .with_columns(
+                bucket=(
+                    pl.concat_str(
+                        [pl.col("src_url"), pl.col("dst_url")], separator="\x1f"
+                    ).hash(seed=0)
+                    % np.uint64(num_buckets)
+                ).cast(pl.Int64)
+            )
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("src_url", pa.string()),
+                    ("dst_url", pa.string()),
+                    ("bucket", pa.int64()),
+                ]
+            )
+        )
+
+    def distinct_pairs(group: pa.Table) -> pa.Table:
+        g = group.group_by(["src_url", "dst_url"]).aggregate([])
+        return g.append_column("gated", pa.array([True] * g.num_rows, pa.bool_()))
+
+    return (
+        links.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def host_hits(
     sf_dir: str,
     iters: int = 5,
@@ -2285,4 +2331,341 @@ def host_sssp_oracle_sql(links_path: str, max_hops: int = 8) -> str:
         )
         SELECT host, CAST(MIN(dist) AS BIGINT) AS dist
         FROM bfs GROUP BY host
+    """
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def link_kcore(
+    sf_dir: str,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    num_buckets: int = 8,
+    links_path: str | None = None,
+    local_threshold: int = 100_000,
+):
+    """Bounded k-core peeling over the UNDIRECTED distinct gated URL
+    link graph — the "dense web neighborhood" signal (link-farm /
+    community-core detection; pages outside any 2-core are the
+    leaf/periphery a crawl scheduler can deprioritize). The URL graph
+    (not the host collapse) because k-core needs intra-site structure:
+    the host graph of a hub-and-spoke web is a tree with an EMPTY
+    2-core.
+
+    Exactly ``rounds`` peel iterations, both engines: ``alive_0`` =
+    every url with ≥1 non-self edge; each round drops nodes whose
+    degree WITHIN the previous alive set is < ``k``. Output =
+    ``(host, deg)`` — column named ``host`` for surface uniformity
+    with the other graph ops; here it carries the URL — for the
+    survivors, ``deg`` their degree within the FINAL alive set. The
+    fixed round count (not convergence) is part of the operator
+    contract — it bounds the unrolled SQL twin the same way
+    ``host_sssp`` bounds its recursive CTE; peeling converges in a
+    handful of rounds (every round that changes nothing is a no-op on
+    both sides).
+
+    Ray shape — the ``host_sssp`` staged-edge skeleton, degree-count
+    flavored: the undirected edge set (both directions of the distinct
+    host pairs, self-loops dropped, deduped through one pair-keyed
+    exchange) is staged ONCE as bucket-partitioned parquet. Each round
+    is two slim keyed exchanges in the same lazy DAG: (1) every
+    bucket's alive nodes fan counts over their staged out-edges
+    (per-dst partials pre-combined in the group — wire cost O(alive
+    out-edges), edges themselves never re-enter an exchange), (2) the
+    count fold keeps nodes that are alive AND reach ``k``. Below
+    ``local_threshold`` distinct pairs the peel runs driver-side on
+    the materialized pair set (the local-tiny-round scheduler choice;
+    both paths are parity-pinned in tests)."""
+    import os
+    import tempfile
+
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    links = rd.read_parquet(
+        links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
+    )
+    pairs = _distinct_url_pairs(links, num_buckets)
+    out_schema = pa.schema([("host", pa.string()), ("deg", pa.int64())])
+
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if n_pairs <= local_threshold:
+        import ray
+
+        tbl = pa.concat_tables(
+            [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        )
+        nbrs: dict[str, set] = {}
+        for s, d in zip(
+            tbl.column("src_url").to_pylist(), tbl.column("dst_url").to_pylist()
+        ):
+            if s == d:
+                continue
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+        alive = set(nbrs)
+        for _ in range(rounds):
+            nxt = {v for v in alive if sum(1 for u in nbrs[v] if u in alive) >= k}
+            if nxt == alive:
+                break
+            alive = nxt
+        hosts = sorted(alive)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(hosts, pa.string()),
+                    "deg": pa.array(
+                        [sum(1 for u in nbrs[h] if u in alive) for h in hosts],
+                        pa.int64(),
+                    ),
+                },
+                schema=out_schema,
+            )
+        )
+
+    # ---- distributed path: staged undirected edges + count-fold rounds
+    M = (1 << 63) - 1
+
+    def hash_arr(urls: list) -> np.ndarray:
+        h = pl.Series(urls, dtype=pl.String).hash(seed=0).to_numpy()
+        return (h & np.uint64(M)).astype(np.int64)
+
+    def to_undirected(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.equal(batch.column("src_url"), batch.column("dst_url"))
+        )
+        t = batch.filter(keep)
+        su = t.column("src_url").to_pylist()
+        du = t.column("dst_url").to_pylist()
+        sh, dh = hash_arr(su), hash_arr(du)
+        src = np.concatenate([sh, dh])
+        dst = np.concatenate([dh, sh])
+        return pa.table(
+            {
+                "bucket": pa.array(src % num_buckets, pa.int64()),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "dst_bucket": pa.array(dst % num_buckets, pa.int64()),
+            }
+        )
+
+    def dedup_edges(group: pa.Table) -> pa.Table:
+        return group.group_by(["bucket", "src", "dst", "dst_bucket"]).aggregate([])
+
+    edge_dir = tempfile.mkdtemp(prefix="wbot_kcore_edges_")
+    (
+        pairs.map_batches(to_undirected, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_edges, batch_format="pyarrow")
+        .write_parquet(edge_dir, partition_cols=["bucket"])
+    )
+    _EDGE_SCHEMA = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("dst_bucket", pa.int64())]
+    )
+
+    def _read_bucket(b: int) -> pa.Table:
+        d = os.path.join(edge_dir, f"bucket={b}")
+        if not os.path.isdir(d):
+            return _EDGE_SCHEMA.empty_table()
+        return pq.read_table(d, columns=["src", "dst", "dst_bucket"])
+
+    # state rows: alive markers (cnt null, host null), count partials
+    # (cnt int), nodemap rows (host set) — one schema, three kinds
+    state_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("node", pa.int64()),
+            ("cnt", pa.int64()),
+            ("host", pa.string()),
+        ]
+    )
+
+    def to_alive0(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.equal(batch.column("src_url"), batch.column("dst_url"))
+        )
+        t = batch.filter(keep)
+        nodes = np.unique(
+            np.concatenate(
+                [
+                    hash_arr(t.column("src_url").to_pylist()),
+                    hash_arr(t.column("dst_url").to_pylist()),
+                ]
+            )
+            if t.num_rows
+            else np.array([], np.int64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(nodes % num_buckets, pa.int64()),
+                "node": pa.array(nodes, pa.int64()),
+                "cnt": pa.nulls(len(nodes), pa.int64()),
+                "host": pa.nulls(len(nodes), pa.string()),
+            },
+            schema=state_schema,
+        )
+
+    state = pairs.map_batches(to_alive0, batch_format="pyarrow")
+
+    def fanout(group: pa.Table) -> pa.Table:
+        """Alive nodes of this bucket fan degree counts over the
+        bucket's staged out-edges; markers pass through (deduped —
+        alive_0 construction emits one marker per batch a node
+        appears in)."""
+        alive = group.group_by(["bucket", "node"]).aggregate([])
+        markers = pa.table(
+            {
+                "bucket": alive.column("bucket"),
+                "node": alive.column("node"),
+                "cnt": pa.nulls(alive.num_rows, pa.int64()),
+                "host": pa.nulls(alive.num_rows, pa.string()),
+            },
+            schema=state_schema,
+        )
+        out = [markers]
+        if alive.num_rows:
+            b = int(group.column("bucket")[0].as_py())
+            e = _read_bucket(b)
+            if e.num_rows:
+                j = e.join(
+                    alive.select(["node"]).rename_columns(["src"]),
+                    keys="src",
+                    join_type="inner",
+                )
+                if j.num_rows:
+                    c = j.group_by(["dst", "dst_bucket"]).aggregate([("dst", "count")])
+                    out.append(
+                        pa.table(
+                            {
+                                "bucket": c.column("dst_bucket"),
+                                "node": c.column("dst"),
+                                "cnt": pc.cast(c.column("dst_count"), pa.int64()),
+                                "host": pa.nulls(c.num_rows, pa.string()),
+                            },
+                            schema=state_schema,
+                        )
+                    )
+        return pa.concat_tables(out)
+
+    def fold(group: pa.Table) -> pa.Table:
+        """Keep nodes that are alive (marker present) AND whose degree
+        within the alive set reaches k."""
+        is_marker = pc.is_null(group.column("cnt"))
+        markers = group.filter(is_marker)
+        counts = (
+            group.filter(pc.invert(is_marker))
+            .group_by(["bucket", "node"])
+            .aggregate([("cnt", "sum")])
+        )
+        ok = counts.filter(pc.greater_equal(counts.column("cnt_sum"), k))
+        alive_nodes = markers.group_by(["bucket", "node"]).aggregate([])
+        j = alive_nodes.join(
+            ok.select(["node"]), keys="node", join_type="inner"
+        )
+        return pa.table(
+            {
+                "bucket": j.column("bucket"),
+                "node": j.column("node"),
+                "cnt": pa.nulls(j.num_rows, pa.int64()),
+                "host": pa.nulls(j.num_rows, pa.string()),
+            },
+            schema=state_schema,
+        )
+
+    for _ in range(rounds):
+        state = (
+            state.groupby("bucket")
+            .map_groups(fanout, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+
+    # final within-core degree: one more fan-out, folded WITHOUT the
+    # k gate, then host-name resolution (the nodemap pattern)
+    state = state.groupby("bucket").map_groups(fanout, batch_format="pyarrow")
+
+    def to_nodemap(batch: pa.Table) -> pa.Table:
+        hosts = list(
+            dict.fromkeys(
+                batch.column("src_url").to_pylist()
+                + batch.column("dst_url").to_pylist()
+            )
+        )
+        h = hash_arr(hosts)
+        return pa.table(
+            {
+                "bucket": pa.array(h % num_buckets, pa.int64()),
+                "node": pa.array(h, pa.int64()),
+                "cnt": pa.nulls(len(h), pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+            },
+            schema=state_schema,
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        has_host = pc.is_valid(group.column("host"))
+        nm = (
+            group.filter(has_host)
+            .select(["node", "host"])
+            .group_by(["node", "host"])
+            .aggregate([])
+        )
+        g = group.filter(pc.invert(has_host))
+        is_marker = pc.is_null(g.column("cnt"))
+        alive = g.filter(is_marker).group_by("node").aggregate([])
+        counts = (
+            g.filter(pc.invert(is_marker))
+            .group_by("node")
+            .aggregate([("cnt", "sum")])
+        )
+        j = alive.join(counts, keys="node", join_type="inner").join(
+            nm, keys="node", join_type="inner"
+        )
+        return pa.table(
+            {"host": j.column("host"), "deg": j.column("cnt_sum")},
+            schema=out_schema,
+        )
+
+    nodemap = pairs.map_batches(to_nodemap, batch_format="pyarrow")
+    resolved = (
+        state.union(nodemap).groupby("bucket").map_groups(resolve, batch_format="pyarrow")
+    )
+    return rd.from_arrow(out_schema.empty_table()).union(resolved)
+
+
+def link_kcore_oracle_sql(
+    links_path: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """DuckDB twin: the same ``rounds`` peel iterations UNROLLED as a
+    CTE chain (a recursive CTE can't re-aggregate the shrinking node
+    set per step), final degree within the last alive set."""
+    chain = []
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        cur = f"a{r}"
+        chain.append(
+            f"{cur} AS (SELECT u.s AS v FROM u "
+            f"JOIN {prev} x ON u.s = x.v JOIN {prev} y ON u.d = y.v "
+            f"GROUP BY u.s HAVING COUNT(*) >= {k})"
+        )
+        prev = cur
+    chain_sql = ",\n        ".join(chain)
+    return f"""
+        WITH p AS (
+          SELECT DISTINCT src_url AS s, dst_url AS d
+          FROM read_parquet('{links_path}') WHERE gated
+        ), u AS (
+          SELECT s, d FROM p WHERE s <> d
+          UNION
+          SELECT d, s FROM p WHERE s <> d
+        ), a0 AS (SELECT DISTINCT s AS v FROM u),
+        {chain_sql}
+        SELECT u.s AS host, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM u JOIN {prev} x ON u.s = x.v JOIN {prev} y ON u.d = y.v
+        GROUP BY u.s
     """

@@ -42,6 +42,8 @@ __all__ = [
     "filter_funnel_oracle_sql",
     "bpe_pairs",
     "bpe_pairs_oracle_sql",
+    "cms_sketch",
+    "cms_sketch_oracle_sql",
     "cooccur_counts",
     "cooccur_counts_oracle_sql",
     "lm_score",
@@ -1826,4 +1828,80 @@ def ccnet_buckets_oracle_sql(k: int = 3, train_source: str = LM_TRAIN_SOURCE) ->
                     WHEN bucket = {k} THEN 'tail'
                     ELSE 'middle' END AS label
         FROM j
+    """
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_sketch(sf_dir: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """Count-min sketch of the corpus token-OCCURRENCE frequencies —
+    the mergeable fixed-memory structure a streaming pipeline ships
+    instead of an unbounded token→count map (estimate(tok) =
+    min over rows of cell[row][h_row(tok)], never an undercount).
+    Output: the sketch itself as ``(row, cell, cnt)`` for every
+    nonzero cell — ``depth × width`` int64s regardless of corpus or
+    vocabulary size, and two shards' sketches merge by plain cell-wise
+    ADDITION, which is exactly what the keyed exchange does here, so
+    "build the sketch distributed" and "merge per-shard sketches" are
+    the same operator.
+
+    Ray shape: each batch folds its texts to DISTINCT tokens × counts
+    (the Zipf combiner — md5 runs once per distinct token per batch,
+    not per occurrence), computes the ``depth`` hash cells per token
+    (``md5_number_lower('cms<row>:' || token) % width``, the engine/SQL
+    shared identity), and emits one weighted-bincount partial sketch;
+    the ``groupby((row, cell))`` exchange carries ≤ depth × width slim
+    rows per batch. Every count is an exact integer — the DuckDB twin
+    recomputes the identical sketch from the raw text."""
+    from wbot_ray.pipelines.common import md5_lower64
+
+    def part(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(
+            pc.split_pattern(batch.column("text"), " ").combine_chunks().flatten()
+        )
+        words = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_row, out_cell, out_cnt = [], [], []
+        for r in range(depth):
+            cells = np.fromiter(
+                (md5_lower64(f"cms{r}:{w}") % width for w in words),
+                dtype=np.int64,
+                count=len(words),
+            )
+            binc = np.bincount(cells, weights=cnts, minlength=width).astype(np.int64)
+            nz = np.nonzero(binc)[0]
+            out_row.append(np.full(len(nz), r, np.int64))
+            out_cell.append(nz.astype(np.int64))
+            out_cnt.append(binc[nz])
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(out_row), pa.int64()),
+                "cell": pa.array(np.concatenate(out_cell), pa.int64()),
+                "cnt": pa.array(np.concatenate(out_cnt), pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["row", "cell"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def cms_sketch_oracle_sql(depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+    """DuckDB twin: identical per-row cell hash, exact cell sums."""
+    rows = "\n          UNION ALL\n          ".join(
+        f"SELECT {r} AS row, CAST(md5_number_lower('cms{r}:' || term) % {width} AS BIGINT) AS cell FROM tok"
+        for r in range(depth)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        cells AS (
+          {rows})
+        SELECT row, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY row, cell
     """
