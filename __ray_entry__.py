@@ -219,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holdout_split": lambda sf: __import__(
             "wbot_ray.pipelines.webops", fromlist=["holdout_split"]
         ).holdout_split(sf),
+        "jsonl_stats": lambda sf: __import__(
+            "wbot_ray.pipelines.webops", fromlist=["jsonl_stats"]
+        ).jsonl_stats(sf),
         "warc_stats": lambda sf: __import__(
             "wbot_ray.pipelines.webops", fromlist=["warc_stats"]
         ).warc_stats(sf),
@@ -1000,6 +1003,13 @@ def oracle_sql() -> dict[str, str]:
         "warc_stats": __import__(
             "wbot_ray.pipelines.webops", fromlist=["warc_stats_oracle_sql"]
         ).warc_stats_oracle_sql(
+            __import__(
+                "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
+            )._pages_path_for("/root/testdata/sf0.01")
+        ),
+        "jsonl_stats": __import__(
+            "wbot_ray.pipelines.webops", fromlist=["jsonl_stats_oracle_sql"]
+        ).jsonl_stats_oracle_sql(
             __import__(
                 "wbot_ray.pipelines.urlstats", fromlist=["_pages_path_for"]
             )._pages_path_for("/root/testdata/sf0.01")

@@ -301,6 +301,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "inverted_postings",
         "link_kcore",
         "cms_sketch",
+        "jsonl_stats",
     ]
     out: dict[str, float] = {}
     for name in names:

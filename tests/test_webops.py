@@ -507,3 +507,31 @@ class TestWarcStats:
         p = self._pages(tmp_path, urls, texts, langs)
         ds = webops.warc_stats(str(tmp_path), pages_path=p)
         _assert_match(ds, webops.warc_stats_oracle_sql(p))
+
+
+class TestJsonlStats:
+    def test_roundtrip_fingerprint_parity(self, ray_session, tmp_path):
+        """The engine's stats come from a write_json + read_json
+        round-trip while the oracle scans the original parquet —
+        equality proves Ray's JSONL connector loses/duplicates/mangles
+        nothing. Bodies carry the JSON-hostile cases: embedded quotes,
+        backslashes, newlines, non-ASCII (also pins strlen=bytes)."""
+        urls = [f"http://h{i % 3}.example/p{i}" for i in range(40)]
+        texts = [
+            f'text {i} "quoted" back\\slash naïve café\nline2 {"x" * (i % 7)}'
+            for i in range(40)
+        ]
+        langs = ["en" if i % 2 else "fr" for i in range(40)]
+        p = os.path.join(tmp_path, "pages.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                }
+            ),
+            p,
+        )
+        ds = webops.jsonl_stats(str(tmp_path), pages_path=p)
+        _assert_match(ds, webops.jsonl_stats_oracle_sql(p))

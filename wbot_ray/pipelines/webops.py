@@ -70,6 +70,8 @@ __all__ = [
     "holdout_split_oracle_sql",
     "warc_stats",
     "warc_stats_oracle_sql",
+    "jsonl_stats",
+    "jsonl_stats_oracle_sql",
     "URL_MENTION_RE",
     "TRAP_DIGIT_RE",
 ]
@@ -1299,6 +1301,111 @@ def warc_stats(sf_dir: str, pages_path: str | None = None):
 def warc_stats_oracle_sql(pages_path: str) -> str:
     """DuckDB twin over the ORIGINAL parquet — the engine's numbers
     come from the WARC round-trip, so equality proves the connector."""
+    return f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               bit_xor(CAST(md5_number_lower(url || chr(31) || text)
+                            % 9223372036854775808 AS BIGINT)) AS xor_fp,
+               CAST(SUM(strlen(text)) AS BIGINT) AS n_text_bytes
+        FROM read_parquet('{pages_path}')
+        GROUP BY lang
+    """
+
+
+# ---------------------------------------------------------------------------
+# JSONL connector gate
+# ---------------------------------------------------------------------------
+
+_JSONL_CACHE_VERSION = 1
+
+
+def jsonl_stats(sf_dir: str, pages_path: str | None = None):
+    """Connector conformance gate for the JSONL interchange format —
+    the lingua franca corpora actually ship in (Dolma, FineWeb, RedPajama
+    releases are JSONL shards). Exports the page corpus with Ray's
+    ``Dataset.write_json`` (one ``.json`` lines-shard per block),
+    streams the shards BACK with ``ray.data.read_json``, and folds the
+    same per-language stats + order-independent XOR content fingerprint
+    as :func:`warc_stats` — while the oracle computes them from the
+    original parquet. Any row the JSON encode/decode path loses,
+    duplicates, or mangles (unicode escapes, embedded quotes/newlines
+    in bodies) flips the fingerprint, so the driver's value gate covers
+    Ray's whole JSON connector round-trip.
+
+    Shape: one streaming export pass (cached per corpus under a content
+    fingerprint + ``_DONE``), one shard-parallel read-back, per-batch
+    partials, ONE lang-keyed exchange. At 100 TB the export IS the
+    deliverable (resumable shard-per-block layout); the stats pass
+    rides the same scan a release-audit would."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+
+    from wbot_ray.pipelines.common import md5_lower64
+
+    src = pages_path or _pages_path_for(sf_dir)
+    st = os.stat(src if os.path.isfile(src) else os.path.dirname(src) or ".")
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    jdir = f"/tmp/wbot_ray_jsonl/v{_JSONL_CACHE_VERSION}/{fp}"
+    shard_dir = os.path.join(jdir, "shards")
+    if not os.path.exists(os.path.join(jdir, "_DONE")):
+        rd.read_parquet(src, columns=["url", "lang", "text"]).write_json(shard_dir)
+        with open(os.path.join(jdir, "_DONE"), "w") as f:
+            f.write("ok")
+
+    MASK = (1 << 63) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        acc: dict[str, list[int]] = {}  # lang -> [n, xor, bytes]
+        for lg, u, t in zip(langs, urls, texts):
+            a = acc.setdefault(lg, [0, 0, 0])
+            a[0] += 1
+            a[1] ^= md5_lower64(u + "\x1f" + t) & MASK
+            a[2] += len(t.encode())
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array(ks, pa.string()),
+                "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "xor_fp": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "n_text_bytes": pa.array([acc[k][2] for k in ks], pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        acc = 0
+        for x in group.column("xor_fp").to_pylist():
+            acc ^= int(x)
+        return pa.table(
+            {
+                "lang": pa.array([group.column("lang")[0].as_py()], pa.string()),
+                "n_pages": pa.array(
+                    [int(pc.sum(group.column("n")).as_py())], pa.int64()
+                ),
+                "xor_fp": pa.array([acc], pa.int64()),
+                "n_text_bytes": pa.array(
+                    [int(pc.sum(group.column("n_text_bytes")).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_json(shard_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def jsonl_stats_oracle_sql(pages_path: str) -> str:
+    """DuckDB twin over the ORIGINAL parquet — the engine's numbers
+    come from the JSONL round-trip, so equality proves the connector."""
     return f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_pages,
