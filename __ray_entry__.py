@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": relational.user_running_value,
         "events_pivot": relational.events_pivot,
         "events_anomaly": relational.events_anomaly,
+        "late_events": relational.late_events,
         "orders_cube": relational.orders_cube,
         "user_day_share": relational.user_day_share,
         "price_range_scan": relational.price_range_scan,
@@ -1160,6 +1161,9 @@ def oracle_sql() -> dict[str, str]:
         "cms_sketch": __import__(
             "wbot_ray.pipelines.textops", fromlist=["cms_sketch_oracle_sql"]
         ).cms_sketch_oracle_sql(),
+        "late_events": __import__(
+            "wbot_ray.pipelines.relational", fromlist=["late_events_oracle_sql"]
+        ).late_events_oracle_sql(),
         "ccnet_buckets": __import__(
             "wbot_ray.pipelines.textops", fromlist=["ccnet_buckets_oracle_sql"]
         ).ccnet_buckets_oracle_sql(),

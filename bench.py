@@ -302,6 +302,7 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "link_kcore",
         "cms_sketch",
         "jsonl_stats",
+        "late_events",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -335,3 +335,57 @@ class TestCmsSketch:
                 for r in range(textops.CMS_DEPTH)
             )
             assert est >= n
+
+
+class TestLateEvents:
+    def test_watermark_flags_cross_part_lateness(self, tmp_path, ray_session):
+        """Arrival stream with a late event whose watermark was set in
+        an EARLIER partition (the carry must cross the part boundary),
+        an in-lateness event (not late), and the first arrival (no
+        watermark, never late) — parity with the SQL-window twin."""
+        import duckdb
+        import pandas as pd
+
+        from wbot_ray.pipelines import relational
+
+        L = 1_000_000  # 1 s allowed lateness
+        base = 1_700_000_000_000_000
+        # arrival order = event_id; t in us
+        ts = [
+            base,              # id 0: first arrival, no watermark
+            base + 10_000_000, # id 1: watermark jumps to +10s
+            base + 500_000,    # id 2: 9.5s late -> LATE
+            base + 9_500_000,  # id 3: 0.5s behind watermark, within L
+            base + 11_000_000, # id 4: advances watermark
+            base + 2_000_000,  # id 5: 9s late -> LATE (carry crosses the
+                               # part_size=2 boundary: watermark set in part 0/2)
+        ]
+        p = os.path.join(tmp_path, "events.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(ts)), pa.int64()),
+                    "ts": pa.array(pd.to_datetime(ts, unit="us"), pa.timestamp("us")),
+                    "event_type": pa.array(
+                        ["a", "b", "a", "b", "a", "b"], pa.string()
+                    ),
+                }
+            ),
+            p,
+        )
+        got = {
+            r["event_type"]: (int(r["n_events"]), int(r["n_late"]))
+            for r in relational.late_events(
+                str(tmp_path), lateness_us=L, part_size=2
+            ).take_all()
+        }
+        assert got == {"a": (3, 1), "b": (3, 1)}
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
+        want = {
+            t: (int(n), int(l))
+            for t, n, l in con.execute(
+                relational.late_events_oracle_sql(lateness_us=L)
+            ).fetchall()
+        }
+        assert got == want

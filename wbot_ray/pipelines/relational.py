@@ -51,6 +51,8 @@ __all__ = [
     "price_range_scan",
     "PRICE_BANDS_LO_CENTS",
     "EVENT_TYPES",
+    "late_events",
+    "late_events_oracle_sql",
 ]
 
 # Non-uniform price-band lower bounds (cents) — the range-join dimension.
@@ -1707,3 +1709,125 @@ def table_profile_oracle_sql() -> str:
             FROM lineitem"""
         )
     return " UNION ALL ".join(arms)
+
+
+LATE_ALLOWED_US = 3_600_000_000  # 1 h allowed lateness
+LATE_PART_SIZE = 4096
+
+
+def late_events(
+    sf_dir: str,
+    lateness_us: int = LATE_ALLOWED_US,
+    part_size: int = LATE_PART_SIZE,
+):
+    """Watermark / late-data audit — the streaming-semantics question
+    every event pipeline answers before picking its allowed lateness:
+    over the ARRIVAL stream (``event_id`` is the arrival sequence), how
+    many events carry a timestamp older than the high-watermark
+    (running max event time) minus the allowed lateness? Output:
+    ``(event_type, n_events, n_late)``.
+
+    The running max over arrival order is a DISTRIBUTED PREFIX MAX —
+    the ``pack_sequences`` prefix-sum shape with max as the monoid:
+
+    1. slim pass: ``(event_id, t, event_type, part = event_id //
+       part_size)`` — four int64-ish columns, text never read;
+    2. a tiny ``groupby(part).max(t)`` (|parts| rows — metadata-sized
+       at any event count) is scanned once driver-side into EXCLUSIVE
+       per-part carry maxes and broadcast via ``ray.put``;
+    3. ``groupby(part).map_groups``: each partition sorts by event_id,
+       takes ``np.maximum.accumulate`` shifted one row, folds in its
+       carry, and flags ``t < watermark - lateness``; per-type partials
+       then ride one tiny keyed aggregate.
+
+    The arrival-order prefix structure costs one slim exchange +
+    bounded per-part work — the event payloads never move. The first
+    arrival has no watermark and is never late (SQL: its window max is
+    NULL), matching the twin's ``ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING`` frame."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "t": pa.array(t, pa.int64()),
+                "part": pc.cast(
+                    pc.divide(batch.column("event_id"), part_size), pa.int64()
+                ),
+            }
+        )
+
+    slim = (
+        read_table(sf_dir, "events", ["event_id", "ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+    rows = slim.groupby("part").aggregate(Max("t", alias_name="tmax")).take_all()
+    carry: dict[int, int] = {}
+    acc = None
+    for r in sorted(rows, key=lambda r: int(r["part"])):
+        carry[int(r["part"])] = acc if acc is not None else -(1 << 62)
+        acc = max(acc, int(r["tmax"])) if acc is not None else int(r["tmax"])
+    carry_ref = ray.put(carry)
+
+    def flag(group: pa.Table) -> pa.Table:
+        carries = ray.get(carry_ref)
+        part = int(group.column("part")[0].as_py())
+        ids = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
+        t = np.asarray(group.column("t").to_pylist(), dtype=np.int64)
+        types = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        order = np.argsort(ids, kind="stable")
+        t, types = t[order], types[order]
+        prev = np.empty(len(t), dtype=np.int64)
+        prev[0] = carries.get(part, -(1 << 62))
+        if len(t) > 1:
+            prev[1:] = np.maximum(carries.get(part, -(1 << 62)), np.maximum.accumulate(t[:-1]))
+        late = t < prev - lateness_us
+        out_t, out_n, out_l = [], [], []
+        for et in np.unique(types):
+            m = types == et
+            out_t.append(str(et))
+            out_n.append(int(m.sum()))
+            out_l.append(int(late[m].sum()))
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "n_late": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    return (
+        slim.groupby("part")
+        .map_groups(flag, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("n_late", alias_name="n_late"))
+    )
+
+
+def late_events_oracle_sql(lateness_us: int = LATE_ALLOWED_US) -> str:
+    """DuckDB twin: window max over arrival (event_id) order with a
+    one-row-back frame — the first arrival's NULL watermark is never
+    late."""
+    return f"""
+        WITH e AS (
+          SELECT event_id, event_type, epoch_us(ts) AS t FROM events),
+        w AS (
+          SELECT event_type, t,
+                 MAX(t) OVER (ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS wm
+          FROM e)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN wm IS NOT NULL AND t < wm - {lateness_us}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM w GROUP BY event_type
+    """
