@@ -36,6 +36,19 @@ SCALES = {
     "small": {"hosts": 12, "pages_per_host": 40, "hot_factor": 6},
     "medium": {"hosts": 40, "pages_per_host": 120, "hot_factor": 10},
     "bench": {"hosts": 300, "pages_per_host": 600, "hot_factor": 5, "words": (4000, 8000)},
+    # 4x the bench crawl's parallel work — built to test whether a
+    # longer scaling job (amortizing per-round fixed latency like the
+    # 100 TB operating point would) measures better pair efficiency.
+    # It does NOT on this host (0.487 vs 0.850): the ~6 min of
+    # sustained load drains the hypervisor's burst-credit bucket and
+    # every long job converges to the credit baseline (~13-16
+    # effective cores), capping any measured pair at ~0.4-0.5
+    # regardless of plan. Kept for reproduction (`bench.py --scaling
+    # --scale bench4x --seeds 600`) and as the only corpus big enough
+    # to exercise the distributed (>local_round_threshold) round path
+    # at bench fidelity. Same page/link generator, only more hosts x
+    # pages.
+    "bench4x": {"hosts": 600, "pages_per_host": 1200, "hot_factor": 5, "words": (4000, 8000)},
 }
 
 _BASE_TS = int(datetime(2024, 5, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
