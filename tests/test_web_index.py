@@ -35,16 +35,23 @@ class TestIndexBuild:
         build_web_index(str(d), idx_b, num_buckets=4)
 
         for b in range(4):
-            fa = sorted(glob.glob(os.path.join(idx_a, f"bucket={b}", "*.parquet")))
-            fb = sorted(glob.glob(os.path.join(idx_b, f"bucket={b}", "*.parquet")))
-            ta = pa.concat_tables([pq.read_table(x) for x in fa]) if fa else None
-            tb = pa.concat_tables([pq.read_table(x) for x in fb]) if fb else None
-            if ta is None or tb is None:
-                assert ta is None and tb is None
+            da = os.path.join(idx_a, f"bucket={b}")
+            db = os.path.join(idx_b, f"bucket={b}")
+            ma = os.path.join(da, "meta.parquet")
+            mb = os.path.join(db, "meta.parquet")
+            if not os.path.exists(ma) or not os.path.exists(mb):
+                assert not os.path.exists(ma) and not os.path.exists(mb)
                 continue
-            # both are url-sorted; compare full contents
+            urls_a = pq.read_table(ma, columns=["url"]).column("url").to_pylist()
+            urls_b = pq.read_table(mb, columns=["url"]).column("url").to_pylist()
+            # both are url-sorted; compare full contents incl. payloads
+            assert urls_a == urls_b
+            ta = lookup_pages(da, urls_a, ["url", "html", "warc_ts", "lang"])
+            tb = lookup_pages(db, urls_b, ["url", "html", "warc_ts", "lang"])
             assert ta.column("url").to_pylist() == tb.column("url").to_pylist()
             assert ta.column("html").to_pylist() == tb.column("html").to_pylist()
+            assert ta.column("warc_ts").to_pylist() == tb.column("warc_ts").to_pylist()
+            assert ta.column("lang").to_pylist() == tb.column("lang").to_pylist()
 
     def test_lookup_prunes_and_is_exact(self, tmp_path):
         pages = gen_pages("tiny")
