@@ -116,3 +116,47 @@ class TestResolve:
     def test_fragment_only_rejected(self, base):
         with pytest.raises(URLError):
             resolve_url(base, "#frag")
+
+    @given(
+        valid_urls(),
+        st.one_of(
+            # relative / root-relative / dotted shapes
+            st.text(alphabet="abc/._-?#", max_size=30),
+            # absolute-ish shapes incl. the fast-path edges
+            st.builds(
+                lambda s, h, p: s + h + p,
+                st.sampled_from(
+                    ["http://", "https://", "HTTP://", "http:///", "//"]
+                ),
+                st.text(alphabet="abx.[]é:", max_size=10),
+                st.text(alphabet="abc/.?#%", max_size=12),
+            ),
+        ),
+    )
+    @settings(max_examples=400, deadline=None)
+    def test_fast_paths_match_urljoin(self, base, href):
+        """resolve_url's fast paths must be byte-identical to the pure
+        urljoin implementation (value AND raise behavior)."""
+        from urllib.parse import urljoin
+
+        def reference(base_url: str, h: str) -> str:
+            if h.startswith("#"):
+                raise URLError("url is a fragment")
+            try:
+                abs_url = urljoin(base_url, h)
+            except ValueError as e:
+                raise URLError(str(e)) from None
+            i = abs_url.find("#")
+            if i >= 0:
+                abs_url = abs_url[:i]
+            return abs_url
+
+        try:
+            expect: object = reference(base, href)
+        except URLError:
+            expect = URLError
+        try:
+            got: object = resolve_url(base, href)
+        except URLError:
+            got = URLError
+        assert got == expect

