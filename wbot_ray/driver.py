@@ -319,26 +319,32 @@ class Crawler:
         _t = _time.perf_counter()
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         n_tasks = max(1, min(n_parts, 4 * ncpu))
+        # ship the sorted frontier ONCE (one zero-copy object-store put);
+        # each task takes its own parts' rows in-worker. The previous
+        # per-task driver-side take() was single-threaded driver work
+        # linear in rows — pure Amdahl serial cost that capped the
+        # wide-executor leg (~0.7 s on an 80k-row round at 32 CPUs).
+        tbl_ref = ray.put(sorted_tbl)
+
         @ray.remote
-        def run_parts(tbl: pa.Table, sizes: list[int]) -> list[pa.Table]:
+        def run_parts(tbl: pa.Table, bounds: list[tuple[int, int]]) -> list[pa.Table]:
+            rows = np.concatenate([np.arange(s, e) for s, e in bounds])
+            # take (not slice): fresh buffers for the per-part slices
+            mine = tbl.take(pa.array(rows))
             out, off = [], 0
-            for n in sizes:
-                out.append(fused_fn(tbl.slice(off, n)))
-                off += n
+            for s, e in bounds:
+                out.append(fused_fn(mine.slice(off, e - s)))
+                off += e - s
             return out
 
         refs = []
         for c in range(n_tasks):
             idx = range(c, n_parts, n_tasks)  # round-robin part -> chunk
-            sizes = [int(ends[i] - starts[i]) for i in idx]
-            if not sizes:
-                continue
-            rows = np.concatenate(
-                [np.arange(starts[i], ends[i]) for i in idx]
-            )
-            # take (not slice): fresh buffers, so the task ships only its
-            # own rows — a slice would pickle the parent table's buffers
-            refs.append(run_parts.remote(sorted_tbl.take(pa.array(rows)), sizes))
+            bounds = [
+                (int(starts[i]), int(ends[i])) for i in idx if ends[i] > starts[i]
+            ]
+            if bounds:
+                refs.append(run_parts.remote(tbl_ref, bounds))
         cand_parts = [t for lst in ray.get(refs) for t in lst]
         cand = pa.concat_tables(cand_parts).combine_chunks()
         sub["fetch_tasks"] = round(_time.perf_counter() - _t, 3)
@@ -350,14 +356,31 @@ class Crawler:
         # on this box: n_tasks x S tiny objects per round doubled the
         # small-round latency. Driver gather of the slim candidate
         # columns is cheaper until rounds are orders of magnitude wider.)
-        dedup_task = ray.remote(
-            make_dedup_fn(seen.shards, round_id, stats_dir=metrics_parts)
-        )
-        shard_refs = [
-            dedup_task.remote(cand.filter(pc.equal(cand.column("seen_shard"), s)))
-            for s in sorted(set(cand.column("seen_shard").to_pylist()))
-        ]
-        survivors = ray.get(shard_refs)
+        # ONE stable argsort splits cand by shard — identical rows+order
+        # to the per-shard filter(==s) loop it replaces, which re-scanned
+        # cand S times on the driver; the shard-sorted table ships once
+        # and each dedup task slices its contiguous range in-worker.
+        dedup_fn = make_dedup_fn(seen.shards, round_id, stats_dir=metrics_parts)
+
+        @ray.remote
+        def run_shard_dedup(tbl: pa.Table, start: int, n: int) -> pa.Table:
+            return dedup_fn(tbl.slice(start, n).combine_chunks())
+
+        survivors = []
+        if cand.num_rows:
+            shard_col = cand.column("seen_shard").to_numpy(zero_copy_only=False)
+            s_order = np.argsort(shard_col, kind="stable")
+            s_sorted = shard_col[s_order]
+            s_bounds = np.flatnonzero(np.diff(s_sorted)) + 1
+            s_starts = np.concatenate(([0], s_bounds)).astype(np.int64)
+            s_ends = np.concatenate((s_bounds, [len(s_sorted)])).astype(np.int64)
+            cand_ref = ray.put(cand.take(pa.array(s_order)))
+            survivors = ray.get(
+                [
+                    run_shard_dedup.remote(cand_ref, int(s), int(e - s))
+                    for s, e in zip(s_starts, s_ends)
+                ]
+            )
         sub["dedup_tasks"] = round(_time.perf_counter() - _t, 3)
         _t = _time.perf_counter()
         if not survivors:
