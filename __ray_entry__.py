@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from wbot_ray.pipelines import (
         crawlq,
         dedup,
+        lshindex,
         multimodal,
         relational,
         search,
@@ -107,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _pairs_query(dedup.dedup_minhash),
         "dedup_simhash": _pairs_query(dedup.dedup_simhash),
         "dedup_embed": _pairs_query(dedup.dedup_embed),
+        "neardup_lookup": _typed_query(
+            lshindex.neardup_lookup, ("q_id", "n_id", "est_pm")
+        ),
         "dup_clusters": _typed_query(dedup.dup_clusters, ("doc_id", "cluster_id")),
         "dedup_keep": dedup.dedup_keep,
         "dedup_segments": dedup.dedup_segments,
@@ -450,6 +454,46 @@ def _minhash_oracle_sql(threshold: float = 0.7) -> str:
                 GROUP BY c.id_a, c.id_b)
         SELECT id_a, id_b, (matches * 1048576) // {N_PERM} AS sim_pm
         FROM sim WHERE (matches * 1048576) // {N_PERM} >= {thr_pm}
+    """
+
+
+def _neardup_lookup_oracle_sql(threshold: float = 0.7) -> str:
+    """neardup_lookup recomputed from scratch: identical signature /
+    band / estimate math to ``_minhash_oracle_sql``, restricted to the
+    probe set (``doc_id % 16 = 0``) and DIRECTIONAL — one row per
+    (probe, neighbor), neighbor != probe. The engine matches candidates
+    on the 64-bit blake2b band hash while SQL matches the raw band key
+    string; a cross-key hash collision (~2^-64, the same tolerance
+    dedup_minhash's bucket groupby accepts) is the only way they could
+    diverge."""
+    from wbot_ray.pipelines.dedup import MINHASH_P, N_PERM, PERM_A, PERM_B
+    from wbot_ray.pipelines.lshindex import _ROWS_PER_BAND
+
+    thr_pm = int(threshold * (1 << 20))
+    perms = ",\n               ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
+    )
+    return f"""
+        WITH {_SHINGLE_CTE},
+        base AS (SELECT doc_id, (md5_number_lower(sh) % {MINHASH_P})::BIGINT AS h FROM sh),
+        perm(i, a, b) AS (VALUES {perms}),
+        mins AS (SELECT doc_id, i, MIN((a * h + b) % {MINHASH_P}) AS m
+                 FROM base CROSS JOIN perm GROUP BY doc_id, i),
+        bands AS (SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
+                         string_agg(m, ',' ORDER BY i) AS key
+                  FROM mins GROUP BY doc_id, i // {_ROWS_PER_BAND}),
+        cand AS (SELECT DISTINCT q.doc_id AS q_id, n.doc_id AS n_id
+                 FROM bands q JOIN bands n
+                   ON q.band = n.band AND q.key = n.key AND n.doc_id <> q.doc_id
+                 WHERE q.doc_id % 16 = 0),
+        est AS (SELECT c.q_id, c.n_id,
+                       CAST(SUM(CASE WHEN mq.m = mn.m THEN 1 ELSE 0 END) AS BIGINT) AS matches
+                FROM cand c
+                JOIN mins mq ON mq.doc_id = c.q_id
+                JOIN mins mn ON mn.doc_id = c.n_id AND mn.i = mq.i
+                GROUP BY c.q_id, c.n_id)
+        SELECT q_id, n_id, (matches * 1048576) // {N_PERM} AS est_pm
+        FROM est WHERE (matches * 1048576) // {N_PERM} >= {thr_pm}
     """
 
 
@@ -1083,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_search": _semantic_search_oracle_sql(),
         "langid": _langid_oracle_sql(),
         "dedup_minhash": _minhash_oracle_sql(),
+        "neardup_lookup": _neardup_lookup_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_embed": _embed_oracle_sql(),
         "knn_ivf": _ivf_oracle_sql(),

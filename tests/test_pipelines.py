@@ -3850,3 +3850,73 @@ class TestHostSssp:
             duckdb.connect().execute(graph.host_sssp_oracle_sql(p)).fetchall()
         )
         assert want == {"hub.com": 0, "m1.com": 1, "m2.com": 1, "m3.com": 1}
+
+
+class TestNeardupLookup:
+    """Persisted LSH index + point lookups (pipelines.lshindex)."""
+
+    def _lookup(self, planted_dir, tmp_path_factory, threshold=0.5):
+        from wbot_ray.pipelines import lshindex
+
+        idx = str(tmp_path_factory.mktemp("lshidx"))
+        return lshindex.neardup_lookup(
+            planted_dir, threshold=threshold, index_dir=idx
+        )
+
+    def test_probe_finds_planted_copies(self, planted_dir, tmp_path_factory):
+        from wbot_ray.pipelines import lshindex
+
+        got = {
+            (r["q_id"], r["n_id"]): r["est_pm"]
+            for r in self._lookup(planted_dir, tmp_path_factory).take_all()
+        }
+        # doc 0 is a probe (0 % 16 == 0); 100/101 are exact copies -> est 64/64
+        assert got[(0, 100)] == 1 << 20
+        assert got[(0, 101)] == 1 << 20
+        # directional: only probe docs on the q side
+        assert all(q % 16 == 0 for q, _ in got)
+        assert all(q != n for q, n in got)
+        # probe 16 is unique word soup: no hits
+        assert not any(q == 16 for q, _ in got)
+        # the lookup never touched the corpus and recorded its pruning
+        assert lshindex.LAST_PRUNE_STATS["probes"] == 2  # docs 0 and 16
+        assert lshindex.LAST_PRUNE_STATS["emitted"] == len(got)
+
+    def test_parity_with_dedup_minhash(self, planted_dir, tmp_path_factory):
+        """A probe's lookup answers == the batch operator's pairs
+        involving that probe (same signatures, bands, estimate)."""
+        got = {
+            (r["q_id"], r["n_id"], r["est_pm"])
+            for r in self._lookup(planted_dir, tmp_path_factory).take_all()
+        }
+        batch = {
+            (r["id_a"], r["id_b"], r["sim_pm"])
+            for r in dedup.dedup_minhash(planted_dir, threshold=0.5).take_all()
+        }
+        want = {
+            (q, n, pm)
+            for a, b, pm in batch
+            for q, n in ((a, b), (b, a))
+            if q % 16 == 0
+        }
+        assert got == want
+
+    def test_oracle_sql_parity(self, planted_dir, tmp_path_factory):
+        import duckdb
+
+        got = sorted(
+            (r["q_id"], r["n_id"], r["est_pm"])
+            for r in self._lookup(
+                planted_dir, tmp_path_factory, threshold=0.7
+            ).take_all()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{planted_dir}/documents.parquet')"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(
+                entrymod._neardup_lookup_oracle_sql(threshold=0.7)
+            ).fetchall()
+        )
+        assert got == want and got  # non-empty: the planted copies hit

@@ -1,0 +1,358 @@
+"""Persisted MinHash-LSH index + near-dup POINT lookups.
+
+``dedup_minhash`` answers the batch question ("all near-dup pairs in
+the corpus") with one banded-LSH shuffle. The complementary online
+question — "which corpus documents are near-dups of THIS document?" —
+is a point lookup, and at 100 TB it must not touch the corpus: it has
+to probe a pre-built index, exactly like the crawl's CDX-style
+``web_index`` point reads (``pipelines.crawlq.index_lookup``).
+
+``build_lsh_index`` lays the corpus out ONCE as two slim
+bucket-partitioned Parquet tables (the split mirrors web-index v3's
+meta/payload separation — band rows are the lookup key, signatures the
+payload, and keeping them apart means the 8x band explosion never
+duplicates the 512-byte signature on disk):
+
+* ``bands/bucket=<b>/part-0.parquet`` — ``(band, band_hash, doc_id)``,
+  bucket = ``band_hash % num_buckets``, sorted by ``band_hash`` so a
+  probe reads only the row groups covering its wanted hashes;
+* ``sigs/bucket=<b>/part-0.parquet``  — ``(doc_id, sig: list<int64>)``,
+  bucket = ``doc_id % num_buckets``, sorted by ``doc_id``.
+
+``neardup_lookup`` then resolves a deterministic probe set
+(``doc_id % 16 == 0``, ~1/16 of the corpus — shared with the SQL twin)
+entirely through the index: fetch probe signatures, derive their band
+hashes (bands are a function of the signature — nothing probe-side is
+stored twice), read ONLY the band buckets those hashes live in,
+fetch the candidates' signatures, and verify by signature-estimated
+Jaccard — the same ``(matching components << 20) / 64`` per-mille-of-2^20
+integer estimate as ``dedup_minhash``, so the DuckDB oracle
+(``__ray_entry__``) recomputes every emitted row value-exactly from the
+same fixed permutation constants. Candidate discovery matches on the
+64-bit ``band_hash`` (not the raw 8-component key), accepting the same
+~2^-64 collision tolerance ``dedup_minhash``'s bucket groupby does.
+
+Each lookup batch is raw Ray tasks, one per TOUCHED bucket (a point
+read is one bounded IO, not a batch transform); the pruned-read
+fraction is printed every run (no silent caps).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from wbot_ray.pipelines.common import hash64, read_table, shingle_hashes
+from wbot_ray.pipelines.dedup import N_BANDS, N_PERM, _minhash_sig
+
+__all__ = ["build_lsh_index", "neardup_lookup"]
+
+LSH_CACHE_VERSION = 1
+_ROWS_PER_BAND = N_PERM // N_BANDS
+
+OUT_SCHEMA = pa.schema(
+    [("q_id", pa.int64()), ("n_id", pa.int64()), ("est_pm", pa.int64())]
+)
+
+# prune accounting of the most recent neardup_lookup call (driver-side)
+LAST_PRUNE_STATS: dict = {}
+
+
+def _band_hashes(sig: np.ndarray) -> list[int]:
+    """The 8 band bucket keys of one 64-component signature — the same
+    ``hash64(",".join(components))`` identity ``dedup_minhash`` shuffles
+    on, derived (never stored) because bands are a pure function of the
+    signature."""
+    return [
+        hash64(
+            ",".join(map(str, sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]))
+        )
+        for b in range(N_BANDS)
+    ]
+
+
+def build_lsh_index(sf_dir: str, index_dir: str, num_buckets: int = 32) -> str:
+    """One-time LSH corpus layout: one signature pass over ``documents``
+    (pruned to doc_id+text), then TWO slim keyed exchanges — band rows
+    grouped by ``band_hash % num_buckets``, signatures by
+    ``doc_id % num_buckets`` — each group written as one sorted Parquet
+    file with small row groups (point reads prune on min/max stats).
+    Nothing materializes driver-side; idempotent via ``_DONE``."""
+    import pyarrow.parquet as pq
+
+    if os.path.exists(os.path.join(index_dir, f"_DONE-v{LSH_CACHE_VERSION}")):
+        return index_dir
+    os.makedirs(index_dir, exist_ok=True)
+
+    # ONE signature pass feeds both layouts: materialized as the stage
+    # boundary so the expensive minhash computation never runs twice.
+    signed = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_explode_sig_rows, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def write_group(sub: str, sort_key: str):
+        def write(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.table({"bucket": pa.array([], pa.int32())})
+            b = int(group.column("bucket")[0].as_py())
+            d = os.path.join(index_dir, sub, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, ".part-0.tmp")
+            pq.write_table(
+                group.sort_by(sort_key).drop_columns(["bucket"]),
+                tmp,
+                row_group_size=1024,
+            )
+            os.replace(tmp, os.path.join(d, "part-0.parquet"))
+            return pa.table({"bucket": pa.array([b], pa.int32())})
+
+        return write
+
+    def band_bucket(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band": batch.column("band"),
+                "band_hash": batch.column("band_hash"),
+                "doc_id": batch.column("doc_id"),
+                "bucket": pa.array(
+                    (bh % np.uint64(num_buckets)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def sig_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sig": batch.column("sig"),
+                "bucket": pa.array((ids % num_buckets).astype(np.int32), pa.int32()),
+            }
+        )
+
+    bands = signed.select_columns(["doc_id", "band", "band_hash"]).map_batches(
+        band_bucket, batch_format="pyarrow"
+    )
+    bands.groupby("bucket").map_groups(
+        write_group("bands", "band_hash"), batch_format="pyarrow"
+    ).materialize()
+
+    def first_band_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # one sig row per doc: keep the band-0 row, drop the band column
+        return sig_bucket(
+            t.filter(pc.equal(t.column("band"), 0)).drop_columns(["band"])
+        )
+
+    sigs = signed.select_columns(["doc_id", "sig", "band"]).map_batches(
+        first_band_only, batch_format="pyarrow"
+    )
+    sigs.groupby("bucket").map_groups(
+        write_group("sigs", "doc_id"), batch_format="pyarrow"
+    ).materialize()
+
+    with open(os.path.join(index_dir, f"_DONE-v{LSH_CACHE_VERSION}"), "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def _explode_sig_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → one row per (doc, band) carrying the signature
+    once per band row; the builder immediately splits bands from sigs so
+    the duplication never reaches disk."""
+    ids = batch.column("doc_id").to_pylist()
+    out_id, out_sig, out_band, out_bh = [], [], [], []
+    for d, t in zip(ids, batch.column("text").to_pylist()):
+        sig = _minhash_sig(shingle_hashes(t))
+        sl = sig.tolist()
+        for b, bh in enumerate(_band_hashes(sig)):
+            out_id.append(d)
+            out_sig.append(sl)
+            out_band.append(b)
+            out_bh.append(bh)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "sig": pa.array(out_sig, pa.list_(pa.int64())),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_bh, pa.uint64()),
+        }
+    )
+
+
+def _read_bucket_rows(
+    index_dir: str, sub: str, bucket: int, col: str, wanted: np.ndarray, columns: list[str]
+) -> pa.Table:
+    """Row-group-pruned point read of one index bucket: only row groups
+    whose [min,max] intersects the wanted keys are decoded."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = os.path.join(index_dir, sub, f"bucket={bucket}", "part-0.parquet")
+    if not os.path.exists(path):
+        return None
+    f = pq.ParquetFile(path)
+    ci = f.schema_arrow.names.index(col)
+    wanted = np.sort(wanted)
+    groups = []
+    for g in range(f.num_row_groups):
+        st = f.metadata.row_group(g).column(ci).statistics
+        if st is None:
+            groups.append(g)
+            continue
+        lo = np.searchsorted(wanted, st.min, side="left")
+        if lo < len(wanted) and wanted[lo] <= st.max:
+            groups.append(g)
+    if not groups:
+        return None
+    t = f.read_row_groups(groups, columns=columns)
+    mask = pc.is_in(t.column(col), value_set=pa.array(wanted, t.schema.field(col).type))
+    t = t.filter(mask)
+    return t if t.num_rows else None
+
+
+def neardup_lookup(
+    sf_dir: str,
+    threshold: float = 0.7,
+    num_buckets: int = 32,
+    index_dir: str | None = None,
+):
+    """Near-dup point lookups over the persisted LSH index: for every
+    probe document (``doc_id % 16 == 0``), all corpus documents sharing
+    at least one LSH band whose signature-estimated Jaccard ≥
+    ``threshold`` — ``(q_id, n_id, est_pm)``, ``n_id != q_id``. The
+    corpus itself is NEVER read at query time; only the touched index
+    buckets are (pruned fraction printed + recorded)."""
+    import pyarrow.parquet as _pq
+
+    if index_dir is None:
+        src = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(src)
+        fp = hashlib.md5(
+            f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        ).hexdigest()[:12]
+        index_dir = f"/tmp/wbot_ray_lsh/v{LSH_CACHE_VERSION}/{fp}/b{num_buckets}"
+    build_lsh_index(sf_dir, index_dir, num_buckets)
+    thr_pm = int(threshold * (1 << 20))
+
+    # probe ids from parquet METADATA-cheap single-column read
+    all_ids = (
+        _pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy(zero_copy_only=False)
+    )
+    probes = np.sort(all_ids[all_ids % 16 == 0]).astype(np.int64)
+    if probes.size == 0:
+        return ray.data.from_arrow(OUT_SCHEMA.empty_table())
+
+    read_task = ray.remote(_read_bucket_rows)
+
+    def fetch_sigs(ids: np.ndarray) -> dict[int, np.ndarray]:
+        ids = np.unique(ids).astype(np.int64)
+        refs = [
+            read_task.remote(
+                index_dir, "sigs", b, "doc_id", ids[ids % num_buckets == b],
+                ["doc_id", "sig"],
+            )
+            for b in np.unique(ids % num_buckets)
+        ]
+        out: dict[int, np.ndarray] = {}
+        for t in ray.get(refs):
+            if t is None:
+                continue
+            for d, s in zip(t.column("doc_id").to_pylist(), t.column("sig").to_pylist()):
+                out[d] = np.asarray(s, dtype=np.int64)
+        return out
+
+    # 1) probe signatures (point reads)
+    q_sigs = fetch_sigs(probes)
+
+    # 2) wanted (band, band_hash) pairs, grouped by band bucket
+    want_by_bucket: dict[int, set[tuple[int, int]]] = {}
+    for d, sig in q_sigs.items():
+        for b, bh in enumerate(_band_hashes(sig)):
+            want_by_bucket.setdefault(int(bh % num_buckets), set()).add((b, bh))
+
+    # 3) candidate discovery: read ONLY the touched band buckets
+    cand_refs = []
+    for bucket, pairs in sorted(want_by_bucket.items()):
+        hashes = np.unique(np.array([bh for _, bh in pairs], dtype=np.uint64))
+        cand_refs.append(
+            read_task.remote(
+                index_dir, "bands", bucket, "band_hash", hashes,
+                ["band", "band_hash", "doc_id"],
+            )
+        )
+    # a band key can be shared by several probes — map (band, hash) → probes
+    key_to_probes: dict[tuple[int, int], list[int]] = {}
+    for d, sig in q_sigs.items():
+        for b, bh in enumerate(_band_hashes(sig)):
+            key_to_probes.setdefault((b, bh), []).append(d)
+
+    cand_pairs: set[tuple[int, int]] = set()
+    for t in ray.get(cand_refs):
+        if t is None:
+            continue
+        for band, bh, nid in zip(
+            t.column("band").to_pylist(),
+            t.column("band_hash").to_pylist(),
+            t.column("doc_id").to_pylist(),
+        ):
+            for q in key_to_probes.get((band, bh), ()):
+                if nid != q:
+                    cand_pairs.add((q, nid))
+
+    # 4) candidate signatures (point reads), 5) estimate + gate
+    n_sigs = fetch_sigs(np.array([n for _, n in cand_pairs], dtype=np.int64))
+    rows_q, rows_n, rows_pm = [], [], []
+    for q, n in sorted(cand_pairs):
+        est = int(np.count_nonzero(q_sigs[q] == n_sigs[n]))
+        pm = (est << 20) // N_PERM
+        if pm >= thr_pm:
+            rows_q.append(q)
+            rows_n.append(n)
+            rows_pm.append(pm)
+
+    # pruned-read accounting from parquet metadata only
+    def _rows_under(sub: str) -> int:
+        return sum(
+            _pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(index_dir, sub, "bucket=*", "*.parquet"))
+        )
+
+    total = _rows_under("bands") + _rows_under("sigs")
+    touched_buckets = len(want_by_bucket)
+    LAST_PRUNE_STATS.update(
+        {
+            "probes": int(probes.size),
+            "band_buckets_touched": touched_buckets,
+            "band_buckets_total": num_buckets,
+            "candidate_pairs": len(cand_pairs),
+            "emitted": len(rows_q),
+            "index_rows_total": total,
+        }
+    )
+    print(
+        f"[neardup_lookup] {probes.size} probes -> {touched_buckets}/{num_buckets} "
+        f"band buckets, {len(cand_pairs)} candidates, {len(rows_q)} hits "
+        f"(corpus untouched; index rows {total})"
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q_id": pa.array(rows_q, pa.int64()),
+                "n_id": pa.array(rows_n, pa.int64()),
+                "est_pm": pa.array(rows_pm, pa.int64()),
+            },
+            schema=OUT_SCHEMA,
+        )
+    )
