@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_corpus": training.prepare_corpus,
         "doc_chunks": training.doc_chunks,
         "source_mix": training.source_mix,
+        "token_budget_mix": training.token_budget_mix,
         "compact_corpus": lambda sf: __import__(
             "wbot_ray.pipelines.maintenance", fromlist=["compact_corpus"]
         ).compact_corpus(sf),
@@ -240,6 +241,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": lambda sf: __import__(
             "wbot_ray.pipelines.clustering", fromlist=["kmeans_clusters"]
         ).kmeans_clusters(sf),
+        "pq_codes": lambda sf: __import__(
+            "wbot_ray.pipelines.clustering", fromlist=["pq_codes"]
+        ).pq_codes(sf),
+        "pq_search": lambda sf: __import__(
+            "wbot_ray.pipelines.clustering", fromlist=["pq_search"]
+        ).pq_search(sf),
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,
         "semantic_search": lambda sf: __import__(
@@ -1134,10 +1141,34 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": __import__(
             "wbot_ray.pipelines.clustering", fromlist=["kmeans_oracle_sql"]
         ).kmeans_oracle_sql(),
+        "pq_codes": __import__(
+            "wbot_ray.pipelines.clustering", fromlist=["pq_oracle_sql"]
+        ).pq_oracle_sql(),
+        "pq_search": __import__(
+            "wbot_ray.pipelines.clustering", fromlist=["pq_search_oracle_sql"]
+        ).pq_search_oracle_sql(),
         "dup_clusters": _clusters_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "pii_scrub": _pii_scrub_oracle_sql(),
         "source_mix": _source_mix_oracle_sql(),
+        "token_budget_mix": """
+            -- per-source token-budget fill: hash-ordered running total,
+            -- keep while the tokens BEFORE the doc fit the budget
+            WITH d AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY md5_number_lower('budget:' || doc_id), doc_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) - n_tokens AS cum_prev
+              FROM d)
+            SELECT doc_id, source, n_tokens, CAST(cum_prev AS BIGINT) AS cum_prev
+            FROM c WHERE cum_prev < 800
+        """,
         "length_deciles": """
             -- exact SQL-window semantics incl. the first-(n%k)-buckets-
             -- get-one-extra rule and the (n_chars, doc_id) tie-break

@@ -2694,6 +2694,75 @@ class TestKmeansRandomized:
         assert got == want
 
 
+class TestPqCodes:
+    """Product quantization vs an independent single-process NumPy
+    reference of the same per-subspace quantized Lloyd's (written here,
+    not shared with the engine), plus the compression invariants."""
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_reference(self, seed, tmp_path, ray_session):
+        from wbot_ray.pipelines.clustering import KM_QUANT, pq_codes
+        from wbot_ray.pipelines.common import md5_lower64
+
+        rng = np.random.RandomState(seed)
+        n, m, k, iters, sd = 90, 8, 6, 1, 8
+        vecs = rng.standard_normal((n, 64)).astype(np.float32)
+        vecs[70] = vecs[3]  # planted exact duplicate -> identical codes
+        d = tmp_path / f"pq{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist() for v in vecs], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            os.path.join(d, "embeddings.parquet"),
+        )
+
+        q = np.floor(vecs.astype(np.float64) * float(KM_QUANT)).astype(np.int64)
+        keys = sorted((md5_lower64(f"pqc:{i}"), i) for i in range(n))
+        seeds = q[[i for _, i in keys[:k]]]
+        cents = [seeds[:, j * sd : (j + 1) * sd].copy() for j in range(m)]
+
+        def assign(qs, cm):
+            out = []
+            for row in qs:
+                dists = [int(((row - c) ** 2).sum()) for c in cm]
+                best = min(range(len(cm)), key=lambda j: (dists[j], j))
+                out.append((best, dists[best]))
+            return out
+
+        for _ in range(iters):
+            for j in range(m):
+                qs = q[:, j * sd : (j + 1) * sd]
+                a = assign(qs, cents[j])
+                nxt = cents[j].copy()
+                for cl in range(k):
+                    members = [i for i, (c, _) in enumerate(a) if c == cl]
+                    if members:
+                        nxt[cl] = qs[members].sum(axis=0) // len(members)
+                cents[j] = nxt
+        want = {}
+        for j in range(m):
+            for i, (c, dist) in enumerate(assign(q[:, j * sd : (j + 1) * sd], cents[j])):
+                want[(i, j)] = (c, dist)
+
+        got = {
+            (r["vec_id"], r["sub"]): (r["code"], r["dist_q"])
+            for r in pq_codes(str(d), m=m, k=k, iters=iters).take_all()
+        }
+        assert got == want
+        # compression invariants: every vector has exactly m codes in
+        # [0, k); the planted duplicate pair shares all codes
+        assert len(got) == n * m
+        assert all(0 <= c < k for c, _ in got.values())
+        for j in range(m):
+            assert got[(70, j)] == got[(3, j)]
+
+
 class TestPrepareCorpus:
     def test_planted_composition(self, tmp_path, ray_session):
         """Composition semantics: a near-dup's non-canonical member
@@ -3175,6 +3244,91 @@ class TestSourceMix:
         rates = {g["source"]: g["rate_ppm"] for g in got}
         if "src0" in rates:
             assert rates["src0"] == 1_000_000
+
+
+class TestTokenBudgetMix:
+    def test_budget_law_and_duckdb_parity(self, ray_session, tmp_path):
+        """Randomized doc lengths across skewed sources: (a) exact rows
+        vs the generated DuckDB twin; (b) the budget law — for every
+        source, all kept docs have cum_prev < budget, exactly one kept
+        doc may cross it, and the hash-order prefix is contiguous (no
+        doc is skipped then a later-ordered one kept)."""
+        import duckdb
+
+        from wbot_ray.pipelines.training import token_budget_mix
+
+        rng = np.random.RandomState(11)
+        srcs = ["a"] * 50 + ["b"] * 5 + ["c"] * 200
+        rng.shuffle(srcs)
+        texts = [" ".join(f"w{rng.randint(0, 9)}" for _ in range(rng.randint(1, 40))) for _ in srcs]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(srcs)), pa.int64()),
+                    "source": pa.array(srcs, pa.string()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        budget = 300
+        got = sorted(
+            token_budget_mix(str(tmp_path), budget=budget).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
+        )
+        want = con.execute(
+            entrymod.oracle_sql()["token_budget_mix"].replace("< 800", f"< {budget}")
+            + " ORDER BY doc_id"
+        ).df()
+        assert len(got) == len(want)
+        for g, (_, w) in zip(got, want.iterrows()):
+            for c in ("doc_id", "source", "n_tokens", "cum_prev"):
+                assert g[c] == w[c], (c, g, dict(w))
+        # budget law per source
+        for src in ("a", "b", "c"):
+            kept = [g for g in got if g["source"] == src]
+            assert all(g["cum_prev"] < budget for g in kept)
+            crossing = [g for g in kept if g["cum_prev"] + g["n_tokens"] > budget]
+            assert len(crossing) <= 1
+        # source b is tiny (~5 short docs): its whole supply is kept
+        assert len([g for g in got if g["source"] == "b"]) == 5
+
+    def test_part_boundary_invariance(self, ray_session, tmp_path):
+        """The prefix result cannot depend on the range-partition width:
+        4 parts (part_bits=62) vs 256 parts (part_bits=56) agree row-
+        for-row — the cross-part base-offset handoff is exact."""
+        from wbot_ray.pipelines.training import token_budget_mix
+
+        rng = np.random.RandomState(3)
+        n = 150
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+                    "text": pa.array(
+                        [" ".join("x" for _ in range(rng.randint(1, 20))) for _ in range(n)],
+                        pa.string(),
+                    ),
+                }
+            ),
+            os.path.join(tmp_path, "documents.parquet"),
+        )
+        a = sorted(
+            token_budget_mix(str(tmp_path), budget=120, part_bits=62).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        b = sorted(
+            token_budget_mix(str(tmp_path), budget=120, part_bits=56).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert a == b
+        assert len(a) > 0
 
 
 class TestLengthDeciles:

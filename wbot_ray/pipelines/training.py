@@ -21,6 +21,7 @@ from wbot_ray.pipelines.common import md5_lower64, read_table
 __all__ = [
     "sample_hash",
     "source_mix",
+    "token_budget_mix",
     "pack_sequences",
     "stratified_sample",
     "global_shuffle",
@@ -206,6 +207,94 @@ def weighted_sample(sf_dir: str, k: int = 200):
         .groupby("g")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+BUDGET_SALT = "budget:"
+
+
+def token_budget_mix(sf_dir: str, budget: int = 800, part_bits: int = 58):
+    """TOKEN-budget mixture selection — fill each source's token budget
+    (not doc count: sources differ in doc length, and training mixtures
+    are specified in tokens) with a deterministic, reproducible subset:
+    documents are ordered inside their source by the salted hash
+    ``md5_number_lower('budget:' || doc_id)`` (doc_id tie-break) and
+    taken while the tokens BEFORE them fit the budget — the crossing
+    document is kept, so a source with supply ≥ budget always reaches
+    it. Pure function of the doc key: no RNG state, re-runnable on any
+    shard subset, and the complement is exactly the unkept rows.
+
+    Ray shape — the :func:`pack_sequences` distributed prefix sum, but
+    ordered by the hash key instead of doc_id, which makes the range
+    partitioner free: ``part = key >> part_bits`` is a contiguous key
+    range, so per-``(source, part)`` token sums (a metadata-sized
+    ``groupby``) give exclusive per-part base offsets on the driver,
+    broadcast once; each part task sorts its own bounded slice by
+    ``(key, doc_id)`` and adds its local cumsum. The text column never
+    moves — the slim pass carries four int64-ish columns.
+
+    Output: ``(doc_id, source, n_tokens, cum_prev)`` for kept docs.
+    Oracle: ``SUM(n_tokens) OVER (PARTITION BY source ORDER BY
+    md5_number_lower(...), doc_id) - n_tokens < budget``."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(batch.column("text"), " "))
+        ids = batch.column("doc_id").to_pylist()
+        key = np.fromiter(
+            (md5_lower64(f"{BUDGET_SALT}{i}") for i in ids),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+                "key": pa.array(key, pa.uint64()),
+                "part": pa.array((key >> np.uint64(part_bits)).astype(np.int64)),
+            }
+        )
+
+    slim = (
+        read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+    part_sums = slim.groupby(["source", "part"]).aggregate(
+        Sum("n_tokens", alias_name="part_tokens")
+    )
+    rows = part_sums.take_all()  # |sources|·|parts| rows — metadata-sized
+    base: dict[tuple[str, int], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["part"])):
+        base[(r["source"], int(r["part"]))] = acc.get(r["source"], 0)
+        acc[r["source"]] = acc.get(r["source"], 0) + int(r["part_tokens"])
+    base_ref = ray.put(base)
+
+    def take(group: pa.Table) -> pa.Table:
+        offsets = ray.get(base_ref)
+        part = int(group.column("part")[0].as_py())
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        srcs = np.asarray(group.column("source").to_pylist(), dtype=object)
+        ntok = np.asarray(group.column("n_tokens").to_pylist(), dtype=np.int64)
+        key = np.asarray(group.column("key").to_pylist(), dtype=np.uint64)
+        order = np.lexsort((ids, key))
+        ids, srcs, ntok = ids[order], srcs[order], ntok[order]
+        cum_prev = np.empty(len(ids), dtype=np.int64)
+        for src in np.unique(srcs):
+            m = srcs == src
+            local = np.cumsum(ntok[m]) - ntok[m]
+            cum_prev[m] = local + offsets.get((src, part), 0)
+        keep = cum_prev < budget
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "source": pa.array(list(srcs[keep]), pa.string()),
+                "n_tokens": pa.array(ntok[keep], pa.int64()),
+                "cum_prev": pa.array(cum_prev[keep], pa.int64()),
+            }
+        )
+
+    return slim.groupby("part").map_groups(take, batch_format="pyarrow")
 
 
 def pack_sequences(sf_dir: str, seq_len: int = 2048, part_size: int = 1024):
