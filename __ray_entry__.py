@@ -467,7 +467,9 @@ def _minhash_oracle_sql(threshold: float = 0.7) -> str:
 def _neardup_lookup_oracle_sql(threshold: float = 0.7) -> str:
     """neardup_lookup recomputed from scratch: identical signature /
     band / estimate math to ``_minhash_oracle_sql``, restricted to the
-    probe set (``doc_id % 16 = 0``) and DIRECTIONAL — one row per
+    probe set (``doc_id % 16 = 0`` UNION the min doc_id of every band
+    bucket with ≥ 2 distinct docs — the same non-vacuous demo rule the
+    engine derives from its bands index) and DIRECTIONAL — one row per
     (probe, neighbor), neighbor != probe. The engine matches candidates
     on the 64-bit blake2b band hash while SQL matches the raw band key
     string; a cross-key hash collision (~2^-64, the same tolerance
@@ -489,10 +491,14 @@ def _neardup_lookup_oracle_sql(threshold: float = 0.7) -> str:
         bands AS (SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
                          string_agg(m, ',' ORDER BY i) AS key
                   FROM mins GROUP BY doc_id, i // {_ROWS_PER_BAND}),
+        probes AS (SELECT doc_id FROM bands WHERE doc_id % 16 = 0
+                   UNION
+                   SELECT MIN(doc_id) FROM bands
+                   GROUP BY band, key HAVING COUNT(DISTINCT doc_id) >= 2),
         cand AS (SELECT DISTINCT q.doc_id AS q_id, n.doc_id AS n_id
                  FROM bands q JOIN bands n
                    ON q.band = n.band AND q.key = n.key AND n.doc_id <> q.doc_id
-                 WHERE q.doc_id % 16 = 0),
+                 WHERE q.doc_id IN (SELECT doc_id FROM probes)),
         est AS (SELECT c.q_id, c.n_id,
                        CAST(SUM(CASE WHEN mq.m = mn.m THEN 1 ELSE 0 END) AS BIGINT) AS matches
                 FROM cand c
@@ -1151,24 +1157,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle_sql(),
         "pii_scrub": _pii_scrub_oracle_sql(),
         "source_mix": _source_mix_oracle_sql(),
-        "token_budget_mix": """
-            -- per-source token-budget fill: hash-ordered running total,
-            -- keep while the tokens BEFORE the doc fit the budget
-            WITH d AS (
-              SELECT doc_id, source,
-                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-              FROM documents
-            ), c AS (
-              SELECT doc_id, source, n_tokens,
-                     SUM(n_tokens) OVER (
-                       PARTITION BY source
-                       ORDER BY md5_number_lower('budget:' || doc_id), doc_id
-                       ROWS UNBOUNDED PRECEDING
-                     ) - n_tokens AS cum_prev
-              FROM d)
-            SELECT doc_id, source, n_tokens, CAST(cum_prev AS BIGINT) AS cum_prev
-            FROM c WHERE cum_prev < 800
-        """,
+        "token_budget_mix": __import__(
+            "wbot_ray.pipelines.training", fromlist=["token_budget_mix_oracle_sql"]
+        ).token_budget_mix_oracle_sql(),
         "length_deciles": """
             -- exact SQL-window semantics incl. the first-(n%k)-buckets-
             -- get-one-extra rule and the (n_chars, doc_id) tie-break

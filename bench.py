@@ -334,6 +334,16 @@ def run_ivf_scale_bench(sf_dir: str) -> dict:
     }
 
 
+def run_minhash_exchange_bench(sf_dir: str) -> dict:
+    """dedup_minhash exchange-byte accounting: proves the meta/payload
+    split ships the 512-B signatures twice, not once per band row."""
+    from wbot_ray.pipelines import dedup
+
+    t0 = time.perf_counter()
+    stats = dedup.minhash_exchange_stats(sf_dir)
+    return {"sec": round(time.perf_counter() - t0, 3), **stats}
+
+
 def one(
     num_cpus: int,
     sf_dir: str,
@@ -345,13 +355,20 @@ def one(
     crawl = run_crawl_bench(num_cpus, scale, n_seeds)
     queries = {} if crawl_only else run_query_bench(sf_dir)
     ivf_scale = {} if crawl_only else run_ivf_scale_bench(sf_dir)
-    total = crawl["sec"] + sum(queries.values()) + ivf_scale.get("sec", 0)
+    mh_scale = {} if crawl_only else run_minhash_exchange_bench(sf_dir)
+    total = (
+        crawl["sec"]
+        + sum(queries.values())
+        + ivf_scale.get("sec", 0)
+        + mh_scale.get("sec", 0)
+    )
     return {
         "metric": "total_bench_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
         "knn_ivf_scale": ivf_scale,
+        "minhash_exchange": mh_scale,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "crawl": crawl,

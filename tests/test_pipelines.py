@@ -668,6 +668,8 @@ class TestOracleParity:
             "compact_corpus",
             "corpus_diff",
             "filter_funnel",
+            "pq_codes",
+            "pq_search",
         ],
     )
     def test_query_matches_oracle(self, name, ray_session):
@@ -3281,9 +3283,15 @@ class TestTokenBudgetMix:
             f"CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
         )
+        from wbot_ray.pipelines.training import token_budget_mix_oracle_sql
+
+        # the gate's oracle entry IS this helper at the default budget
+        assert (
+            entrymod.oracle_sql()["token_budget_mix"]
+            == token_budget_mix_oracle_sql()
+        )
         want = con.execute(
-            entrymod.oracle_sql()["token_budget_mix"].replace("< 800", f"< {budget}")
-            + " ORDER BY doc_id"
+            token_budget_mix_oracle_sql(budget=budget) + " ORDER BY doc_id"
         ).df()
         assert len(got) == len(want)
         for g, (_, w) in zip(got, want.iterrows()):
@@ -4009,26 +4017,31 @@ class TestHostSssp:
 class TestNeardupLookup:
     """Persisted LSH index + point lookups (pipelines.lshindex)."""
 
-    def _lookup(self, planted_dir, tmp_path_factory, threshold=0.5):
+    def _lookup(
+        self, planted_dir, tmp_path_factory, threshold=0.5, probe_ids=None
+    ):
         from wbot_ray.pipelines import lshindex
 
         idx = str(tmp_path_factory.mktemp("lshidx"))
         return lshindex.neardup_lookup(
-            planted_dir, threshold=threshold, index_dir=idx
+            planted_dir, threshold=threshold, index_dir=idx, probe_ids=probe_ids
         )
 
     def test_probe_finds_planted_copies(self, planted_dir, tmp_path_factory):
+        """The production path: caller-supplied probe_ids."""
         from wbot_ray.pipelines import lshindex
 
         got = {
             (r["q_id"], r["n_id"]): r["est_pm"]
-            for r in self._lookup(planted_dir, tmp_path_factory).take_all()
+            for r in self._lookup(
+                planted_dir, tmp_path_factory, probe_ids=np.array([0, 16])
+            ).take_all()
         }
-        # doc 0 is a probe (0 % 16 == 0); 100/101 are exact copies -> est 64/64
+        # doc 0 is a probe; 100/101 are exact copies -> est 64/64
         assert got[(0, 100)] == 1 << 20
         assert got[(0, 101)] == 1 << 20
         # directional: only probe docs on the q side
-        assert all(q % 16 == 0 for q, _ in got)
+        assert all(q in (0, 16) for q, _ in got)
         assert all(q != n for q, n in got)
         # probe 16 is unique word soup: no hits
         assert not any(q == 16 for q, _ in got)
@@ -4036,12 +4049,27 @@ class TestNeardupLookup:
         assert lshindex.LAST_PRUNE_STATS["probes"] == 2  # docs 0 and 16
         assert lshindex.LAST_PRUNE_STATS["emitted"] == len(got)
 
+    def test_default_probe_set_nonvacuous(self, planted_dir, tmp_path_factory):
+        """The demo default (%16 UNION min-of-multi-doc-bucket) must
+        surface the planted copies without any caller-supplied probes —
+        the gate-integrity property the round-2 verdict asked for."""
+        got = {
+            (r["q_id"], r["n_id"]): r["est_pm"]
+            for r in self._lookup(planted_dir, tmp_path_factory).take_all()
+        }
+        assert got[(0, 100)] == 1 << 20
+        assert got[(0, 101)] == 1 << 20
+        assert got  # non-vacuous by construction
+
     def test_parity_with_dedup_minhash(self, planted_dir, tmp_path_factory):
         """A probe's lookup answers == the batch operator's pairs
         involving that probe (same signatures, bands, estimate)."""
+        probe_ids = np.array([0, 16])
         got = {
             (r["q_id"], r["n_id"], r["est_pm"])
-            for r in self._lookup(planted_dir, tmp_path_factory).take_all()
+            for r in self._lookup(
+                planted_dir, tmp_path_factory, probe_ids=probe_ids
+            ).take_all()
         }
         batch = {
             (r["id_a"], r["id_b"], r["sim_pm"])

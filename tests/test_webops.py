@@ -359,6 +359,31 @@ class TestMirrorHosts:
             webops.mirror_hosts_oracle_sql(p),
         )
 
+    def test_hot_hash_capped(self, tmp_path, ray_session):
+        """One viral body on 1000 hosts must NOT produce ~500k pairs:
+        the lexicographic-first-k cap bounds the group at O(k^2), and
+        the oracle applies the identical QUALIFY rule so the result
+        stays value-exact."""
+        k = 8
+        urls = [f"https://host{i:04d}.com/x" for i in range(1000)]
+        texts = ["viral parking page"] * 1000
+        # plus one normal mirrored pair that must survive the cap path
+        urls += ["https://zz-a.com/1", "https://zz-b.org/1"]
+        texts += ["normal body", "normal body"]
+        p = _write_pages(tmp_path, urls, texts)
+        got = _assert_match(
+            webops.mirror_hosts(str(tmp_path), pages_path=p, max_hosts_per_hash=k),
+            webops.mirror_hosts_oracle_sql(p, max_hosts_per_hash=k),
+        )
+        viral = got[got.host_a.str.startswith("host")]
+        # the viral hash contributes at most k*(k-1)/2 pairs, not ~500k
+        assert 0 < len(viral) <= k * (k - 1) // 2 + k * k  # + m. mirrors margin
+        hosts_seen = set(viral.host_a) | set(viral.host_b)
+        # only lexicographic-first hosts of the viral hash participate
+        assert all(h <= "host0020.com" or h.startswith("m.host") for h in hosts_seen)
+        pairs = {(r.host_a, r.host_b) for r in got.itertuples()}
+        assert ("zz-a.com", "zz-b.org") in pairs
+
 
 class TestHostDupRatio:
     def test_planted_within_host_dups(self, tmp_path, ray_session):

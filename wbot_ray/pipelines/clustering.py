@@ -92,7 +92,10 @@ def _seed_centroids(sf_dir: str, k: int) -> np.ndarray:
             {
                 "ckey": pa.array(keys[order], pa.uint64()),
                 "vec_id": pa.array(ids[order], pa.int64()),
-                "q": pa.array(q[order].astype(np.int32).tolist(), pa.list_(pa.int32())),
+                # int64 transport: floor(x * 2^20) overflows int32 for
+                # |x| >= 2048, which would silently desync seeds from
+                # the SQL oracle; k rows, so the width is free
+                "q": pa.array(q[order].astype(np.int64).tolist(), pa.list_(pa.int64())),
             }
         )
 
@@ -250,7 +253,10 @@ def _pq_train(sf_dir: str, m: int, k: int, iters: int):
             {
                 "ckey": pa.array(keys[order], pa.uint64()),
                 "vec_id": pa.array(ids[order], pa.int64()),
-                "q": pa.array(q[order].astype(np.int32).tolist(), pa.list_(pa.int32())),
+                # int64 transport: floor(x * 2^20) overflows int32 for
+                # |x| >= 2048, which would silently desync seeds from
+                # the SQL oracle; k rows, so the width is free
+                "q": pa.array(q[order].astype(np.int64).tolist(), pa.list_(pa.int64())),
             }
         )
 

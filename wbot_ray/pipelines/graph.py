@@ -525,15 +525,19 @@ def link_triangles(sf_dir: str, num_buckets: int = 32, links_path: str | None = 
 
     def orient(group: pa.Table) -> pa.Table:
         # two rows per edge (one per endpoint's degree); reunite + orient
-        import pandas as pd
-
-        df = group.to_pandas()
-        da = df[df.deg_of_a].set_index(["a", "b"]).deg
-        db = df[~df.deg_of_a].set_index(["a", "b"]).deg
-        pairs = da.index
-        da_v, db_v = da.to_numpy(), db.loc[pairs].to_numpy()
-        a = pairs.get_level_values(0).to_numpy()
-        b = pairs.get_level_values(1).to_numpy()
+        # via the same argsort/bounds pattern as `wedges` — both halves
+        # hold exactly the edge set, so sorting each by (a, b) aligns
+        # them positionally (no pandas index machinery)
+        ga = np.asarray(group.column("a").to_pylist(), object)
+        gb = np.asarray(group.column("b").to_pylist(), object)
+        deg = group.column("deg").to_numpy(zero_copy_only=False)
+        dofa = group.column("deg_of_a").to_numpy(zero_copy_only=False)
+        ia = np.flatnonzero(dofa)
+        ib = np.flatnonzero(~dofa)
+        ia = ia[np.lexsort((gb[ia], ga[ia]))]
+        ib = ib[np.lexsort((gb[ib], ga[ib]))]
+        a, b = ga[ia], gb[ia]
+        da_v, db_v = deg[ia], deg[ib]
         # low endpoint = smaller (degree, url); ties break on url
         a_low = (da_v < db_v) | ((da_v == db_v) & (a < b))
         lo = np.where(a_low, a, b)

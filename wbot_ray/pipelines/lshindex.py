@@ -19,8 +19,12 @@ duplicates the 512-byte signature on disk):
 * ``sigs/bucket=<b>/part-0.parquet``  — ``(doc_id, sig: list<int64>)``,
   bucket = ``doc_id % num_buckets``, sorted by ``doc_id``.
 
-``neardup_lookup`` then resolves a deterministic probe set
-(``doc_id % 16 == 0``, ~1/16 of the corpus — shared with the SQL twin)
+``neardup_lookup`` then resolves a deterministic probe set — explicit
+``probe_ids`` from the caller (the production path), else the default
+demo set shared with the SQL twin: ``doc_id % 16 == 0`` UNION the min
+doc_id of every band bucket holding ≥ 2 docs (derived from the slim
+bands index, so the demo gate provably intersects every LSH candidate
+pair and compares non-vacuous rows at any corpus scale) — resolving
 entirely through the index: fetch probe signatures, derive their band
 hashes (bands are a function of the signature — nothing probe-side is
 stored twice), read ONLY the band buckets those hashes live in,
@@ -189,6 +193,34 @@ def _explode_sig_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+def _bucket_pair_mins(index_dir: str, bucket: int) -> list[int]:
+    """Min doc_id per (band, band_hash) key with ≥ 2 distinct docs in
+    one bands-index bucket — vectorized (the demo probe-set derivation;
+    a bucket file is a slim sorted (band, band_hash, doc_id) table)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(index_dir, "bands", f"bucket={bucket}", "part-0.parquet")
+    if not os.path.exists(path):
+        return []
+    t = pq.read_table(path, columns=["band", "band_hash", "doc_id"])
+    if t.num_rows == 0:
+        return []
+    band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc, bh, band))
+    band, bh, doc = band[order], bh[order], doc[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+    )
+    ends = np.concatenate([starts[1:], [len(doc)]])
+    out: list[int] = []
+    for s, e in zip(starts, ends):
+        if e - s >= 2 and doc[e - 1] != doc[s]:  # ≥ 2 DISTINCT docs
+            out.append(int(doc[s]))
+    return out
+
+
 def _read_bucket_rows(
     index_dir: str, sub: str, bucket: int, col: str, wanted: np.ndarray, columns: list[str]
 ) -> pa.Table:
@@ -225,13 +257,24 @@ def neardup_lookup(
     threshold: float = 0.7,
     num_buckets: int = 32,
     index_dir: str | None = None,
+    probe_ids: np.ndarray | None = None,
 ):
     """Near-dup point lookups over the persisted LSH index: for every
-    probe document (``doc_id % 16 == 0``), all corpus documents sharing
-    at least one LSH band whose signature-estimated Jaccard ≥
-    ``threshold`` — ``(q_id, n_id, est_pm)``, ``n_id != q_id``. The
-    corpus itself is NEVER read at query time; only the touched index
-    buckets are (pruned fraction printed + recorded)."""
+    probe document, all corpus documents sharing at least one LSH band
+    whose signature-estimated Jaccard ≥ ``threshold`` —
+    ``(q_id, n_id, est_pm)``, ``n_id != q_id``. The corpus itself is
+    NEVER read at query time; only the touched index buckets are
+    (pruned fraction printed + recorded).
+
+    ``probe_ids``: the production path — callers pass the documents
+    they want neighbors for and only those buckets are read. When None,
+    the default DEMO probe set is ``doc_id % 16 == 0`` UNION the min
+    doc_id of every band bucket with ≥ 2 distinct docs; the union term
+    needs one full scan of the slim ``bands`` index (24-byte rows, not
+    the corpus) and guarantees the correctness gate compares rows > 0
+    at any scale (every LSH candidate pair shares a band bucket, and
+    that bucket's min doc is probed). The SQL twin applies the
+    identical rule (``HAVING COUNT(DISTINCT doc_id) >= 2``)."""
     import pyarrow.parquet as _pq
 
     if index_dir is None:
@@ -244,17 +287,43 @@ def neardup_lookup(
     build_lsh_index(sf_dir, index_dir, num_buckets)
     thr_pm = int(threshold * (1 << 20))
 
-    # probe ids from parquet METADATA-cheap single-column read
-    all_ids = (
-        _pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
-        .column("doc_id")
-        .to_numpy(zero_copy_only=False)
-    )
-    probes = np.sort(all_ids[all_ids % 16 == 0]).astype(np.int64)
+    read_task = ray.remote(_read_bucket_rows)
+
+    if probe_ids is not None:
+        probes = np.sort(np.unique(np.asarray(probe_ids, dtype=np.int64)))
+    else:
+        # demo probe set, part 1: cheap single-column corpus-id read
+        all_ids = (
+            _pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+            )
+            .column("doc_id")
+            .to_numpy(zero_copy_only=False)
+        )
+        # part 2: min doc_id of every multi-occupancy band bucket, from
+        # the slim bands index (one parallel scan of 24-B rows; the
+        # corpus stays untouched) — makes the gate non-vacuous at any
+        # scale, because each LSH candidate pair shares such a bucket
+        min_task = ray.remote(_bucket_pair_mins)
+        pair_mins = [
+            m
+            for t in ray.get(
+                [min_task.remote(index_dir, b) for b in range(num_buckets)]
+            )
+            for m in t
+        ]
+        probes = np.sort(
+            np.unique(
+                np.concatenate(
+                    [
+                        all_ids[all_ids % 16 == 0].astype(np.int64),
+                        np.asarray(pair_mins, dtype=np.int64),
+                    ]
+                )
+            )
+        )
     if probes.size == 0:
         return ray.data.from_arrow(OUT_SCHEMA.empty_table())
-
-    read_task = ray.remote(_read_bucket_rows)
 
     def fetch_sigs(ids: np.ndarray) -> dict[int, np.ndarray]:
         ids = np.unique(ids).astype(np.int64)

@@ -22,6 +22,7 @@ __all__ = [
     "sample_hash",
     "source_mix",
     "token_budget_mix",
+    "token_budget_mix_oracle_sql",
     "pack_sequences",
     "stratified_sample",
     "global_shuffle",
@@ -210,6 +211,30 @@ def weighted_sample(sf_dir: str, k: int = 200):
 
 
 BUDGET_SALT = "budget:"
+
+
+def token_budget_mix_oracle_sql(budget: int = 800) -> str:
+    """DuckDB twin of :func:`token_budget_mix`, parameterized on the
+    budget so tests exercise non-default budgets against the REAL
+    generated SQL (not string surgery over a literal)."""
+    return f"""
+        -- per-source token-budget fill: hash-ordered running total,
+        -- keep while the tokens BEFORE the doc fit the budget
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5_number_lower('{BUDGET_SALT}' || doc_id), doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) - n_tokens AS cum_prev
+          FROM d)
+        SELECT doc_id, source, n_tokens, CAST(cum_prev AS BIGINT) AS cum_prev
+        FROM c WHERE cum_prev < {budget}
+    """
 
 
 def token_budget_mix(sf_dir: str, budget: int = 800, part_bits: int = 58):

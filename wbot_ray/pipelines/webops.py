@@ -423,7 +423,12 @@ def change_rate_oracle_sql(pages_path: str) -> str:
     """
 
 
-def mirror_hosts(sf_dir: str, num_buckets: int = 32, pages_path: str | None = None):
+def mirror_hosts(
+    sf_dir: str,
+    num_buckets: int = 32,
+    pages_path: str | None = None,
+    max_hosts_per_hash: int = 64,
+):
     """Host pairs sharing identical page bodies: ``(host_a, host_b,
     n_shared)`` with ``host_a < host_b`` and ``n_shared`` = number of
     distinct shared content md5s. Deterministic mirror synthesis
@@ -433,7 +438,17 @@ def mirror_hosts(sf_dir: str, num_buckets: int = 32, pages_path: str | None = No
     Shape: batch-distinct (content_md5, host) facts → exchange 1 keyed
     on bucket(md5) (all hosts of a given md5 co-locate; pairs expand
     per md5 inside the group) → exchange 2 keyed on the pair to sum
-    partial counts. Both exchanges carry slim hash/host rows only."""
+    partial counts. Both exchanges carry slim hash/host rows only.
+
+    Skew bound: inside each md5 group only the LEXICOGRAPHIC-FIRST
+    ``max_hosts_per_hash`` hosts pair up — a viral boilerplate body
+    shared by 10^5 hosts (parking pages, CDN error pages) would
+    otherwise expand to 10^10 pairs in a single group task. The cap
+    rule is deterministic (order by host) and applied IDENTICALLY in
+    the SQL twin (``QUALIFY row_number() OVER (PARTITION BY m ORDER BY
+    host) <= k``), so the query stays value-exact; hosts beyond the
+    cap simply don't contribute that hash to any pair, which callers
+    needing exhaustive mirror sets recover by raising the cap."""
     pages = rd.read_parquet(pages_path or _pages_path_for(sf_dir), columns=["url", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -471,6 +486,16 @@ def mirror_hosts(sf_dir: str, num_buckets: int = 32, pages_path: str | None = No
         import polars as pl
 
         df = pl.from_arrow(group.select(["m", "host"])).unique()
+        # skew cap: all hosts of an md5 co-locate here, so ranking by
+        # host inside the group is GLOBALLY exact (same rule as the
+        # oracle's QUALIFY) — the join below is then O(k^2) per hash,
+        # never O(h^2)
+        df = (
+            df.sort(["m", "host"])
+            .with_columns(rk=pl.col("host").cum_count().over("m"))
+            .filter(pl.col("rk") <= max_hosts_per_hash)
+            .drop("rk")
+        )
         j = df.join(df, on="m", suffix="_b")
         out = (
             j.filter(pl.col("host") < pl.col("host_b"))
@@ -838,19 +863,24 @@ def recrawl_priority_oracle_sql(links_path: str, pages_path: str) -> str:
     """
 
 
-def mirror_hosts_oracle_sql(pages_path: str) -> str:
-    """DuckDB twin: same mirror synthesis, distinct facts, self-join."""
+def mirror_hosts_oracle_sql(pages_path: str, max_hosts_per_hash: int = 64) -> str:
+    """DuckDB twin: same mirror synthesis, distinct facts, the SAME
+    lexicographic-first-k hosts-per-hash cap, self-join."""
     return f"""
         WITH p AS (
           SELECT url,
                  lower(COALESCE(regexp_extract(url, '{HOST_RE}', 1), '')) AS host,
                  text
           FROM read_parquet('{pages_path}')
-        ), facts AS (
+        ), facts0 AS (
           SELECT DISTINCT md5(text) AS m, host FROM p
           UNION
           SELECT DISTINCT md5(text) AS m, 'm.' || host AS host
           FROM p WHERE md5(url) LIKE '0%'
+        ), facts AS (
+          SELECT m, host FROM facts0
+          QUALIFY row_number() OVER (PARTITION BY m ORDER BY host)
+                  <= {max_hosts_per_hash}
         )
         SELECT a.host AS host_a, b.host AS host_b,
                CAST(COUNT(*) AS BIGINT) AS n_shared
