@@ -140,6 +140,9 @@ class CrawlConfig:
     # seam, pkg/api/wbot.go:38-41). Called as
     # ``fetcher_factory(index_dir, cfg) -> (group: pa.Table) -> pa.Table``
     # returning RESULT_SCHEMA rows; None = built-in index-lookup fetcher.
+    # A real-socket implementation ships in-tree:
+    # ``wbot_ray.stages.httpfetch.make_http_fetcher`` (per-request
+    # UA/Referer/proxy/timeout_ms/max_body_size, http_client.go parity).
     fetcher_factory: object | None = None
     # store_factory: swap the URL-seen store (reference Store seam,
     # pkg/api/wbot.go:43-46 via WithStore, option.go:49-53). Called as

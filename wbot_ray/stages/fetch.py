@@ -151,7 +151,10 @@ class _TokenBucket:
 
 
 def make_fetch_group_fn(
-    index_dir: str, cfg: CrawlConfig, hot_roots: dict[str, int] | None = None
+    index_dir: str,
+    cfg: CrawlConfig,
+    hot_roots: dict[str, int] | None = None,
+    fetch_one=None,
 ):
     """Build the per-group fetch function. Stateless across tasks; all
     broadcastable state (config, rules, robots) rides the closure once per
@@ -161,7 +164,16 @@ def make_fetch_group_fn(
     split across ``k`` concurrent sub-partitions, so in real-politeness
     mode each sub-partition's token bucket runs at ``rate / k`` — the
     aggregate pacing stays at the configured per-root rate instead of
-    silently multiplying it by the salt factor."""
+    silently multiplying it by the salt factor.
+
+    ``fetch_one``: transport seam. None = the built-in simulated fetch
+    (exact url lookup in the task's corpus index bucket). Otherwise a
+    callable ``(url, user_agent, referer, proxy, timeout_ms,
+    max_body_size) -> (body: bytes, lang, warc_ts, status) | None``
+    invoked per row AFTER the politeness take (None = transport error →
+    status 0); everything downstream — truncation-before-extract, link
+    parse, scope/robots/rule gates, depth expansion — is byte-identical
+    between transports."""
     B = cfg.num_buckets
     max_depth = cfg.max_depth
     mode = cfg.mode
@@ -183,15 +195,16 @@ def make_fetch_group_fn(
         bucket = int(group.column("fetch_part")[0].as_py()) % B
 
         urls = group.column("url").to_pylist()
-        bucket_dir = os.path.join(index_dir, f"bucket={bucket}")
         pages: dict[str, tuple[bytes, str, int]] = {}
-        tbl = lookup_pages(bucket_dir, urls, ["url", "html", "lang", "warc_ts"])
-        if tbl is not None:
-            u_col = tbl.column("url").to_pylist()
-            h_col = tbl.column("html").to_pylist()
-            l_col = tbl.column("lang").to_pylist()
-            t_col = tbl.column("warc_ts").to_pylist()
-            pages = {u: (h, l, t) for u, h, l, t in zip(u_col, h_col, l_col, t_col)}
+        if fetch_one is None:
+            bucket_dir = os.path.join(index_dir, f"bucket={bucket}")
+            tbl = lookup_pages(bucket_dir, urls, ["url", "html", "lang", "warc_ts"])
+            if tbl is not None:
+                u_col = tbl.column("url").to_pylist()
+                h_col = tbl.column("html").to_pylist()
+                l_col = tbl.column("lang").to_pylist()
+                t_col = tbl.column("warc_ts").to_pylist()
+                pages = {u: (h, l, t) for u, h, l, t in zip(u_col, h_col, l_col, t_col)}
 
         hashes = group.column("url_hash").to_pylist()
         roots = group.column("root").to_pylist()
@@ -223,7 +236,15 @@ def make_fetch_group_fn(
                     tb = limiters[root] = _TokenBucket(rate, interval * k)
                 tb.take()
             t0 = time.perf_counter()
-            page = pages.get(url)
+            if fetch_one is None:
+                page = pages.get(url)
+                status = 200 if page is not None else 0
+            else:
+                fetched = fetch_one(url, uas[i], referers[i], proxies[i], tmo[i], mbs[i])
+                if fetched is None:
+                    page, status = None, 0
+                else:
+                    page, status = fetched[:3], fetched[3]
             out["url"].append(url)
             out["url_hash"].append(hashes[i])
             out["root"].append(root)
@@ -257,7 +278,7 @@ def make_fetch_group_fn(
                     children.append(_parse_url_cached(resolve_url(url, href)))
                 except URLError:
                     continue
-            out["status"].append(200)
+            out["status"].append(status)
             out["text"].append(text)
             out["lang"].append(lang)
             out["warc_ts"].append(warc_ts)
