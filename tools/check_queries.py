@@ -3,10 +3,18 @@
 row count, column names, and order-insensitive values.
 
 Usage: python tools/check_queries.py [sf_dir] [name ...]
+       python tools/check_queries.py --json SWEEP.json [sf_dir] [name ...]
+
+``--json OUT`` writes a machine-readable per-query record (status, row
+count, wall seconds) — the whole-surface sweep artifact committed per
+round as ``SWEEP_r{N}.json`` so every round ships fresh evidence for
+ALL queries, not just the driver's 50-query sample.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -14,7 +22,7 @@ import duckdb
 import pandas as pd
 import ray
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def to_pandas(res) -> pd.DataFrame:
@@ -34,8 +42,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
     import __ray_entry__ as E
@@ -46,6 +59,7 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -55,10 +69,15 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: RAY ERROR {exc!r}")
             failures += 1
+            records[name] = {"status": f"RAY ERROR {exc!r}", "ok": False}
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
             print(f"{name}: rows-only ({len(got)} rows, {dt:.1f}s)")
+            records[name] = {
+                "status": "rows-only", "ok": True,
+                "rows": len(got), "sec": round(dt, 2),
+            }
             continue
         want = canon(con.execute(oracles[name]).df())
         status = "OK"
@@ -74,6 +93,22 @@ def main() -> int:
         if status != "OK":
             failures += 1
         print(f"{name}: {status} ({len(got)} rows, {dt:.1f}s)")
+        records[name] = {
+            "status": status, "ok": status == "OK",
+            "rows": len(got), "sec": round(dt, 2),
+        }
+    if json_out:
+        n_ok = sum(1 for r in records.values() if r["ok"])
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(records),
+            "n_ok": n_ok,
+            "n_fail": len(records) - n_ok,
+            "queries": records,
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"[sweep] {n_ok}/{len(records)} OK -> {json_out}")
     return 1 if failures else 0
 
 

@@ -152,6 +152,24 @@ class _SeenShard:
     def size(self) -> int:
         return len(self._exact)
 
+    def memory_stats(self) -> dict:
+        """Per-shard memory accounting for capacity planning: exact-set
+        cardinality, filter capacity/bytes, and the actor process RSS
+        (the ground truth a cluster memory budget is written against)."""
+        import resource
+
+        cu = self._cuckoo
+        return {
+            "shard_id": self.shard_id,
+            "n_exact": len(self._exact),
+            "filter_kind": type(cu).__name__,
+            "filter_capacity": int(cu.capacity),
+            "filter_count": int(cu.count),
+            "rss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+            ),
+        }
+
 
 class SeenSet:
     """Driver-side handle over the shard actor pool."""
@@ -199,6 +217,9 @@ class SeenSet:
 
     def total_size(self) -> int:
         return int(sum(ray.get([sh.size.remote() for sh in self.shards])))
+
+    def memory_stats(self) -> list[dict]:
+        return ray.get([sh.memory_stats.remote() for sh in self.shards])
 
     def shutdown(self) -> None:
         for sh in self.shards:
