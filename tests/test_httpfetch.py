@@ -60,6 +60,9 @@ class _Handler(BaseHTTPRequestHandler):
             time.sleep(0.6)
             body = b"<html><body><p>slow page</p></body></html>"
             code = 200
+        elif url == "http://alpha-site.com/robots.txt":
+            body = b"User-agent: *\nDisallow: /p/1\n"
+            code = 200
         else:
             body = PAGES.get(url)
             code = 200 if body is not None else 404
@@ -184,6 +187,72 @@ class TestHttpCrawlE2E:
         # every socket request carried the rotator-stamped headers
         assert _Handler.seen and all(ua == "TestUA/1.0" for _, ua, _ in _Handler.seen)
         assert all(ref == "http://referrer-site.com/" for _, _, ref in _Handler.seen)
+
+    def test_strict_robots_fetched_over_http(
+        self, server, corpus_path, tmp_path, ray_session
+    ):
+        """fetch_robots_http populates the strict gate from real
+        sockets, and the resulting crawl matches a strict crawl given
+        the same robots bodies by hand (index fetcher). The gate tests
+        the PARENT url (reference crawler.go:257 quirk, preserved in
+        strict mode): /p/1 is still visited, but nothing expands FROM
+        it, so alpha /p/3 (reachable only via /p/1) never appears."""
+        from wbot_ray.robots import fetch_robots_http
+
+        bodies = fetch_robots_http(
+            ["alpha-site.com", "beta-site.org"], proxy=server, scheme="http"
+        )
+        assert set(bodies) == {"alpha-site.com"}  # beta has no robots.txt
+        assert "Disallow: /p/1" in bodies["alpha-site.com"]
+
+        http = Crawler(
+            _cfg(
+                mode="strict",
+                robots_bodies=bodies,
+                fetcher_factory=make_http_fetcher,
+                proxies=[server],
+            ),
+            workdir=str(tmp_path / "http_strict"),
+        ).crawl(seeds=SEEDS, pages_path=corpus_path)
+        base = Crawler(
+            _cfg(mode="strict", robots_bodies=dict(bodies)),
+            workdir=str(tmp_path / "idx_strict"),
+        ).crawl(seeds=SEEDS, pages_path=corpus_path)
+
+        got = http.results_table().sort_by("crawl_ord").column("url").to_pylist()
+        want = base.results_table().sort_by("crawl_ord").column("url").to_pylist()
+        assert got == want
+        assert "http://alpha-site.com/p/1" in got  # visited...
+        assert "http://alpha-site.com/p/3" not in got  # ...but never expanded
+
+    def test_cli_http_fetch(self, server, corpus_path, tmp_path):
+        """``python -m wbot_ray --http-fetch --proxy`` end to end (own
+        Ray session in a subprocess, like the ray-job-submit path)."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        p = subprocess.run(
+            [
+                sys.executable, "-m", "wbot_ray",
+                "--pages", corpus_path,
+                "--seeds", *SEEDS,
+                "--workdir", str(tmp_path / "cli_http"),
+                "--max-depth", "3", "--num-buckets", "2", "--seen-shards", "2",
+                "--http-fetch", "--proxy", server,
+            ],
+            capture_output=True, text=True, timeout=280,
+            env=dict(os.environ, PYTHONPATH=repo), cwd=repo,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        out = json.loads(p.stdout.strip().splitlines()[-1])
+        m = out["metrics"]
+        # >=: the seed-revisit quirk (crawler.go:173-194, preserved)
+        # re-fetches a seed linked back from /p/3
+        assert m["successful_requests"] >= len(PAGES)  # all pages reached
+        assert m["failed_requests"] == 0
 
     def test_dead_proxy_fails_all(self, corpus_path, tmp_path, ray_session):
         run = Crawler(

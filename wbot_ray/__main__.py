@@ -37,6 +37,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seen-shards", type=int, default=8)
     p.add_argument("--resume", action="store_true", help="continue from the workdir manifest")
     p.add_argument("--stop-after-round", type=int, default=None)
+    p.add_argument(
+        "--http-fetch",
+        action="store_true",
+        help="fetch over real sockets (stages.httpfetch) instead of the "
+        "parquet index; --pages is then only used to lay out the "
+        "(unused) index and may be a tiny stub corpus",
+    )
+    p.add_argument("--proxy", default="", help="proxy url stamped on every request")
+    p.add_argument(
+        "--robots-from-http",
+        action="store_true",
+        help="strict mode: prefetch robots.txt for the seed hosts over "
+        "HTTP (fetch_robots_http) before crawling",
+    )
     args = p.parse_args(argv)
 
     if not args.resume and (not args.pages or not args.seeds):
@@ -50,12 +64,28 @@ def main(argv: list[str] | None = None) -> int:
     from wbot_ray.config import CrawlConfig
     from wbot_ray.driver import Crawler
 
+    extra = {}
+    if args.http_fetch:
+        from wbot_ray.stages.httpfetch import make_http_fetcher
+
+        extra["fetcher_factory"] = make_http_fetcher
+    if args.proxy:
+        extra["proxies"] = [args.proxy]
+    if args.robots_from_http and args.mode == "strict" and args.seeds:
+        from urllib.parse import urlsplit
+
+        from wbot_ray.robots import fetch_robots_http
+
+        hosts = [urlsplit(s).netloc for s in args.seeds]
+        extra["robots_bodies"] = fetch_robots_http(hosts, proxy=args.proxy)
+
     cfg = CrawlConfig(
         max_depth=args.max_depth,
         mode=args.mode,
         politeness=args.politeness,
         num_buckets=args.num_buckets,
         seen_shards=args.seen_shards,
+        **extra,
     )
     run = Crawler(cfg, workdir=args.workdir).crawl(
         seeds=args.seeds,

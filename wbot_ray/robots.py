@@ -17,7 +17,40 @@ from __future__ import annotations
 from urllib.parse import urlsplit
 from urllib.robotparser import RobotFileParser
 
-__all__ = ["RobotsGate"]
+__all__ = ["RobotsGate", "fetch_robots_http"]
+
+
+def fetch_robots_http(
+    hosts: list[str],
+    user_agent: str = "",
+    proxy: str = "",
+    timeout_ms: int = 5000,
+    scheme: str = "https",
+    max_body: int = 512 * 1024,
+) -> dict[str, str]:
+    """Populate a strict-mode ``robots_bodies`` table over real sockets:
+    one ``GET {scheme}://host/robots.txt`` per host (Ray-parallel, via
+    the same transport as ``stages.httpfetch``), keeping only 200
+    responses — hosts without a fetchable robots.txt stay absent, which
+    the gate treats as allow-all (the robots RFC default). The result is
+    the small broadcast dict ``CrawlConfig(robots_bodies=...)`` expects;
+    at cluster scale the fetch is one bounded task per DISTINCT host,
+    not per url."""
+    import ray
+
+    from wbot_ray.stages.httpfetch import http_fetch_one
+
+    @ray.remote
+    def one(h: str):
+        got = http_fetch_one(
+            f"{scheme}://{h}/robots.txt", user_agent, "", proxy, timeout_ms, max_body
+        )
+        if got is None or got[3] != 200:
+            return h, None
+        return h, got[0].decode("utf-8", "replace")
+
+    pairs = ray.get([one.remote(h) for h in dict.fromkeys(hosts)])
+    return {h: body for h, body in pairs if body is not None}
 
 
 class RobotsGate:
