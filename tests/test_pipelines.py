@@ -105,6 +105,22 @@ class TestDedup:
         # no false positives among unrelated docs
         assert all(a in (0, 1, 2, 100, 101, 102, 103) and b in (100, 101, 102, 103) for a, b in got)
 
+    def test_minhash_small_and_distributed_paths_agree(self, planted_dir):
+        """The driver-side small-verify finish == the two-exchange
+        distributed signature joins, row for row (the parity pin the
+        small-frontier merge precedent requires)."""
+        small = sorted(
+            (r["id_a"], r["id_b"], r["sim_pm"])
+            for r in dedup.dedup_minhash(planted_dir, threshold=0.5).take_all()
+        )
+        big = sorted(
+            (r["id_a"], r["id_b"], r["sim_pm"])
+            for r in dedup.dedup_minhash(
+                planted_dir, threshold=0.5, small_verify_threshold=0
+            ).take_all()
+        )
+        assert small == big and small  # non-empty: planted copies hit
+
     def test_ngram_jaccard(self, planted_dir):
         got = _pairs(dedup.dedup_ngram(planted_dir, threshold=0.8))
         # unigram-token jaccard: exact copies = 1.0; 102 differs by 1 word

@@ -242,7 +242,12 @@ def _minhash_sig(tok: np.ndarray) -> np.ndarray:
     return z.min(axis=0)
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_buckets: int = 64):
+def dedup_minhash(
+    sf_dir: str,
+    threshold: float = 0.7,
+    num_buckets: int = 64,
+    small_verify_threshold: int = 200_000,
+):
     """MinHash-LSH near-dup pairs: shingle → sign once → slim band
     explode → bucket-groupby candidates → two co-partitioned signature
     joins → vectorized signature-estimated Jaccard ≥ threshold
@@ -263,14 +268,28 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_buckets: int = 64):
 
     The estimator's std at J is sqrt(J(1-J)/64) ≤ 0.063, the standard
     at-scale trade; callers needing exact Jaccard re-verify the emitted
-    candidate pairs with ``dedup_ngram``'s machinery on a second pass."""
+    candidate pairs with ``dedup_ngram``'s machinery on a second pass.
+
+    ``small_verify_threshold``: below this many candidate rows the two
+    signature joins finish DRIVER-side (collect the slim pairs, fetch
+    only the wanted signatures, one vectorized estimate) — the
+    distributed joins cost 2 × ~2 s fixed exchange latency on a small
+    cluster, pure overhead when the candidate set is a few thousand
+    rows. The exact analogue of the crawl driver's small-frontier
+    merge; both paths are parity-pinned in tests. 0 forces the
+    distributed path."""
     import ray.data as rd
 
-    parts = _minhash_parts(sf_dir, threshold, num_buckets)
+    parts = _minhash_parts(sf_dir, threshold, num_buckets, small_verify_threshold)
     return rd.from_arrow(PAIR_SCHEMA.empty_table()).union(parts["pairs"])
 
 
-def _minhash_parts(sf_dir: str, threshold: float, num_buckets: int) -> dict:
+def _minhash_parts(
+    sf_dir: str,
+    threshold: float,
+    num_buckets: int,
+    small_verify_threshold: int = 0,
+) -> dict:
     """The dedup_minhash pipeline's stages, exposed so
     ``minhash_exchange_stats`` can count each exchange's rows."""
     thr_pm = int(threshold * (1 << 20))
@@ -416,6 +435,18 @@ def _minhash_parts(sf_dir: str, threshold: float, num_buckets: int) -> dict:
     cands = bands.groupby(["band", "band_hash"]).map_groups(
         bucket_cands, batch_format="pyarrow"
     )
+
+    if small_verify_threshold > 0:
+        # the groupby above is an all-to-all barrier anyway; holding its
+        # slim (bucket, a, b) output to count it costs no extra exchange
+        cands = cands.materialize()
+        n_cand = cands.count()
+        if n_cand <= small_verify_threshold:
+            return {
+                "sigs": sigs, "bands": bands, "cands": cands,
+                "pairs": _small_verify(sigs, cands, thr_pm),
+            }
+
     with_a = (
         cands.union(sigs.map_batches(tag_sigs, batch_format="pyarrow"))
         .groupby("bucket")
@@ -427,6 +458,66 @@ def _minhash_parts(sf_dir: str, threshold: float, num_buckets: int) -> dict:
         .map_groups(join_b_verify, batch_format="pyarrow")
     )
     return {"sigs": sigs, "bands": bands, "cands": cands, "pairs": pairs}
+
+
+def _small_verify(sigs, cands, thr_pm: int):
+    """Driver-side finish of the candidate verify (small path): collect
+    the bounded slim pair rows, pull ONLY the wanted signatures (pruned
+    inside map_batches against a broadcast sorted id array — the corpus
+    sidecar is never collected whole), estimate all pairs in one
+    vectorized pass."""
+    import ray.data as rd
+
+    tbl = pa.concat_tables(
+        [b.select(["a", "b"]) for b in cands.iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()]
+    )
+    if tbl.num_rows == 0:
+        return rd.from_arrow(PAIR_SCHEMA.empty_table())
+    ab = np.unique(
+        np.stack(
+            [
+                tbl.column("a").to_numpy(zero_copy_only=False),
+                tbl.column("b").to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        ),
+        axis=0,
+    )
+    wanted = np.unique(ab)  # sorted
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wanted, ids)
+        pos[pos == len(wanted)] = 0
+        return batch.filter(pa.array(wanted[pos] == ids))
+
+    sid_list, smat_list = [], []
+    for b in sigs.map_batches(pick, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            sid_list.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+            smat_list.append(np.asarray(b.column("sig").to_pylist(), dtype=np.int64))
+    sid = np.concatenate(sid_list)
+    smat = np.concatenate(smat_list, axis=0)
+    order = np.argsort(sid)
+    sid, smat = sid[order], smat[order]
+    sig_a = smat[np.searchsorted(sid, ab[:, 0])]
+    sig_b = smat[np.searchsorted(sid, ab[:, 1])]
+    est = np.count_nonzero(sig_a == sig_b, axis=1).astype(np.int64)
+    pm = (est << 20) // N_PERM
+    keep = pm >= thr_pm
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(ab[keep, 0], pa.int64()),
+                "id_b": pa.array(ab[keep, 1], pa.int64()),
+                "sim_pm": pa.array(pm[keep], pa.int64()),
+            },
+            schema=PAIR_SCHEMA,
+        )
+    )
 
 
 # measured by minhash_exchange_stats (driver-side, like LAST_PRUNE_STATS)
