@@ -427,13 +427,15 @@ _SHINGLE_CTE = """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documen
                FROM idx)"""
 
 
-def _minhash_oracle_sql(threshold: float = 0.7) -> str:
+def _minhash_oracle_sql(threshold: float = 0.7, max_bucket_docs: int = 1024) -> str:
     """MinHash-LSH recomputed from scratch in SQL. The engine's hash
     family (md5_number_lower shingle identity + affine permutations mod
     the Mersenne prime 2^31-1, fixed seeded constants) was chosen
     precisely so this oracle is value-exact: no floats, no
     engine-private hashing — DuckDB derives the identical 64-component
-    signatures, band buckets, and estimated-Jaccard verdicts."""
+    signatures, band buckets, and estimated-Jaccard verdicts, including
+    the engine's star+first-k bucket skew bound (``(rn_a <= k AND
+    rn_b <= k) OR rn_a = 1`` per band bucket)."""
     from wbot_ray.pipelines.dedup import MINHASH_P, N_BANDS, N_PERM, PERM_A, PERM_B
 
     thr_pm = int(threshold * (1 << 20))
@@ -450,9 +452,15 @@ def _minhash_oracle_sql(threshold: float = 0.7) -> str:
         bands AS (SELECT doc_id, i // {rows} AS band,
                          string_agg(m, ',' ORDER BY i) AS key
                   FROM mins GROUP BY doc_id, i // {rows}),
+        ranked AS (SELECT doc_id, band, key,
+                          ROW_NUMBER() OVER (PARTITION BY band, key
+                                             ORDER BY doc_id) AS rn
+                   FROM bands),
         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                 FROM bands x JOIN bands y
-                   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+                 FROM ranked x JOIN ranked y
+                   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+                  AND ((x.rn <= {max_bucket_docs} AND y.rn <= {max_bucket_docs})
+                       OR x.rn = 1)),
         sim AS (SELECT c.id_a, c.id_b,
                        CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT) AS matches
                 FROM cand c

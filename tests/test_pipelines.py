@@ -161,6 +161,66 @@ class TestDedup:
         # sets is minutes; the bounded blocking is seconds
         assert dt < 60, f"skewed block took {dt:.1f}s — blocking regressed?"
 
+    def test_minhash_hot_bucket_star_envelope(self, tmp_path, ray_session):
+        """A mass-duplicated boilerplate cluster (3000 identical docs =
+        one LSH bucket) must NOT expand to ~4.5M pairs: with
+        max_bucket_docs=k the bucket emits the star from the min doc
+        plus triu over the first k — and dup_clusters still collapses
+        the WHOLE cluster to one component via the star. The SQL twin
+        applies the identical rule."""
+        import duckdb
+
+        n, k = 3000, 8
+        rng = np.random.RandomState(7)
+        texts = ["parking page boilerplate " * 6] * n
+        # a couple of normal docs so the corpus isn't all one cluster
+        texts += [
+            " ".join(f"w{rng.randint(0, 8000)}" for _ in range(40)) for _ in range(4)
+        ]
+        d = tmp_path / "hotbucket"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], r["sim_pm"])
+            for r in dedup.dedup_minhash(
+                str(d), threshold=0.5, max_bucket_docs=k
+            ).take_all()
+        )
+        # bounded: star (n-1) + triu(k) — not C(3000, 2)
+        assert len(got) == (n - 1 - (k - 1)) + k * (k - 1) // 2
+        # star connectivity: every cluster member pairs with doc 0
+        assert {(0, j) for j in range(1, n)} <= {(a, b) for a, b, _ in got}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(d, 'documents.parquet')}')"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                entrymod._minhash_oracle_sql(threshold=0.5, max_bucket_docs=k)
+            ).fetchall()
+        )
+        assert got == want
+        # the apply side: one component, labeled by the min doc
+        clusters = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(
+                str(d),
+                threshold=0.5,
+                pairs=dedup.dedup_minhash(str(d), threshold=0.5, max_bucket_docs=k),
+            ).take_all()
+        }
+        assert all(clusters[j] == 0 for j in range(n))
+
     def test_simhash_finds_planted(self, planted_dir):
         got = _pairs(dedup.dedup_simhash(planted_dir, max_hamming=10))
         assert (0, 100) in got and (0, 101) in got and (100, 101) in got

@@ -247,6 +247,7 @@ def dedup_minhash(
     threshold: float = 0.7,
     num_buckets: int = 64,
     small_verify_threshold: int = 200_000,
+    max_bucket_docs: int = 1024,
 ):
     """MinHash-LSH near-dup pairs: shingle → sign once → slim band
     explode → bucket-groupby candidates → two co-partitioned signature
@@ -280,7 +281,9 @@ def dedup_minhash(
     distributed path."""
     import ray.data as rd
 
-    parts = _minhash_parts(sf_dir, threshold, num_buckets, small_verify_threshold)
+    parts = _minhash_parts(
+        sf_dir, threshold, num_buckets, small_verify_threshold, max_bucket_docs
+    )
     return rd.from_arrow(PAIR_SCHEMA.empty_table()).union(parts["pairs"])
 
 
@@ -289,6 +292,7 @@ def _minhash_parts(
     threshold: float,
     num_buckets: int,
     small_verify_threshold: int = 0,
+    max_bucket_docs: int = 1024,
 ) -> dict:
     """The dedup_minhash pipeline's stages, exposed so
     ``minhash_exchange_stats`` can count each exchange's rows."""
@@ -343,15 +347,34 @@ def _minhash_parts(
     )
 
     def bucket_cands(group: pa.Table) -> pa.Table:
-        """All id pairs sharing this (band, band_hash) bucket, keyed by
-        ``id_a % num_buckets`` for the sig_a join — vectorized triu."""
+        """Id pairs sharing this (band, band_hash) bucket, keyed by
+        ``id_a % num_buckets`` for the sig_a join — vectorized triu.
+
+        Skew bound (the mirror_hosts lesson applied to LSH): a bucket
+        with more than ``max_bucket_docs`` members — in practice a
+        mass-duplicated boilerplate cluster — emits the STAR from the
+        min doc to every member plus the full triu over the
+        ascending-first k members, never the O(n^2) all-pairs blowup.
+        For the degenerate case that creates such buckets (identical
+        or near-identical signatures) the star alone preserves
+        ``dup_clusters``' connectivity (every member pairs with the
+        min, which becomes the cluster label); heterogeneous pairs
+        beyond rank k whose only witness bucket is this one are the
+        documented recall envelope. The SQL twin applies the identical
+        ``(rn_a <= k AND rn_b <= k) OR rn_a = 1`` rule."""
         if group.num_rows < 2:
             return join_schema.empty_table()
         ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
         if ids.size < 2:
             return join_schema.empty_table()
-        iu, ju = np.triu_indices(ids.size, k=1)
-        a, b = ids[iu], ids[ju]
+        k = max_bucket_docs
+        if ids.size <= k:
+            iu, ju = np.triu_indices(ids.size, k=1)
+            a, b = ids[iu], ids[ju]
+        else:
+            iu, ju = np.triu_indices(k, k=1)
+            a = np.concatenate([ids[iu], np.full(ids.size - k, ids[0])])
+            b = np.concatenate([ids[ju], ids[k:]])
         return pa.table(
             {
                 "bucket": pa.array(a % num_buckets, pa.int64()),
