@@ -107,7 +107,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": _pairs_query(dedup.dedup_ngram),
         "dedup_minhash": _pairs_query(dedup.dedup_minhash),
         "dedup_simhash": _pairs_query(dedup.dedup_simhash),
-        "dedup_embed": _pairs_query(dedup.dedup_embed),
+        # gate parameters, not the operator defaults: the synthetic
+        # embeddings are near-orthogonal (max pairwise cosine ~0.51 at
+        # sf0.01), so the production threshold 0.92 correctly finds
+        # nothing — a 0=0 gate proves nothing. Shorter bands (6 planes),
+        # more tables (8) and threshold 0.3 exercise the identical
+        # bucket/verify machinery with a few hundred value-checked rows.
+        "dedup_embed": _pairs_query(
+            lambda sf: dedup.dedup_embed(sf, threshold=0.3, n_tables=8, n_planes=6)
+        ),
         "neardup_lookup": _typed_query(
             lshindex.neardup_lookup, ("q_id", "n_id", "est_pm")
         ),
@@ -518,10 +526,11 @@ def _neardup_lookup_oracle_sql(threshold: float = 0.7) -> str:
     """
 
 
-def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+def _simhash_oracle_sql(max_hamming: int = 3, max_bucket_docs: int = 1024) -> str:
     """SimHash recomputed bit-by-bit in SQL: strict-majority vote over
     the md5_number_lower shingle hashes, 4×16-bit band blocking, exact
-    Hamming verify — identical rules to dedup_simhash."""
+    Hamming verify — identical rules to dedup_simhash, including the
+    star+first-k hot-bucket envelope."""
     return f"""
         WITH {_SHINGLE_CTE},
         h AS (SELECT doc_id, md5_number_lower(sh) AS h FROM sh),
@@ -533,9 +542,15 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
         bands AS (SELECT doc_id, b // 16 AS band,
                          CAST(SUM(bit << (b % 16)) AS BIGINT) AS key
                   FROM bits GROUP BY doc_id, b // 16),
+        ranked AS (SELECT doc_id, band, key,
+                          ROW_NUMBER() OVER (PARTITION BY band, key
+                                             ORDER BY doc_id) AS rn
+                   FROM bands),
         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                 FROM bands x JOIN bands y
-                   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+                 FROM ranked x JOIN ranked y
+                   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+                  AND ((x.rn <= {max_bucket_docs} AND y.rn <= {max_bucket_docs})
+                       OR x.rn = 1)),
         ham AS (SELECT c.id_a, c.id_b,
                        CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS sim_pm
                 FROM cand c
@@ -587,7 +602,12 @@ def _price_band_oracle_sql() -> str:
     """
 
 
-def _embed_oracle_sql(threshold: float = 0.92) -> str:
+def _embed_oracle_sql(
+    threshold: float = 0.92,
+    max_bucket_docs: int = 1024,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
+) -> str:
     """dedup_embed recomputed from scratch: quantize each component to
     ``floor(x * 2^20)``, derive the ±1 hyperplanes from md5 (same keys
     as ``wbot_ray.pipelines.dedup._embed_planes``), bucket by exact
@@ -597,6 +617,8 @@ def _embed_oracle_sql(threshold: float = 0.92) -> str:
     so the result is bit-equal to the engine's."""
     from wbot_ray.pipelines.dedup import _N_PLANES, _N_TABLES, EMBED_QUANT
 
+    n_tables = _N_TABLES if n_tables is None else n_tables
+    n_planes = _N_PLANES if n_planes is None else n_planes
     thr_pm = int(threshold * (1 << 20))
     return f"""
         WITH q AS (SELECT vec_id, list_transform(embedding,
@@ -607,8 +629,8 @@ def _embed_oracle_sql(threshold: float = 0.92) -> str:
         hp AS (SELECT t, j, i,
                       CASE WHEN (md5_number_lower('hp:' || t || ':' || j || ':' || i) & 1) = 1
                            THEN 1 ELSE -1 END AS c
-               FROM (SELECT unnest(generate_series(0, {_N_TABLES - 1})) AS t)
-               CROSS JOIN (SELECT unnest(generate_series(0, {_N_PLANES - 1})) AS j)
+               FROM (SELECT unnest(generate_series(0, {n_tables - 1})) AS t)
+               CROSS JOIN (SELECT unnest(generate_series(0, {n_planes - 1})) AS j)
                CROSS JOIN dims),
         keys AS (SELECT vec_id, t,
                         SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS bkey
@@ -616,9 +638,15 @@ def _embed_oracle_sql(threshold: float = 0.92) -> str:
                        FROM qv v JOIN hp h ON h.i = v.i
                        GROUP BY v.vec_id, h.t, h.j)
                  GROUP BY vec_id, t),
+        ranked AS (SELECT vec_id, t, bkey,
+                          ROW_NUMBER() OVER (PARTITION BY t, bkey
+                                             ORDER BY vec_id) AS rn
+                   FROM keys),
         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                 FROM keys a JOIN keys b
-                   ON a.t = b.t AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+                 FROM ranked a JOIN ranked b
+                   ON a.t = b.t AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+                  AND ((a.rn <= {max_bucket_docs} AND b.rn <= {max_bucket_docs})
+                       OR a.rn = 1)),
         nrm AS (SELECT vec_id, SUM(qv * qv) AS nn FROM qv GROUP BY vec_id),
         dp AS (SELECT c.id_a, c.id_b, SUM(va.qv * vb.qv) AS dot
                FROM cand c
@@ -1150,7 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(),
         "neardup_lookup": _neardup_lookup_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
-        "dedup_embed": _embed_oracle_sql(),
+        "dedup_embed": _embed_oracle_sql(threshold=0.3, n_tables=8, n_planes=6),
         "knn_ivf": _ivf_oracle_sql(),
         "kmeans_clusters": __import__(
             "wbot_ray.pipelines.clustering", fromlist=["kmeans_oracle_sql"]

@@ -96,6 +96,20 @@ def _pairs_table(rows: list[tuple[int, int, int]]) -> pa.Table:
     )
 
 
+def _capped_pair_indices(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pair index arrays for one LSH bucket of ``n`` (sorted) members
+    under the star+first-k skew bound: full triu when ``n <= k``, else
+    triu over the first ``k`` plus the star from member 0 to every
+    member beyond rank k. O(k^2 + n), never O(n^2)."""
+    if n <= k:
+        return np.triu_indices(n, k=1)
+    iu, ju = np.triu_indices(k, k=1)
+    return (
+        np.concatenate([iu, np.zeros(n - k, dtype=iu.dtype)]),
+        np.concatenate([ju, np.arange(k, n, dtype=ju.dtype)]),
+    )
+
+
 def _dedup_pairs(ds):
     """Collapse multi-band duplicates of the same pair (tiny groupby on
     the pair key). Unioned with a typed empty table so an all-empty
@@ -367,14 +381,8 @@ def _minhash_parts(
         ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
         if ids.size < 2:
             return join_schema.empty_table()
-        k = max_bucket_docs
-        if ids.size <= k:
-            iu, ju = np.triu_indices(ids.size, k=1)
-            a, b = ids[iu], ids[ju]
-        else:
-            iu, ju = np.triu_indices(k, k=1)
-            a = np.concatenate([ids[iu], np.full(ids.size - k, ids[0])])
-            b = np.concatenate([ids[ju], ids[k:]])
+        iu, ju = _capped_pair_indices(ids.size, max_bucket_docs)
+        a, b = ids[iu], ids[ju]
         return pa.table(
             {
                 "bucket": pa.array(a % num_buckets, pa.int64()),
@@ -596,14 +604,22 @@ def _simhash64(tok: np.ndarray) -> int:
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 3):
+def dedup_simhash(sf_dir: str, max_hamming: int = 3, max_bucket_docs: int = 1024):
     """SimHash near-dup: 4×16-bit band blocking guarantees recall for
-    Hamming ≤ 3 (pigeonhole), in-bucket exact Hamming verify.
+    Hamming ≤ 3 (pigeonhole), in-bucket exact Hamming verify
+    (vectorized XOR+popcount over the whole bucket at once).
 
     Shingle hash = DuckDB's ``md5_number_lower`` and the bit rule is a
     strict-majority vote, so the SQL oracle recomputes the identical
     64-bit signatures bit by bit — the emitted pairs are value-exact
-    against ``oracle_sql()['dedup_simhash']``."""
+    against ``oracle_sql()['dedup_simhash']``.
+
+    ``max_bucket_docs``: hot-bucket bound (the dedup_minhash star+
+    first-k envelope, same rule in the SQL twin) — a mass-duplicated
+    cluster shares all four 16-bit bands, so an uncapped bucket would
+    be O(n^2) pairs in one task. The pigeonhole recall guarantee
+    applies in full among the first k of a bucket and through the star
+    witness; identical-signature clusters stay fully connected."""
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -627,21 +643,26 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     def bucket_pairs(group: pa.Table) -> pa.Table:
         if group.num_rows < 2:
             return PAIR_SCHEMA.empty_table()
-        ids = group.column("doc_id").to_pylist()
-        sigs = group.column("sig").to_pylist()
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = group.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.argsort(ids)
-        rows, seen = [], set()
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
-                a, b = order[i], order[j]
-                key = (ids[a], ids[b])
-                if ids[a] == ids[b] or key in seen:
-                    continue
-                seen.add(key)
-                ham = bin(sigs[a] ^ sigs[b]).count("1")
-                if ham <= max_hamming:
-                    rows.append((ids[a], ids[b], ham))
-        return _pairs_table(rows)
+        ids, sigs = ids[order], sigs[order]
+        iu, ju = _capped_pair_indices(ids.size, max_bucket_docs)
+        x = np.ascontiguousarray(sigs[iu] ^ sigs[ju])
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu][keep], pa.int64()),
+                "id_b": pa.array(ids[ju][keep], pa.int64()),
+                "sim_pm": pa.array(ham[keep], pa.int64()),
+            },
+            schema=PAIR_SCHEMA,
+        )
 
     pairs = (
         read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -660,22 +681,28 @@ EMBED_QUANT = 1 << 20  # per-component integer grid: q_i = floor(x_i * 2^20)
 
 
 @_functools.lru_cache(maxsize=8)
-def _embed_planes(dim: int) -> np.ndarray:
+def _embed_planes(dim: int, n_tables: int = _N_TABLES, n_planes: int = _N_PLANES) -> np.ndarray:
     """±1 (Rademacher) hyperplanes derived bit-by-bit from md5 — the SQL
     oracle recomputes the identical coefficients with
     ``md5_number_lower('hp:'||t||':'||j||':'||i) & 1`` (i is 1-based to
     match ``generate_series``), so both engines agree on every bucket."""
     keys = [
         f"hp:{t}:{j}:{i + 1}"
-        for t in range(_N_TABLES)
-        for j in range(_N_PLANES)
+        for t in range(n_tables)
+        for j in range(n_planes)
         for i in range(dim)
     ]
     bits = np.fromiter((md5_lower64(k) & 1 for k in keys), dtype=np.int64, count=len(keys))
-    return (2 * bits - 1).reshape(_N_TABLES, _N_PLANES, dim)
+    return (2 * bits - 1).reshape(n_tables, n_planes, dim)
 
 
-def dedup_embed(sf_dir: str, threshold: float = 0.92):
+def dedup_embed(
+    sf_dir: str,
+    threshold: float = 0.92,
+    max_bucket_docs: int = 1024,
+    n_tables: int = _N_TABLES,
+    n_planes: int = _N_PLANES,
+):
     """Embedding-cosine near-dup via random-hyperplane LSH: ``_N_TABLES``
     independent sign-bucket tables, cosine verify in-bucket.
 
@@ -696,19 +723,22 @@ def dedup_embed(sf_dir: str, threshold: float = 0.92):
       documented semantics.
 
     The shuffle carries the int32 quantized vector (256 B/doc/table),
-    never raw float embeddings."""
+    never raw float embeddings. ``max_bucket_docs`` applies the
+    star+first-k hot-bucket envelope (same rule in the SQL twin) — a
+    mass-duplicated embedding cluster fills a sign bucket in all
+    ``_N_TABLES`` tables and would otherwise be O(n^2) in one task."""
     thr_pm = int(threshold * (1 << 20))
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         q = np.floor(vecs * float(EMBED_QUANT)).astype(np.int64)
-        planes = _embed_planes(q.shape[1])
+        planes = _embed_planes(q.shape[1], n_tables, n_planes)
         out_id, out_tab, out_key, out_vec = [], [], [], []
         ql = q.astype(np.int32).tolist()
-        for t in range(_N_TABLES):
+        for t in range(n_tables):
             signs = (q @ planes[t].T) > 0  # exact int64 dots, (n, planes)
-            keys = (signs.astype(np.int64) << np.arange(_N_PLANES, dtype=np.int64)).sum(axis=1)
+            keys = (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
             out_id.extend(ids.tolist())
             out_tab.extend([t] * len(ids))
             out_key.extend(keys.tolist())
@@ -725,26 +755,31 @@ def dedup_embed(sf_dir: str, threshold: float = 0.92):
     def bucket_pairs(group: pa.Table) -> pa.Table:
         if group.num_rows < 2:
             return PAIR_SCHEMA.empty_table()
-        ids = group.column("vec_id").to_pylist()
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
         q = np.asarray(group.column("q").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids, q = ids[order], q[order]
+        iu, ju = _capped_pair_indices(ids.size, max_bucket_docs)
         dots = q @ q.T  # exact: |q_i| <= 2^21, dim <= 2^10 → < 2^53
         s = np.sqrt(np.diag(dots).astype(np.float64))
-        order = np.argsort(ids)
-        rows, seen = [], set()
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
-                a, b = order[i], order[j]
-                key = (ids[a], ids[b])
-                if ids[a] == ids[b] or key in seen:
-                    continue
-                seen.add(key)
-                if s[a] == 0.0 or s[b] == 0.0:
-                    continue  # zero vector: cosine undefined, never a dup
-                sim = float(dots[a, b]) / (s[a] * s[b])
-                pm = int(np.floor(sim * float(1 << 20)))
-                if pm >= thr_pm:
-                    rows.append((ids[a], ids[b], pm))
-        return _pairs_table(rows)
+        # same fixed IEEE expression tree as the scalar loop / oracle:
+        # floor((dot / (s_a * s_b)) * 2^20), elementwise
+        sa, sb = s[iu], s[ju]
+        nonzero = (sa != 0.0) & (sb != 0.0)  # zero vector: never a dup
+        d = dots[iu, ju].astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pm = np.floor((d / (sa * sb)) * float(1 << 20)).astype(
+                np.int64, copy=False, casting="unsafe"
+            )
+        keep = nonzero & (pm >= thr_pm)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu][keep], pa.int64()),
+                "id_b": pa.array(ids[ju][keep], pa.int64()),
+                "sim_pm": pa.array(pm[keep], pa.int64()),
+            },
+            schema=PAIR_SCHEMA,
+        )
 
     pairs = (
         read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
