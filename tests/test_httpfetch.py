@@ -254,6 +254,43 @@ class TestHttpCrawlE2E:
         assert m["successful_requests"] >= len(PAGES)  # all pages reached
         assert m["failed_requests"] == 0
 
+    def test_404_is_published_and_expanded(self, server, tmp_path, ray_session):
+        """client.Do semantics end to end: a 404 in the frontier counts
+        as a successful request (a response, not a transport error),
+        appears in the results stream with its real status, and its
+        extracted links are followed."""
+        import pyarrow.parquet as _pq
+
+        # gamma links to a path the server 404s; the 404 body links
+        # back to /p/0 (the _Handler not-found body)
+        gpages = {
+            "http://alpha-site.com/p/0": PAGES["http://alpha-site.com/p/0"],
+            "http://alpha-site.com/gone": b"",  # only so the index builds
+        }
+        p = str(tmp_path / "gpages.parquet")
+        _pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(sorted(gpages), pa.string()),
+                    "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+                    "html": pa.array([gpages[u] for u in sorted(gpages)], pa.binary()),
+                    "text": pa.array(["", ""], pa.string()),
+                    "lang": pa.array(["en", "en"], pa.string()),
+                }
+            ),
+            p,
+        )
+        run = Crawler(
+            _cfg(fetcher_factory=make_http_fetcher, proxies=[server]),
+            workdir=str(tmp_path / "run404"),
+        ).crawl(seeds=["http://alpha-site.com/gone"], pages_path=p)
+        t = run.results_table()
+        by_url = {u: s for u, s in zip(t.column("url").to_pylist(), t.column("status").to_pylist())}
+        assert by_url["http://alpha-site.com/gone"] == 404  # published
+        assert by_url["http://alpha-site.com/p/0"] == 200  # its link followed
+        m = run.metrics_total()
+        assert m["failed_requests"] == 0  # a 404 is not a transport error
+
     def test_dead_proxy_fails_all(self, corpus_path, tmp_path, ray_session):
         run = Crawler(
             _cfg(fetcher_factory=make_http_fetcher, proxies=["http://127.0.0.1:9/"], timeout_ms=300),

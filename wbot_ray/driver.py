@@ -116,7 +116,9 @@ class CrawlRun:
         return (
             self.results_dataset(columns=read_cols)
             .map_batches(
-                lambda t: t.filter(pc.equal(t.column("status"), 200)).select(cols),
+                # any response row (404s included — the reference's
+                # stream carries them); transport errors (status 0) out
+                lambda t: t.filter(pc.greater(t.column("status"), 0)).select(cols),
                 batch_format="pyarrow",
             )
             .sort("crawl_ord")

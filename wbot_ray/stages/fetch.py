@@ -399,7 +399,11 @@ def make_fused_fetch_fn(
         os.replace(tmp, os.path.join(results_dir, f"part-{part:05d}.parquet"))
         t_write = time.perf_counter() - t0
 
-        ok = pc.sum(pc.cast(pc.equal(results.column("status"), 200), pa.int64())).as_py() or 0
+        # success = any HTTP response (the reference publishes non-2xx
+        # responses too — client.Do semantics); failure = transport
+        # error (status 0). Sim-fetch statuses are only {0, 200}, so
+        # this is identical there.
+        ok = pc.sum(pc.cast(pc.greater(results.column("status"), 0), pa.int64())).as_py() or 0
         sidecar = {
             "n": results.num_rows,
             "ok": int(ok),
