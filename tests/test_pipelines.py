@@ -1422,6 +1422,14 @@ class TestLinkComponents:
             r["url"]: (r["comp"], r["comp_size"])
             for r in graph.link_components(str(tmp_path), links_path=p).take_all()
         }
+        # distributed star-contraction path must agree (local_threshold=0
+        # forces it; the default takes the driver-local vectorized path)
+        got_dist = {
+            r["url"]: (r["comp"], r["comp_size"])
+            for r in graph.link_components(
+                str(tmp_path), links_path=p, local_threshold=0
+            ).take_all()
+        }
         want_sql = {
             url: (comp, size)
             for url, comp, size in duckdb.connect()
@@ -1429,7 +1437,7 @@ class TestLinkComponents:
             .fetchall()
         }
         nodes = {x for e in edges for x in e}
-        assert got == want_sql == self._union_find(edges, nodes)
+        assert got == got_dist == want_sql == self._union_find(edges, nodes)
         assert got[u[6]] == (u[6], 1)  # self-loop-only url is a singleton
         assert got[u[7]][1] == 5
 
@@ -1466,7 +1474,7 @@ class TestLinkComponents:
         urls = [f"https://c{i:03d}.net/" for i in range(120)]
         p = self._links(tmp_path, list(zip(urls, urls[1:])))
         rows = graph.link_components(
-            str(tmp_path), links_path=p, max_iters=24
+            str(tmp_path), links_path=p, max_iters=24, local_threshold=0
         ).take_all()
         assert len(rows) == 120
         assert {r["comp"] for r in rows} == {urls[0]}

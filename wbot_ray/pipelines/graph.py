@@ -642,6 +642,7 @@ def link_components(
     links_path: str | None = None,
     round_stats: list | None = None,
     links_ds=None,
+    local_threshold: int = 1_000_000,
 ):
     """Weakly connected components over the gated link graph — the
     mirror-cluster / site-island detector that completes the graph
@@ -712,6 +713,26 @@ def link_components(
             columns=["src_url", "dst_url", "gated"],
         )
     )
+
+    # driver-local path for small graphs (parquet reads only — the
+    # count is parquet-metadata-cheap; links_ds callers keep the
+    # distributed path): the star-contraction rounds cost ~12 keyed
+    # exchanges of fixed latency REGARDLESS of edge count, so below
+    # ~10^6 edges the vectorized local union-find wins outright. Same
+    # precedent (and parity-pinning) as host_sssp / dup_clusters /
+    # the crawl's small-frontier merge; 0 forces distributed.
+    if links_ds is None and local_threshold and links.count() <= local_threshold:
+        tbls = [
+            b.filter(b.column("gated")).select(["src_url", "dst_url"])
+            for b in links.iter_batches(batch_format="pyarrow")
+        ]
+        out_schema = pa.schema(
+            [("url", pa.string()), ("comp", pa.string()), ("comp_size", pa.int64())]
+        )
+        tbls = [t for t in tbls if t.num_rows]
+        if not tbls:
+            return rd.from_arrow(out_schema.empty_table())
+        return rd.from_arrow(_components_local(pa.concat_tables(tbls), out_schema))
 
     M = (1 << 63) - 1
 
@@ -1239,43 +1260,45 @@ def host_components(
 
 
 def _components_local(edges: pa.Table, out_schema: pa.schema) -> pa.Table:
-    """Driver-side exact union-find over a small ``src_url/dst_url``
-    edge table — same semantics as the large-star/small-star path:
-    self-loops keep a node without adding connectivity, the component
-    representative is the lexicographically smallest member."""
-    parent: dict[str, str] = {}
+    """Driver-side exact connected components over a small
+    ``src_url/dst_url`` edge table — same semantics as the
+    large-star/small-star path: self-loops keep a node without adding
+    connectivity, the component representative is the lexicographically
+    smallest member.
 
-    def find(x: str) -> str:
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    srcs = edges.column("src_url").to_pylist()
-    dsts = edges.column("dst_url").to_pylist()
-    for n in srcs + dsts:
-        parent.setdefault(n, n)
-    for a, b in zip(srcs, dsts):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    groups: dict[str, list[str]] = {}
-    for n in parent:
-        groups.setdefault(find(n), []).append(n)
-    hosts, comps, sizes = [], [], []
-    for members in groups.values():
-        rep = min(members)
-        for m in members:
-            hosts.append(m)
-            comps.append(rep)
-            sizes.append(len(members))
+    Vectorized min-hooking + full pointer shortcutting
+    (Shiloach-Vishkin) over int node ids: O(E) numpy ops per round,
+    ~log(n) rounds, no Python per-edge loop — ~10^6 edges finish in
+    tens of milliseconds where a dict union-find loops for seconds.
+    ``np.unique`` assigns ids in LEXICOGRAPHIC order and min-hooking
+    converges every component onto its minimum id, so the final root
+    IS the lexicographically smallest member."""
+    s = np.asarray(edges.column("src_url").to_pylist(), dtype=object)
+    d = np.asarray(edges.column("dst_url").to_pylist(), dtype=object)
+    uniq, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    u, v = inv[: len(s)], inv[len(s) :]
+    keep = u != v  # self-loops register the node, add no connectivity
+    u, v = u[keep], v[keep]
+    parent = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        pu, pv = parent[u], parent[v]
+        hi = np.maximum(pu, pv)
+        lo = np.minimum(pu, pv)
+        before = parent.copy()
+        np.minimum.at(parent, hi, lo)  # hook larger root onto smaller
+        while True:  # full pointer shortcut
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if np.array_equal(parent, before):
+            break
+    sizes = np.bincount(parent, minlength=len(uniq))
     return pa.table(
         {
-            "host": pa.array(hosts, pa.string()),
-            "comp": pa.array(comps, pa.string()),
-            "comp_size": pa.array(sizes, pa.int64()),
+            out_schema.names[0]: pa.array(uniq, pa.string()),
+            "comp": pa.array(uniq[parent], pa.string()),
+            "comp_size": pa.array(sizes[parent].astype(np.int64), pa.int64()),
         },
         schema=out_schema,
     )
