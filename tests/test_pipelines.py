@@ -1328,13 +1328,21 @@ class TestPagerank:
             r["url"]: r["rank_fp"]
             for r in graph.link_pagerank(tmp_path.as_posix(), links_path=p).take_all()
         }
+        # distributed path (forced) must be bit-equal to the
+        # driver-local default AND the SQL oracle
+        got_dist = {
+            r["url"]: r["rank_fp"]
+            for r in graph.link_pagerank(
+                tmp_path.as_posix(), links_path=p, local_threshold=0
+            ).take_all()
+        }
         want = {
             u: rf
             for u, rf in duckdb.connect()
             .execute(graph.pagerank_oracle_sql(p))
             .fetchall()
         }
-        assert got == want
+        assert got == got_dist == want
         # the hub (A: 2 in-sources, one a 2x multi-edge target) outranks
         # the dangling sink D
         assert got[A] > got[D]

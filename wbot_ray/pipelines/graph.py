@@ -76,6 +76,7 @@ def link_pagerank(
     num_buckets: int = 32,
     links_path: str | None = None,
     links_ds=None,
+    local_threshold: int = 1_000_000,
 ):
     """Fixed-point PageRank over the gated link graph, ``iters`` power
     iterations. Ray shape — STAGED edges + combined contributions:
@@ -131,6 +132,24 @@ def link_pagerank(
             links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
         )
     )
+
+    # driver-local path below the threshold (parquet reads only; the
+    # same scheduler choice and cost model as link_components): the
+    # distributed iteration pays `iters` keyed exchanges of fixed
+    # latency regardless of edge count. Bit-equal math; 0 forces the
+    # distributed path.
+    if links_ds is None and local_threshold and links.count() <= local_threshold:
+        tbls = [
+            b.filter(b.column("gated")).select(["src_url", "dst_url"])
+            for b in links.iter_batches(batch_format="pyarrow")
+        ]
+        out_schema = pa.schema([("url", pa.string()), ("rank_fp", pa.int64())])
+        tbls = [t for t in tbls if t.num_rows]
+        if not tbls:
+            return rd.from_arrow(out_schema.empty_table())
+        return rd.from_arrow(
+            _pagerank_local(pa.concat_tables(tbls), iters, out_schema)
+        )
 
     M = (1 << 63) - 1  # keep ids non-negative int64 (bucketing uses %)
 
@@ -1783,7 +1802,10 @@ def _pagerank_local(edges: pa.Table, iters: int, out_schema: pa.schema) -> pa.Ta
         np.add.at(s, di, r[si] // od[si])
         r = BASE + (DAMP_NUM * s) // DAMP_DEN
     return pa.table(
-        {"host": pa.array(nodes, pa.string()), "rank_fp": pa.array(r, pa.int64())},
+        {
+            out_schema.names[0]: pa.array(nodes, pa.string()),
+            "rank_fp": pa.array(r, pa.int64()),
+        },
         schema=out_schema,
     )
 
