@@ -3617,8 +3617,15 @@ class TestTriangles:
             r["url"]: r["n_triangles"]
             for r in graph.link_triangles(str(tmp_path), links_path=p).take_all()
         }
+        # distributed path (forced) must agree with the local default
+        got_dist = {
+            r["url"]: r["n_triangles"]
+            for r in graph.link_triangles(
+                str(tmp_path), links_path=p, local_threshold=0
+            ).take_all()
+        }
         # K4: each of the 4 nodes sits in C(3,2) = 3 triangles
-        assert got == {u[i]: 3 for i in range(4)}
+        assert got == got_dist == {u[i]: 3 for i in range(4)}
 
     def test_star_hub_no_triangles(self, ray_session, tmp_path):
         from wbot_ray.pipelines import graph

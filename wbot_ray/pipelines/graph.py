@@ -442,7 +442,79 @@ def link_degrees(sf_dir: str, links_path: str | None = None):
     )
 
 
-def link_triangles(sf_dir: str, num_buckets: int = 32, links_path: str | None = None):
+def _triangles_local(links) -> "rd.Dataset":
+    """Driver-local degree-ordered triangle counting for small graphs —
+    same semantics as the five-exchange distributed path (undirected
+    deduped gated edges, self-loops dropped, low→high orientation by
+    ``(degree, url)``, every triangle witnessed once by its
+    degree-minimum vertex). Fully vectorized: wedges are generated with
+    the offset-pair trick (one vector op per out-list offset k, and the
+    max oriented out-degree is O(sqrt m) by the degeneracy bound), and
+    the closure check is one searchsorted membership probe against the
+    canonical edge-key array."""
+    srcs, dsts = [], []
+    for b in links.iter_batches(batch_format="pyarrow"):
+        t = b.filter(b.column("gated"))
+        if t.num_rows:
+            srcs.append(np.asarray(t.column("src_url").to_pylist(), dtype=object))
+            dsts.append(np.asarray(t.column("dst_url").to_pylist(), dtype=object))
+    out_schema = pa.schema([("url", pa.string()), ("n_triangles", pa.int64())])
+    if not srcs:
+        return rd.from_arrow(out_schema.empty_table())
+    s = np.concatenate(srcs)
+    d = np.concatenate(dsts)
+    uniq, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    n = len(uniq)
+    u, v = inv[: len(s)], inv[len(s) :]
+    keep = u != v  # self-loops drop
+    a = np.minimum(u[keep], v[keep])
+    b = np.maximum(u[keep], v[keep])
+    if a.size == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    ab = np.unique(a * n + b)  # canonical deduped undirected edge keys
+    a, b = ab // n, ab % n
+    deg = np.bincount(np.concatenate([a, b]), minlength=n)
+    # low endpoint = smaller (degree, id); id order IS url lex order
+    a_low = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+    lo = np.where(a_low, a, b)
+    hi = np.where(a_low, b, a)
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    counts = np.zeros(n, dtype=np.int64)
+    k = 1
+    while k < len(lo):
+        same = lo[:-k] == lo[k:]
+        if not same.any():
+            break
+        y0, z0 = hi[:-k][same], hi[k:][same]  # wedge endpoints, y0 < z0
+        x0 = lo[:-k][same]
+        wkey = np.minimum(y0, z0) * n + np.maximum(y0, z0)
+        pos = np.searchsorted(ab, wkey)
+        pos[pos == len(ab)] = 0
+        hit = ab[pos] == wkey
+        if hit.any():
+            np.add.at(counts, x0[hit], 1)
+            np.add.at(counts, y0[hit], 1)
+            np.add.at(counts, z0[hit], 1)
+        k += 1
+    nz = np.flatnonzero(counts)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(uniq[nz], pa.string()),
+                "n_triangles": pa.array(counts[nz], pa.int64()),
+            },
+            schema=out_schema,
+        )
+    )
+
+
+def link_triangles(
+    sf_dir: str,
+    num_buckets: int = 32,
+    links_path: str | None = None,
+    local_threshold: int = 1_000_000,
+):
     """Per-url TRIANGLE counts over the undirected gated link graph —
     the graph-mining shape beyond BFS / PageRank / components: how many
     closed url triples each page participates in (the local clustering
@@ -479,6 +551,13 @@ def link_triangles(sf_dir: str, num_buckets: int = 32, links_path: str | None = 
     links = rd.read_parquet(
         links_path or _links_path(sf_dir), columns=["src_url", "dst_url", "gated"]
     )
+
+    # driver-local path below the threshold — the distributed pipeline
+    # pays five keyed exchanges of fixed latency regardless of edge
+    # count (same scheduler choice as link_components/link_pagerank);
+    # 0 forces distributed
+    if local_threshold and links.count() <= local_threshold:
+        return _triangles_local(links)
 
     def hb(arr: list[str]) -> pa.Array:
         return pa.array([md5_lower64(s) % num_buckets for s in arr], pa.int64())
