@@ -375,8 +375,17 @@ def one(
     }
 
 
-SCALING_SCALE = "bench"
-SCALING_SEEDS = N_SEEDS
+# Official scaling job: the 4x corpus. The 1x bench was the right job
+# on the round-2 engine (its ~80 s pair load rode a recharged credit
+# bucket; a 4x job drained it — measured 0.487). The session-13
+# hot-path work then made the engine 3.8x cheaper, which flipped the
+# trade BOTH ways: the 1x job became fixed-cost-dominated (structural
+# pair ~0.6 — Amdahl fit W≈123 cpu-s, F≈4.05 s), while the 4x job's
+# pair load fell to ~115 s, the same budget the old 1x had. Round-3
+# measurements confirm: two post-idle bench4x pairs recorded 0.93 and
+# 0.976 (BASELINE.md) against the fit's 0.88 projection.
+SCALING_SCALE = "bench4x"
+SCALING_SEEDS = 600
 
 
 def scaling(
@@ -390,26 +399,17 @@ def scaling(
 ) -> dict:
     """Same crawl job at two parallelism levels in fresh processes.
 
-    The job is the 1x bench crawl (``SCALES['bench']``), deliberately
-    NOT a bigger one. We tested the obvious alternative — a 4x corpus
-    (``SCALES['bench4x']``, still generable via ``--scale bench4x``)
-    to amortize per-round fixed latency the way a 100 TB workload
-    would — and it measured WORSE (0.487 vs the recorded 0.850 pair),
-    for an environmental reason, not an engine one: this host is
-    burst-credit limited. A profile replay of the 4x run's round 2
-    showed the same fused-fetch parts costing ~10x more wall inside
-    the scaling window than on an idle box — the hypervisor throttles
-    sustained load to a total-CPU baseline of roughly 13-16 effective
-    cores. Any job long enough to drain the burst bucket (the 4x
-    crawl holds ~6 min of load; the bucket holds ~1-2 min) converges
-    to efficiency ≈ baseline/8/4 ≈ 0.4-0.5 REGARDLESS of the plan:
-    the 8-CPU leg still gets its full 8 cores while the 32-CPU leg is
-    capped at the baseline. Only a short job riding a fully-recharged
-    burst bucket (≥25 min idle) measures the engine rather than the
-    hypervisor; the 1x crawl (~80 s of load across both legs) is the
-    largest job that fits. Structural efficiency from the Amdahl fit
-    over measured constants (W ≈ 414-460 cpu-s, F ≈ 3.6 s after the
-    fixed-cost work): 0.85, matching the best measured pair (0.850).
+    The job is the 4x corpus (``SCALES['bench4x']``, 600 seeds) — see
+    the ``SCALING_SCALE`` comment for the full history: on the slower
+    round-2 engine the 1x crawl was the largest job that could ride a
+    recharged hypervisor credit bucket (a 4x run drained it and
+    measured the hypervisor, 0.487), but the session-13 3.8x hot-path
+    speedup made the 1x job fixed-cost-dominated (structural ~0.6)
+    and brought the 4x pair load down to the old 1x budget (~115 s).
+    The protocol that measures the ENGINE on this credit-throttled
+    host is unchanged: launch as the first workload after a long
+    (≥25 min) fully-idle stretch. Round-3 post-idle bench4x pairs:
+    0.93 and 0.976 (Amdahl projection 0.88).
 
     Each level runs ``reps`` times. Reported: the BEST-pair efficiency
     (minimum wall per level — the standard low-noise estimator of
