@@ -103,10 +103,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": textops.normalize_text,
         # -- deduplication (pair queries via _pairs_query: a legitimately
         #    empty pair set must still present the PAIR_SCHEMA columns)
+        #    The hot-bucket cap (max_bucket_docs=1024) is OPT-IN from
+        #    this harness — the library default is None (full recall);
+        #    the oracles apply the identical QUALIFY rule, so harness
+        #    and SQL stay in lockstep while plain library callers keep
+        #    the uncapped guarantees (ADVICE r3).
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram": _pairs_query(dedup.dedup_ngram),
-        "dedup_minhash": _pairs_query(dedup.dedup_minhash),
-        "dedup_simhash": _pairs_query(dedup.dedup_simhash),
+        "dedup_minhash": _pairs_query(
+            lambda sf: dedup.dedup_minhash(sf, max_bucket_docs=1024)
+        ),
+        "dedup_simhash": _pairs_query(
+            lambda sf: dedup.dedup_simhash(sf, max_bucket_docs=1024)
+        ),
         # gate parameters, not the operator defaults: the synthetic
         # embeddings are near-orthogonal (max pairwise cosine ~0.51 at
         # sf0.01), so the production threshold 0.92 correctly finds
@@ -114,13 +123,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # more tables (8) and threshold 0.3 exercise the identical
         # bucket/verify machinery with a few hundred value-checked rows.
         "dedup_embed": _pairs_query(
-            lambda sf: dedup.dedup_embed(sf, threshold=0.3, n_tables=8, n_planes=6)
+            lambda sf: dedup.dedup_embed(
+                sf, threshold=0.3, n_tables=8, n_planes=6, max_bucket_docs=1024
+            )
         ),
         "neardup_lookup": _typed_query(
             lshindex.neardup_lookup, ("q_id", "n_id", "est_pm")
         ),
-        "dup_clusters": _typed_query(dedup.dup_clusters, ("doc_id", "cluster_id")),
-        "dedup_keep": dedup.dedup_keep,
+        "dup_clusters": _typed_query(
+            lambda sf: dedup.dup_clusters(sf, max_bucket_docs=1024),
+            ("doc_id", "cluster_id"),
+        ),
+        "dedup_keep": lambda sf: dedup.dedup_keep(sf, max_bucket_docs=1024),
         "dedup_segments": dedup.dedup_segments,
         "dup_spans": dedup.dup_spans,
         "dedup_span_apply": dedup.dedup_span_apply,

@@ -60,6 +60,22 @@ class _Handler(BaseHTTPRequestHandler):
             time.sleep(0.6)
             body = b"<html><body><p>slow page</p></body></html>"
             code = 200
+        elif url.endswith("/trickle"):
+            # headers arrive fast, then the body trickles: each chunk is
+            # inside any per-socket-op timeout, but the WHOLE body takes
+            # ~2s — only an overall wall-clock deadline catches it
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(20 * 100))
+            self.end_headers()
+            try:
+                for _ in range(20):
+                    self.wfile.write(b"x" * 100)
+                    self.wfile.flush()
+                    time.sleep(0.1)
+            except Exception:
+                pass  # client hung up at its deadline
+            return
         elif url == "http://alpha-site.com/robots.txt":
             body = b"User-agent: *\nDisallow: /p/1\n"
             code = 200
@@ -141,6 +157,18 @@ class TestHttpFetchOne:
         assert http_fetch_one(f"{server}/slow", "", "", "", 100, 1 << 20) is None
         got = http_fetch_one(f"{server}/slow", "", "", "", 5000, 1 << 20)
         assert got is not None and got[3] == 200
+
+    def test_trickling_body_hits_overall_deadline(self, server):
+        # urllib's timeout is per-socket-op; a server trickling 100 B
+        # every 100 ms never trips it. The overall wall-clock deadline
+        # (reference context.WithTimeout, http_client.go:60-61) must
+        # abort the fetch ~at timeout_ms, not after the full 2 s body.
+        t0 = time.monotonic()
+        assert http_fetch_one(f"{server}/trickle", "", "", "", 500, 1 << 20) is None
+        assert time.monotonic() - t0 < 1.5
+        # generous budget: the same trickling body completes fine
+        got = http_fetch_one(f"{server}/trickle", "", "", "", 10_000, 1 << 20)
+        assert got is not None and got[3] == 200 and len(got[0]) == 2000
 
     def test_non_2xx_is_a_response_not_an_error(self, server):
         # client.Do semantics: 404 body + links still come back

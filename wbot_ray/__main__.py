@@ -76,8 +76,15 @@ def main(argv: list[str] | None = None) -> int:
 
         from wbot_ray.robots import fetch_robots_http
 
-        hosts = [urlsplit(s).netloc for s in args.seeds]
-        extra["robots_bodies"] = fetch_robots_http(hosts, proxy=args.proxy)
+        hosts: list[str] = []
+        schemes: dict[str, str] = {}
+        for s in args.seeds:
+            sp = urlsplit(s)
+            hosts.append(sp.netloc)
+            schemes.setdefault(sp.netloc, sp.scheme or "https")
+        extra["robots_bodies"] = fetch_robots_http(
+            hosts, proxy=args.proxy, schemes=schemes
+        )
 
     cfg = CrawlConfig(
         max_depth=args.max_depth,

@@ -96,12 +96,18 @@ def _pairs_table(rows: list[tuple[int, int, int]]) -> pa.Table:
     )
 
 
-def _capped_pair_indices(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _capped_pair_indices(n: int, k: int | None) -> tuple[np.ndarray, np.ndarray]:
     """Pair index arrays for one LSH bucket of ``n`` (sorted) members
     under the star+first-k skew bound: full triu when ``n <= k``, else
     triu over the first ``k`` plus the star from member 0 to every
-    member beyond rank k. O(k^2 + n), never O(n^2)."""
-    if n <= k:
+    member beyond rank k. O(k^2 + n), never O(n^2).
+
+    ``k=None`` disables the cap (full recall, the library default —
+    the skew bound trades recall for bounded work, so it is OPT-IN:
+    the bench/gate harness passes an explicit cap, a library caller
+    who didn't ask for one keeps e.g. simhash's unconditional
+    pigeonhole recall guarantee)."""
+    if k is None or n <= k:
         return np.triu_indices(n, k=1)
     iu, ju = np.triu_indices(k, k=1)
     return (
@@ -261,7 +267,7 @@ def dedup_minhash(
     threshold: float = 0.7,
     num_buckets: int = 64,
     small_verify_threshold: int = 200_000,
-    max_bucket_docs: int = 1024,
+    max_bucket_docs: int | None = None,
 ):
     """MinHash-LSH near-dup pairs: shingle → sign once → slim band
     explode → bucket-groupby candidates → two co-partitioned signature
@@ -306,7 +312,8 @@ def _minhash_parts(
     threshold: float,
     num_buckets: int,
     small_verify_threshold: int = 0,
-    max_bucket_docs: int = 1024,
+    max_bucket_docs: int | None = None,
+    materialize_stages: bool = False,
 ) -> dict:
     """The dedup_minhash pipeline's stages, exposed so
     ``minhash_exchange_stats`` can count each exchange's rows."""
@@ -463,9 +470,15 @@ def _minhash_parts(
         )
 
     bands = sigs.map_batches(explode, batch_format="pyarrow")
+    if materialize_stages:
+        # stats path only: pin each stage so counting bands/cands/pairs
+        # executes the chain ONCE, not once per .count() (ADVICE r3)
+        bands = bands.materialize()
     cands = bands.groupby(["band", "band_hash"]).map_groups(
         bucket_cands, batch_format="pyarrow"
     )
+    if materialize_stages:
+        cands = cands.materialize()
 
     if small_verify_threshold > 0:
         # the groupby above is an all-to-all barrier anyway; holding its
@@ -555,16 +568,73 @@ def _small_verify(sigs, cands, thr_pm: int):
 LAST_MINHASH_STATS: dict = {}
 
 
-def minhash_exchange_stats(sf_dir: str, threshold: float = 0.7, num_buckets: int = 64) -> dict:
+def minhash_exchange_stats(
+    sf_dir: str,
+    threshold: float = 0.7,
+    num_buckets: int = 64,
+    max_bucket_docs: int | None = 1024,
+) -> dict:
     """Measure the bytes each dedup_minhash exchange carries (the
     round-2 verdict's 'log it' ask): runs the staged pipeline counting
     every intermediate, models per-row wire sizes, and compares against
-    the naive sig-rides-every-band layout this round replaced."""
-    parts = _minhash_parts(sf_dir, threshold, num_buckets)
+    the naive sig-rides-every-band layout this round replaced.
+
+    Each stage is materialized before counting so the chain executes
+    ONCE (counting lazy datasets re-ran the signature pass ~3x —
+    ADVICE r3), and ``capped_buckets`` counts the LSH buckets whose
+    membership exceeds ``max_bucket_docs`` — the observable for when
+    the star+first-k recall envelope engages."""
+    parts = _minhash_parts(
+        sf_dir,
+        threshold,
+        num_buckets,
+        max_bucket_docs=max_bucket_docs,
+        materialize_stages=True,
+    )
     n_docs = parts["sigs"].count()
     n_band_rows = parts["bands"].count()
     n_cand_rows = parts["cands"].count()
     n_pairs = parts["pairs"].count()
+
+    def _bucket_sizes(batch: pa.Table) -> pa.Table:
+        # per-block partial: rows per (band, band_hash) — each doc has
+        # exactly ONE row per (band, bucket) globally, so per-block row
+        # counts sum to the exact distinct-doc bucket size
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = (
+            batch.column("band_hash")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            .view(np.int64)  # int64 view: same distinctness, Arrow-safe
+        )
+        key = np.stack([band, bh], axis=1)
+        uk, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "band": pa.array(uk[:, 0], pa.int64()),
+                "bh": pa.array(uk[:, 1], pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cap = max_bucket_docs if max_bucket_docs is not None else 1 << 62
+    sizes = (
+        parts["bands"]
+        .map_batches(_bucket_sizes, batch_format="pyarrow")
+        .groupby(["band", "bh"])
+        .sum("n")
+    )
+    n_capped = sizes.map_batches(
+        lambda t: pa.table(
+            {
+                "c": pa.array(
+                    [int((t.column("sum(n)").to_numpy(zero_copy_only=False) > cap).sum())],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum("c")
     sig_b = 8 * N_PERM + 8  # list<int64> payload + id
     band_b = 8 + 4 + 8
     pair_b = 8 + 8 + 8
@@ -584,11 +654,14 @@ def minhash_exchange_stats(sf_dir: str, threshold: float = 0.7, num_buckets: int
             "exchange_bytes_new": int(new_bytes),
             "exchange_bytes_old_layout": int(old_bytes),
             "reduction_x": round(old_bytes / max(new_bytes, 1), 2),
+            "max_bucket_docs": max_bucket_docs,
+            "capped_buckets": int(n_capped or 0),
         }
     )
     print(f"[dedup_minhash] exchange bytes {new_bytes} vs naive {old_bytes} "
           f"({LAST_MINHASH_STATS['reduction_x']}x cut; {n_docs} docs, "
-          f"{n_cand_rows} candidates, {n_pairs} pairs)")
+          f"{n_cand_rows} candidates, {n_pairs} pairs; "
+          f"{LAST_MINHASH_STATS['capped_buckets']} bucket(s) over cap)")
     return dict(LAST_MINHASH_STATS)
 
 
@@ -604,7 +677,7 @@ def _simhash64(tok: np.ndarray) -> int:
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 3, max_bucket_docs: int = 1024):
+def dedup_simhash(sf_dir: str, max_hamming: int = 3, max_bucket_docs: int | None = None):
     """SimHash near-dup: 4×16-bit band blocking guarantees recall for
     Hamming ≤ 3 (pigeonhole), in-bucket exact Hamming verify
     (vectorized XOR+popcount over the whole bucket at once).
@@ -699,7 +772,7 @@ def _embed_planes(dim: int, n_tables: int = _N_TABLES, n_planes: int = _N_PLANES
 def dedup_embed(
     sf_dir: str,
     threshold: float = 0.92,
-    max_bucket_docs: int = 1024,
+    max_bucket_docs: int | None = None,
     n_tables: int = _N_TABLES,
     n_planes: int = _N_PLANES,
 ):
@@ -800,6 +873,7 @@ def dup_clusters(
     pairs=None,
     num_buckets: int = 32,
     local_threshold: int = 100_000,
+    max_bucket_docs: int | None = None,
 ):
     """Connected components over the ``dedup_minhash`` pair graph:
     ``(doc_id, cluster_id)`` where ``cluster_id`` is the MINIMUM doc_id
@@ -870,7 +944,11 @@ def dup_clusters(
 
     # ``pairs`` overrides the edge source: any Dataset of (id_a, id_b)
     # rows can be clustered (e.g. dedup_embed output, or a test graph)
-    src = pairs if pairs is not None else dedup_minhash(sf_dir, threshold)
+    src = (
+        pairs
+        if pairs is not None
+        else dedup_minhash(sf_dir, threshold, max_bucket_docs=max_bucket_docs)
+    )
     pairs_mat = src.select_columns(["id_a", "id_b"]).materialize()
     n_pairs = pairs_mat.count()
     if n_pairs == 0:
@@ -990,7 +1068,12 @@ def _bucket_col(ids, num_buckets: int) -> pa.Array:
     return pa.array(v % num_buckets, pa.int64())
 
 
-def dedup_keep(sf_dir: str, threshold: float = 0.7, num_buckets: int = 32):
+def dedup_keep(
+    sf_dir: str,
+    threshold: float = 0.7,
+    num_buckets: int = 32,
+    max_bucket_docs: int | None = None,
+):
     """The corpus AFTER near-dedup is applied: every cluster's canonical
     member (min doc_id) plus every singleton survives; non-canonical
     cluster members drop. This is the step that turns ``dup_clusters``'
@@ -1007,7 +1090,7 @@ def dedup_keep(sf_dir: str, threshold: float = 0.7, num_buckets: int = 32):
     import pyarrow.compute as pc
 
     corpus = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    clusters = dup_clusters(sf_dir, threshold)
+    clusters = dup_clusters(sf_dir, threshold, max_bucket_docs=max_bucket_docs)
 
     def to_drops(t: pa.Table) -> pa.Table:
         d = t.filter(pc.not_equal(t.column("doc_id"), t.column("cluster_id")))

@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 
 from wbot_ray.pipelines.common import md5_lower64, read_table
-from wbot_ray.pipelines.inference import EMBED_DIM, HashEncoder
+from wbot_ray.pipelines.inference import EMBED_DIM, HashEncoder, encoder_pool_size
 
 __all__ = ["semantic_search", "encode_query", "DEFAULT_QUERY"]
 
@@ -92,7 +92,7 @@ def semantic_search(
         .map_batches(
             HashEncoder,
             fn_constructor_kwargs={"dim": dim},
-            concurrency=(1, 4),
+            concurrency=(1, encoder_pool_size()),
             batch_format="pyarrow",
         )
         .map_batches(score_partial, batch_format="pyarrow")

@@ -27,6 +27,7 @@ def fetch_robots_http(
     timeout_ms: int = 5000,
     scheme: str = "https",
     max_body: int = 512 * 1024,
+    schemes: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Populate a strict-mode ``robots_bodies`` table over real sockets:
     one ``GET {scheme}://host/robots.txt`` per host (Ray-parallel, via
@@ -35,21 +36,36 @@ def fetch_robots_http(
     the gate treats as allow-all (the robots RFC default). The result is
     the small broadcast dict ``CrawlConfig(robots_bodies=...)`` expects;
     at cluster scale the fetch is one bounded task per DISTINCT host,
-    not per url."""
+    not per url. ``schemes`` overrides the scheme per host (so http://
+    seeds fetch robots over http, not a failing https attempt); hosts
+    whose robots.txt could not be fetched are logged, making the
+    allow-all fallback visible instead of silent."""
+    import logging
+
     import ray
 
     from wbot_ray.stages.httpfetch import http_fetch_one
 
     @ray.remote
-    def one(h: str):
+    def one(h: str, sch: str):
         got = http_fetch_one(
-            f"{scheme}://{h}/robots.txt", user_agent, "", proxy, timeout_ms, max_body
+            f"{sch}://{h}/robots.txt", user_agent, "", proxy, timeout_ms, max_body
         )
         if got is None or got[3] != 200:
             return h, None
         return h, got[0].decode("utf-8", "replace")
 
-    pairs = ray.get([one.remote(h) for h in dict.fromkeys(hosts)])
+    per_host = schemes or {}
+    uniq = list(dict.fromkeys(hosts))
+    pairs = ray.get([one.remote(h, per_host.get(h, scheme)) for h in uniq])
+    missing = [h for h, body in pairs if body is None]
+    if missing:
+        logging.getLogger("wbot_ray").warning(
+            "robots.txt unfetchable for %d host(s) (strict gate falls back "
+            "to allow-all for them): %s",
+            len(missing),
+            ", ".join(missing[:10]),
+        )
     return {h: body for h, body in pairs if body is not None}
 
 

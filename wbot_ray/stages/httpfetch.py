@@ -36,6 +36,7 @@ count, not per-task fan-out.
 
 from __future__ import annotations
 
+import time
 import urllib.error
 import urllib.request
 
@@ -46,6 +47,39 @@ __all__ = ["make_http_fetcher", "http_fetch_one"]
 
 # reference transport defaults (http_client.go:31-47 / config.go:13)
 DEFAULT_TIMEOUT_MS = 10_000
+
+# chunk size for deadline-aware body reads: small enough that a
+# trickling server can't extend the fetch much past its deadline
+# between checks, large enough to keep syscall overhead negligible
+_READ_CHUNK = 64 * 1024
+
+
+def _read_with_deadline(resp, max_body_size: int, deadline: float) -> bytes | None:
+    """Read up to ``max_body_size`` bytes, aborting once the wall-clock
+    ``deadline`` passes. urllib's ``timeout`` is per-socket-OPERATION —
+    a server trickling one byte per second keeps ``read()`` alive
+    forever — whereas the reference wraps the WHOLE request in
+    ``context.WithTimeout`` (``http_client.go:60-61``). Chunked reads
+    with a deadline check reproduce the overall-deadline semantics.
+    Returns None when the deadline expired mid-body (transport error).
+
+    Uses ``read1`` (at most ONE underlying socket read) when the
+    response supports it — plain ``read(n)`` loops internally until n
+    bytes arrive, which would let a trickling server run far past the
+    deadline inside a single call."""
+    read1 = getattr(resp, "read1", None)
+    chunks: list[bytes] = []
+    remaining = max_body_size
+    while remaining > 0:
+        if time.monotonic() > deadline:
+            return None
+        n = min(_READ_CHUNK, remaining)
+        chunk = read1(n) if read1 is not None else resp.read(n)
+        if not chunk:
+            break
+        chunks.append(chunk)
+        remaining -= len(chunk)
+    return b"".join(chunks)
 
 
 def http_fetch_one(
@@ -75,16 +109,23 @@ def http_fetch_one(
         handlers.append(urllib.request.ProxyHandler({}))
     opener = urllib.request.build_opener(*handlers)
     timeout = (timeout_ms or DEFAULT_TIMEOUT_MS) / 1000.0
+    deadline = time.monotonic() + timeout  # overall request deadline
     try:
         with opener.open(req, timeout=timeout) as resp:
-            body = resp.read(max_body_size)  # io.CopyN truncation
+            # io.CopyN truncation + context.WithTimeout overall deadline
+            body = _read_with_deadline(resp, max_body_size, deadline)
+            if body is None:
+                return None  # deadline expired mid-body → transport error
             return body, None, None, int(resp.status)
     except urllib.error.HTTPError as e:
         # 4xx/5xx: a response, not an error (client.Do semantics)
+        body = None
         try:
-            body = e.read(max_body_size)
+            body = _read_with_deadline(e, max_body_size, deadline)
         except Exception:
             body = b""
+        if body is None:
+            return None
         return body, None, None, int(e.code)
     except Exception:
         return None  # transport error → failed request (status 0)
