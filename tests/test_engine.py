@@ -197,6 +197,55 @@ class TestExtensionSurface:
         texts = [r["text"] for r in run.results_table().to_pylist()]
         assert texts and all(t == t.upper() for t in texts)
 
+    def test_metrics_monitor_seam(self, tmp_root):
+        """A custom monitor (metrics_factory, reference MetricsMonitor
+        pkg/api/wbot.go:55-66) sees the same 7 counters crawl_metrics /
+        the manifest report — per-round deltas summing to the totals."""
+        from wbot_ray.driver import METRIC_KEYS
+        from wbot_ray.metrics import CounterMonitor
+
+        made = []
+
+        def factory():
+            m = CounterMonitor()
+            made.append(m)
+            return m
+
+        cfg = CrawlConfig(
+            max_depth=2, num_buckets=4, seen_shards=2, metrics_factory=factory
+        )
+        pages = gen_pages("tiny")
+        pages_path = str(tmp_root / "mon_pages.parquet")
+        pq.write_table(pages, pages_path)
+        run = Crawler(cfg, workdir=str(tmp_root / "mon_run")).crawl(
+            seeds=seeds_for_scale("tiny", 2), pages_path=pages_path
+        )
+        assert len(made) == 1
+        mon = made[0]
+        totals = run.metrics_total()
+        assert mon.metrics() == {k: totals[k] for k in METRIC_KEYS}
+        # per-round deltas match the manifest's round metrics exactly
+        assert [rid for rid, _ in mon.rounds] == list(range(len(mon.rounds)))
+        for (rid, delta), m in zip(mon.rounds, run.round_metrics()):
+            assert delta == {k: m[k] for k in METRIC_KEYS}, rid
+
+    def test_log_level_option(self, tmp_root):
+        """log_level (reference WithLogLevel, option.go:59-63) sets the
+        wbot_ray logger tree level; bad names fail fast."""
+        import logging
+
+        lg = logging.getLogger("wbot_ray")
+        before = lg.level
+        try:
+            Crawler(CrawlConfig(log_level="debug"), workdir=str(tmp_root / "lg"))
+            assert lg.level == logging.DEBUG
+            Crawler(CrawlConfig(log_level="ERROR"), workdir=str(tmp_root / "lg"))
+            assert lg.level == logging.ERROR
+            with pytest.raises(ValueError, match="log_level"):
+                Crawler(CrawlConfig(log_level="loud"), workdir=str(tmp_root / "lg"))
+        finally:
+            lg.setLevel(before)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestHotRootPoliteness:

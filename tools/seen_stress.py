@@ -22,7 +22,6 @@ Prints one JSON line; record the table in BASELINE.md.
 from __future__ import annotations
 
 import argparse
-import binascii
 import json
 import os
 import shutil
@@ -41,11 +40,14 @@ MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 MIX3 = np.uint64(0x165667B19E3779F9)
 
 
-def _gen_hashes(round_id: int, n: int, universe: int, num_shards: int) -> dict[int, list[str]]:
-    """Deterministic candidate hex digests for one round, partitioned by
-    shard. Keys ~ Uniform[0, universe) -> realistic duplicate rate both
-    within and across rounds; digest is an invertible 32-byte expansion
-    of the key (same key == same digest, distinct keys differ)."""
+def _gen_hashes(round_id: int, n: int, universe: int, num_shards: int) -> dict[int, bytes]:
+    """Deterministic candidate digests for one round, partitioned by
+    shard as PACKED 32-byte-record buffers (the at-scale check_and_set
+    calling convention — one bytes object per shard, no per-candidate
+    Python strings). Keys ~ Uniform[0, universe) -> realistic duplicate
+    rate both within and across rounds; digest is an invertible 32-byte
+    expansion of the key (same key == same digest, distinct keys
+    differ)."""
     rng = np.random.default_rng(0xBEEF + round_id)
     keys = rng.integers(0, universe, size=n, dtype=np.uint64)
     dig = np.empty((n, 4), dtype=np.uint64)
@@ -53,18 +55,17 @@ def _gen_hashes(round_id: int, n: int, universe: int, num_shards: int) -> dict[i
     dig[:, 1] = keys
     dig[:, 2] = keys ^ MIX2
     dig[:, 3] = keys * MIX3
-    hx = binascii.hexlify(dig.tobytes()).decode()
-    # shard_of(h) = int(h[:8], 16) % S; the first 8 hex chars spell the
-    # digest's first 4 bytes big-endian = byteswap of dig[:,0]'s low 32
-    # bits (little-endian tobytes) — vectorized, no per-hash int() loop
+    # shard_of(h) = int(h[:8], 16) % S over the hex form; the first 8 hex
+    # chars spell the digest's first 4 bytes big-endian = byteswap of
+    # dig[:,0]'s low 32 bits (little-endian tobytes) — vectorized
     prefix = (dig[:, 0] & np.uint64(0xFFFFFFFF)).astype(np.uint32).byteswap()
     shard = prefix % np.uint32(num_shards)
     order = np.argsort(shard, kind="stable")
     bounds = np.searchsorted(shard[order], np.arange(num_shards + 1))
-    out: dict[int, list[str]] = {}
+    out: dict[int, bytes] = {}
     for s in range(num_shards):
         idx = order[bounds[s] : bounds[s + 1]]
-        out[s] = [hx[64 * i : 64 * i + 64] for i in idx]
+        out[s] = dig[idx].tobytes()
     return out
 
 
@@ -148,10 +149,23 @@ def main() -> int:
             float(np.mean([r["probe_s"] for r in results])), 2
         ),
         "rss_mb_per_shard_max": max(m["rss_mb"] for m in mem),
+        "rss_now_mb_per_shard_max": max(m["rss_now_mb"] for m in mem),
         "exact_entries_per_shard_max": max(m["n_exact"] for m in mem),
         "filter_capacity_per_shard": max(m["filter_capacity"] for m in mem),
+        # peak (ru_maxrss, the r3-comparable number) and steady-state
+        # (current RSS after the last round's trim) per unique entry,
+        # plus the pure data-structure footprint
         "bytes_per_entry_rss": round(
             sum(m["rss_mb"] for m in mem) * 1048576 / max(unique, 1), 1
+        ),
+        "bytes_per_entry_rss_steady": round(
+            sum(m["rss_now_mb"] for m in mem) * 1048576 / max(unique, 1), 1
+        ),
+        "bytes_per_entry_pss_steady": round(
+            sum(m["pss_now_mb"] or m["rss_now_mb"] for m in mem) * 1048576 / max(unique, 1), 1
+        ),
+        "bytes_per_entry_structure": round(
+            sum(m["store_bytes"] for m in mem) / max(unique, 1), 1
         ),
     }
     seen.shutdown()

@@ -159,6 +159,23 @@ class CrawlConfig:
     # ``wbot_ray.state.frontier.ParquetFrontier`` protocol (push = write
     # round d+1, pop = read round d). None = built-in Parquet rounds.
     queue_factory: object | None = None
+    # metrics_factory: swap-in metrics monitor (reference MetricsMonitor,
+    # pkg/api/wbot.go:55-66). Called once per crawl as
+    # ``metrics_factory() -> monitor``; after every round the driver
+    # calls ``monitor.on_round(round_id, counters)`` with the SAME seven
+    # reference counters the manifest records (the batch-granular
+    # re-expression of the per-request ``Inc*`` methods: one delta dict
+    # per round, identical totals), and ``monitor.metrics()`` returns
+    # the accumulated totals (the reference's ``Metrics()``). None =
+    # counters go to the manifest/sidecars only. A StatsD/Prometheus
+    # exporter plugs in here without post-processing the manifest;
+    # ``wbot_ray.metrics.CounterMonitor`` is the in-tree reference
+    # implementation.
+    metrics_factory: object | None = None
+    # log_level: level name for the "wbot_ray" logger tree (reference
+    # WithLogLevel, option.go:59-63): "debug" | "info" | "warning" |
+    # "error" | "critical". None = leave logging config untouched.
+    log_level: str | None = None
 
     def __post_init__(self) -> None:
         if self.max_depth <= 0:  # config.go:30-32

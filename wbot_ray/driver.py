@@ -171,6 +171,16 @@ class Crawler:
         self.cfg = cfg or CrawlConfig()
         self.workdir = workdir
         self.shared_index_dir = shared_index_dir
+        if self.cfg.log_level is not None:  # reference WithLogLevel
+            lvl = getattr(logging, str(self.cfg.log_level).upper(), None)
+            if not isinstance(lvl, int):
+                raise ValueError(f"unknown log_level {self.cfg.log_level!r}")
+            logging.getLogger("wbot_ray").setLevel(lvl)
+        # metrics seam (reference MetricsMonitor): one monitor per
+        # Crawler, fed a per-round counter delta after each round commits
+        self.monitor = (
+            self.cfg.metrics_factory() if self.cfg.metrics_factory is not None else None
+        )
 
     # -- manifest ---------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -681,6 +691,11 @@ class Crawler:
                 metrics["virtual_politeness_sec"] = vsec
                 metrics["hot_roots"] = len(hot_roots)
                 metrics["stage_sec"] = stage_sec
+
+                if self.monitor is not None:
+                    self.monitor.on_round(
+                        d, {k: int(metrics[k]) for k in METRIC_KEYS}
+                    )
 
                 # overlap the seen-set checkpoint with the NEXT round's
                 # pipeline: submit the flush futures now, commit round d

@@ -50,11 +50,12 @@ def make_dedup_fn(shard_handles: list, round_id: int, stats_dir: str | None = No
             keep[np.unique(codes, return_index=True)[1]] = True
             tbl = tbl.filter(pa.array(keep))
         shard = tbl.column("seen_shard")[0].as_py()
-        mask = ray.get(
-            shard_handles[shard].check_and_set.remote(
-                round_id, tbl.column("url_hash").to_pylist()
-            )
-        )
+        # packed digest batch: ONE bytes buffer to the actor, not a list
+        # of per-row Python hex strings (which dominated shard peak RSS)
+        import binascii
+
+        packed = binascii.unhexlify("".join(tbl.column("url_hash").to_pylist()))
+        mask = ray.get(shard_handles[shard].check_and_set.remote(round_id, packed))
         if not mask.all():
             tbl = tbl.filter(pa.array(mask))
         if stats_dir is not None:

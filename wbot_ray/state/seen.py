@@ -12,14 +12,20 @@ scheduling.
 
 Per shard: a cuckoo filter over the 64-bit hash prefix as negative fast
 path (~2 bytes/entry — the 10^10-scale structure the north rule asks for)
-backed by an exact set of 16-byte digests (no false drops, ever). New
-hashes accumulate in a per-round delta, flushed to Parquet by the actor
-itself (``seen/round=<d>/shard=<s>.parquet``) for checkpoint/resume —
-restore replays the deltas of completed rounds back into the shards.
+backed by an exact store of full 32-byte digests (no false drops, ever).
+The exact store is a flat sorted numpy array (``state/digestset.py``,
+~32 B/entry vs ~250 B/entry for a Python ``set[bytes]`` — the round-3
+stress measured 252 B/entry RSS, dominated by set overhead), probed with
+vectorized ``searchsorted``. New hashes accumulate in a per-round delta
+(packed digest arrays, hexlified only at write time), flushed to Parquet
+by the actor itself (``seen/round=<d>/shard=<s>.parquet``) for
+checkpoint/resume — restore replays the deltas of completed rounds back
+into the shards.
 """
 
 from __future__ import annotations
 
+import binascii
 import os
 
 import numpy as np
@@ -28,6 +34,7 @@ import pyarrow.parquet as pq
 import ray
 
 from wbot_ray.state.cuckoo import CuckooFilter
+from wbot_ray.state.digestset import DIGEST_DT, DigestStore, keys_from_bytes
 
 __all__ = ["SeenSet", "shard_of", "SHARD_PREFIX_LEN"]
 
@@ -48,8 +55,19 @@ class _SeenShard:
     def __init__(
         self, shard_id: int, capacity_hint: int = 1 << 16, filter_kind: str = "cuckoo"
     ) -> None:
+        # pin glibc's mmap threshold: by default it adapts UPWARD after
+        # early large frees, after which the round's multi-MB numpy
+        # transients come from brk arenas and linger as RSS slack;
+        # pinned at 1 MB every big transient is mmap'd and returned to
+        # the OS at free (measured: ~55 MB lower peak, flat steady RSS)
+        import ctypes
+
+        try:
+            ctypes.CDLL("libc.so.6").mallopt(-3, 1 << 20)  # M_MMAP_THRESHOLD
+        except Exception:
+            pass
         self.shard_id = shard_id
-        self._exact: set[bytes] = set()
+        self._exact = DigestStore()
         if filter_kind == "bloom":
             from wbot_ray.state.bloom import BloomFilter
 
@@ -61,17 +79,24 @@ class _SeenShard:
         # per-round deltas: flushes are addressed BY round, so a delayed
         # flush of round d can never swallow hashes inserted by round
         # d+1's check_and_set (the driver overlaps round-d flushes with
-        # round d+1's pipeline)
-        self._delta: dict[int, list[str]] = {}
+        # round d+1's pipeline). Values are packed digest arrays —
+        # hex strings exist only inside the Parquet file.
+        self._delta: dict[int, list[np.ndarray]] = {}
         # replay cache: (last round served, its decision mask) — see
         # check_and_set's idempotency contract
         self._last_round: int | None = None
         self._last_mask: np.ndarray | None = None
 
-    def check_and_set(self, round_id: int, hashes: list[str]) -> np.ndarray:
-        """First-wins check-and-set over an *ordered* hash list (the order
-        defines which duplicate within the call wins). Returns a bool mask:
-        True = newly inserted (crawl it), False = already seen.
+    def check_and_set(self, round_id: int, hashes) -> np.ndarray:
+        """First-wins check-and-set over an *ordered* candidate batch (the
+        order defines which duplicate within the call wins). Returns a bool
+        mask: True = newly inserted (crawl it), False = already seen.
+
+        ``hashes`` is either a list of sha256-hex strings, or the PACKED
+        form: one ``bytes`` of concatenated 32-byte digests. Callers at
+        scale send the packed form — it serializes as one buffer through
+        the object store instead of millions of Python strings (the hex
+        list was the dominant transient in the shard's peak RSS).
 
         Idempotent per ``round_id``: the shard receives exactly one call
         per crawl round, so a repeat of the last round_id is a replay
@@ -81,34 +106,34 @@ class _SeenShard:
         under task retries."""
         if round_id == self._last_round:
             return self._last_mask
-        n = len(hashes)
+        if isinstance(hashes, (bytes, bytearray, memoryview)):
+            keys = keys_from_bytes(bytes(hashes))
+        else:
+            keys = keys_from_bytes(binascii.unhexlify("".join(hashes)))
+        n = len(keys)
         if n == 0:
             mask = np.empty(0, dtype=bool)
             self._last_round, self._last_mask = round_id, mask
             return mask
-        digests = [bytes.fromhex(h) for h in hashes]
-        joined = b"".join(digests)
-        prefixes = np.frombuffer(
-            b"".join(d[:8] for d in digests), dtype=">u8"
-        ).astype(np.uint64)
-        # vectorized probe: cuckoo negative fast path, then exact-set
-        # membership only for the maybe-present rows (no per-hash loop
-        # over definite misses)
+        prefixes = keys["a"].astype(np.uint64)
+        # vectorized probe: cuckoo negative fast path, then ONE
+        # searchsorted over the flat store for the maybe-present rows
+        # (no per-hash loop anywhere)
         maybe = self._cuckoo.contains_many(prefixes)
-        dig_view = np.frombuffer(joined, dtype=np.dtype((np.void, len(digests[0]))))
-        _, first_idx = np.unique(dig_view, return_index=True)
+        _, first_idx = np.unique(keys, return_index=True)
         is_first = np.zeros(n, dtype=bool)
         is_first[first_idx] = True
         in_exact = np.zeros(n, dtype=bool)
-        exact = self._exact
-        for i in np.nonzero(maybe)[0]:
-            in_exact[i] = digests[i] in exact
+        mi = np.nonzero(maybe)[0]
+        if mi.size:
+            in_exact[mi] = self._exact.contains(keys[mi])
         mask = is_first & ~in_exact
         new_idx = np.nonzero(mask)[0]
-        for i in new_idx:
-            exact.add(digests[i])
-            self._cuckoo.add(int(prefixes[i]))
-        self._delta.setdefault(round_id, []).extend(hashes[i] for i in new_idx)
+        new_keys = keys[new_idx]  # fancy index = owned copy
+        self._exact.add(new_keys)
+        for p in prefixes[new_idx]:
+            self._cuckoo.add(int(p))
+        self._delta.setdefault(round_id, []).append(new_keys)
         self._maybe_grow()
         self._last_round, self._last_mask = round_id, mask
         return mask
@@ -125,29 +150,78 @@ class _SeenShard:
             return
         new_cap = max(cu.capacity * 2, len(self._exact) * 2)
         fresh = type(cu)(new_cap)
-        for d in self._exact:
-            fresh.add(int.from_bytes(d[:8], "big"))
+        for p in self._exact.prefixes():
+            fresh.add(int(p))
         self._cuckoo = fresh
 
     def flush_delta(self, round_id: int, path: str) -> int:
         """Write ``round_id``'s newly-seen hashes to Parquet and drop
         them from the delta map. The actor writes its own file — deltas
         never transit the driver."""
-        delta = self._delta.pop(round_id, [])
+        arrs = self._delta.pop(round_id, [])
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(pa.table({"url_hash": pa.array(delta, pa.string())}), path)
-        return len(delta)
+        n_total = sum(len(a) for a in arrs)
+        schema = pa.schema([("url_hash", pa.string())])
+        chunk = 1 << 18  # bound the hexlify/arrow transient per row group
+        writer = pq.ParquetWriter(path, schema)
+        try:
+            if n_total == 0:
+                writer.write_table(schema.empty_table())
+            for a in arrs:
+                for s in range(0, len(a), chunk):
+                    # fields may be NATIVE order after merges (values
+                    # preserved) — force the declared big-endian layout
+                    # so the serialized bytes are the original digests
+                    seg = a[s : s + chunk].astype(DIGEST_DT, copy=False)
+                    hx = np.frombuffer(
+                        binascii.hexlify(np.ascontiguousarray(seg).tobytes()),
+                        dtype="S64",
+                    )
+                    writer.write_table(
+                        pa.table(
+                            {"url_hash": pa.array(hx).cast(pa.string())},
+                            schema=schema,
+                        )
+                    )
+        finally:
+            writer.close()
+        self._trim()  # round boundary: release the hexlify/write arenas
+        return n_total
 
     def load_hashes(self, paths: list[str]) -> int:
         """Replay checkpoint deltas (resume path) — no delta recording."""
         for p in paths:
-            for h in pq.read_table(p, columns=["url_hash"]).column("url_hash").to_pylist():
-                d = bytes.fromhex(h)
-                if d not in self._exact:
-                    self._exact.add(d)
-                    self._cuckoo.add(int.from_bytes(d[:8], "big"))
+            pf = pq.ParquetFile(p)
+            # stream record batches: a restore of millions of hashes must
+            # not hold the whole hex column as Python strings at once
+            for rb in pf.iter_batches(columns=["url_hash"], batch_size=1 << 18):
+                keys = keys_from_bytes(
+                    binascii.unhexlify("".join(rb.column(0).to_pylist()))
+                )
+                if not len(keys):
+                    continue
+                fresh = np.unique(keys[~self._exact.contains(keys)])
+                self._exact.add(fresh)
+                for pref in fresh["a"].astype(np.uint64):
+                    self._cuckoo.add(int(pref))
+            pf.close()
         self._maybe_grow()
+        self._trim()
         return len(self._exact)
+
+    @staticmethod
+    def _trim() -> None:
+        """Return freed glibc arenas to the OS. A long-lived state actor
+        churns medium-size numpy transients every round; without an
+        explicit trim the allocator retains them as fragmented arenas
+        and the actor's RSS creeps far above its live data (measured:
+        ~215 MB of slack over a 139 MB store after 25 rounds)."""
+        import ctypes
+
+        try:
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
+        except Exception:
+            pass  # non-glibc platform: nothing to trim
 
     def size(self) -> int:
         return len(self._exact)
@@ -158,10 +232,27 @@ class _SeenShard:
         (the ground truth a cluster memory budget is written against)."""
         import resource
 
+        with open("/proc/self/statm") as f:
+            rss_now_mb = int(f.read().split()[1]) * 4096 / 1048576
+        # PSS: shared pages (Ray's plasma segments mapped into this
+        # process for incoming zero-copy args, shared libs) prorated —
+        # the fair per-actor figure for cluster capacity planning
+        pss_now_mb = None
+        try:
+            with open("/proc/self/smaps_rollup") as f:
+                for line in f:
+                    if line.startswith("Pss:"):
+                        pss_now_mb = int(line.split()[1]) / 1024
+                        break
+        except OSError:
+            pass
         cu = self._cuckoo
         return {
             "shard_id": self.shard_id,
             "n_exact": len(self._exact),
+            "store_bytes": self._exact.nbytes(),
+            "rss_now_mb": round(rss_now_mb, 1),
+            "pss_now_mb": round(pss_now_mb, 1) if pss_now_mb is not None else None,
             "filter_kind": type(cu).__name__,
             "filter_capacity": int(cu.capacity),
             "filter_count": int(cu.count),
