@@ -668,3 +668,110 @@ class TestChaos:
         resumed = Crawler(CrawlConfig(**cfg_kw), workdir=chaos_dir).crawl(resume=True)
         assert resumed.visited_table().equals(full.visited_table())
         assert resumed.metrics_total() == full.metrics_total()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFaultInjection:
+    """Mid-crawl seen-shard actor death — the north rule's resumable-
+    restart story exercised END-TO-END, not just via process restart."""
+
+    def _uninterrupted(self, tmp_root, cfg_kwargs):
+        pages = gen_pages("tiny")
+        pages_path = str(tmp_root / "fi_pages.parquet")
+        pq.write_table(pages, pages_path)
+        ref = Crawler(
+            CrawlConfig(**cfg_kwargs), workdir=str(tmp_root / "fi_ref")
+        ).crawl(seeds=seeds_for_scale("tiny", 2), pages_path=pages_path)
+        return pages_path, ref
+
+    def test_shard_death_after_flush_heals_in_crawl(self, tmp_root):
+        """Kill a seen-shard actor right after its round deltas are
+        durable: the crawl heals the one dead shard from its
+        per-partition checkpoint lineage, retries the round, and
+        FINISHES — visited set / results / metrics byte-identical to the
+        uninterrupted run."""
+        import ray
+
+        from wbot_ray.state.seen import SeenSet
+
+        cfg_kwargs = dict(max_depth=3, num_buckets=4, seen_shards=2)
+        pages_path, ref = self._uninterrupted(tmp_root, cfg_kwargs)
+        assert len(ref.manifest["rounds"]) >= 3  # the kill round exists
+
+        class KillAfterFlush(SeenSet):
+            killed = False
+
+            def flush_deltas_async(self, round_id, round_dir):
+                futs = super().flush_deltas_async(round_id, round_dir)
+                if round_id == 1 and not KillAfterFlush.killed:
+                    ray.get(futs)  # deltas durable BEFORE the failure
+                    ray.kill(self.shards[0])
+                    KillAfterFlush.killed = True
+                return futs
+
+        cfg = CrawlConfig(
+            **cfg_kwargs,
+            store_factory=lambda c: KillAfterFlush(
+                c.seen_shards, filter_kind=c.seen_filter
+            ),
+        )
+        run = Crawler(cfg, workdir=str(tmp_root / "fi_heal")).crawl(
+            seeds=seeds_for_scale("tiny", 2), pages_path=pages_path
+        )
+        assert KillAfterFlush.killed  # the fault actually fired
+        assert run.visited_table().equals(ref.visited_table())
+        assert run.results_table().equals(ref.results_table())
+        assert run.metrics_total() == ref.metrics_total()
+
+    def test_shard_death_with_unflushed_deltas_resumes(self, tmp_root):
+        """Kill a seen-shard actor BEFORE its round deltas flushed (the
+        unrecoverable-in-process case): the crawl fails with the
+        resume-guidance error, and crawl(resume=True) in a fresh Crawler
+        replays from the last committed round to the byte-identical
+        final state."""
+        import ray
+
+        cfg_kwargs = dict(max_depth=3, num_buckets=4, seen_shards=2)
+        pages_path, ref = self._uninterrupted(tmp_root, cfg_kwargs)
+
+        killed = []
+
+        class KillMonitor:
+            def on_round(self, round_id, counters):
+                # on_round fires BEFORE the round's delta flush is
+                # submitted — the shard dies holding undurable state
+                if round_id == 1 and not killed:
+                    shard = crawler_ref[0]._fi_seen.shards[0]
+                    ray.kill(shard)
+                    killed.append(round_id)
+
+            def metrics(self):
+                return {}
+
+        # reach the live SeenSet through the store seam
+        crawler_ref = []
+
+        def store_factory(c):
+            from wbot_ray.state.seen import SeenSet
+
+            s = SeenSet(c.seen_shards, filter_kind=c.seen_filter)
+            crawler_ref[0]._fi_seen = s
+            return s
+
+        cfg = CrawlConfig(
+            **cfg_kwargs,
+            store_factory=store_factory,
+            metrics_factory=KillMonitor,
+        )
+        crawler = Crawler(cfg, workdir=str(tmp_root / "fi_resume"))
+        crawler_ref.append(crawler)
+        with pytest.raises(RuntimeError, match="unflushed deltas"):
+            crawler.crawl(seeds=seeds_for_scale("tiny", 2), pages_path=pages_path)
+        assert killed
+
+        resumed = Crawler(
+            CrawlConfig(**cfg_kwargs), workdir=str(tmp_root / "fi_resume")
+        ).crawl(resume=True)
+        assert resumed.visited_table().equals(ref.visited_table())
+        assert resumed.results_table().equals(ref.results_table())
+        assert resumed.metrics_total() == ref.metrics_total()

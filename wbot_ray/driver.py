@@ -528,208 +528,247 @@ class Crawler:
                 self._save_manifest(manifest)
                 pending_commit = None
 
-            while True:
-                n_d = frontier.rows(d)
-                if n_d == 0:
-                    _commit_pending()
-                    manifest["done"] = True
-                    self._save_manifest(manifest)
-                    break
+            # ---- heal-and-retry envelope: a seen-shard actor dying
+            # mid-round is recoverable IF the previous round's deltas
+            # are durable — recreate just the dead shard(s) from their
+            # per-partition checkpoint lineage and re-run the current
+            # round (survivors answer the repeated round from their
+            # replay cache, so the visited set is byte-identical).
+            # Bounded at one heal per shard; any other failure, or a
+            # death with unflushed deltas, surfaces for crawl(resume=True).
+            for _heal_attempt in range(cfg.seen_shards + 1):
+                try:
+                    while True:
+                        n_d = frontier.rows(d)
+                        if n_d == 0:
+                            _commit_pending()
+                            manifest["done"] = True
+                            self._save_manifest(manifest)
+                            break
 
-                import time as _time
+                        import time as _time
 
-                stage_sec: dict[str, float] = {}
-                _t = _time.perf_counter()
-                if hot_roots is None:
-                    # first round of this (possibly resumed) run: one
-                    # gated scan; later rounds reuse the dedup sidecars
-                    hot_roots, hot_counts = self._hot_roots(frontier, d, n_d)
-                stage_sec["hot_detect"] = round(_time.perf_counter() - _t, 3)
+                        stage_sec: dict[str, float] = {}
+                        _t = _time.perf_counter()
+                        if hot_roots is None:
+                            # first round of this (possibly resumed) run: one
+                            # gated scan; later rounds reuse the dedup sidecars
+                            hot_roots, hot_counts = self._hot_roots(frontier, d, n_d)
+                        stage_sec["hot_detect"] = round(_time.perf_counter() - _t, 3)
 
-                # ---- ONE fused pipeline per round:
-                # fetch + extract + results sink + metric sidecars +
-                # candidate explode (inside the fetch task), then the
-                # dedup shuffle and the ordering sort — no intermediate
-                # parquet round-trips, no separate metrics pass.
-                _t = _time.perf_counter()
-                results_dir = os.path.join(wd, "results", f"round={d}")
-                metrics_parts = os.path.join(wd, "metrics_parts", f"round={d}")
-                _clean(results_dir)
-                _clean(metrics_parts)
-                os.makedirs(results_dir, exist_ok=True)
-                os.makedirs(metrics_parts, exist_ok=True)
-                cols = FRONTIER_SCHEMA.names
+                        # ---- ONE fused pipeline per round:
+                        # fetch + extract + results sink + metric sidecars +
+                        # candidate explode (inside the fetch task), then the
+                        # dedup shuffle and the ordering sort — no intermediate
+                        # parquet round-trips, no separate metrics pass.
+                        _t = _time.perf_counter()
+                        results_dir = os.path.join(wd, "results", f"round={d}")
+                        metrics_parts = os.path.join(wd, "metrics_parts", f"round={d}")
+                        _clean(results_dir)
+                        _clean(metrics_parts)
+                        os.makedirs(results_dir, exist_ok=True)
+                        os.makedirs(metrics_parts, exist_ok=True)
+                        cols = FRONTIER_SCHEMA.names
 
-                if n_d <= cfg.local_round_threshold:
-                    # ---- tiny round: run in-process (same stage fns)
-                    frontier_tbl = frontier.read_table(d)
-                    ordered_tbl = self._run_round_local(
-                        frontier_tbl, hot_roots, index_dir, results_dir,
-                        metrics_parts, seen, d,
-                    )
-                    n_next = ordered_tbl.num_rows
-                    stage_sec["fetch_dedup"] = round(_time.perf_counter() - _t, 3)
-                    for k, v in getattr(self, "_last_local_stages", {}).items():
-                        stage_sec[f"local_{k}"] = v
+                        if n_d <= cfg.local_round_threshold:
+                            # ---- tiny round: run in-process (same stage fns)
+                            frontier_tbl = frontier.read_table(d)
+                            ordered_tbl = self._run_round_local(
+                                frontier_tbl, hot_roots, index_dir, results_dir,
+                                metrics_parts, seen, d,
+                            )
+                            n_next = ordered_tbl.num_rows
+                            stage_sec["fetch_dedup"] = round(_time.perf_counter() - _t, 3)
+                            for k, v in getattr(self, "_last_local_stages", {}).items():
+                                stage_sec[f"local_{k}"] = v
 
-                    _t = _time.perf_counter()
-                    if n_next == 0:
-                        frontier.write_table(d + 1, FRONTIER_SCHEMA.empty_table())
-                    else:
-                        ordered_tbl = ordered_tbl.append_column(
-                            "crawl_ord",
-                            pa.array(
-                                range(ord_base + n_d, ord_base + n_d + n_next),
-                                pa.int64(),
-                            ),
-                        )
-                        frontier.write_table(d + 1, ordered_tbl.select(cols))
-                    stage_sec["order_write"] = round(_time.perf_counter() - _t, 3)
-                else:
-                    # block count = shuffle/task width of the round. Two
-                    # floors: enough rows per block (batch_size) AND at
-                    # least 4 tasks per executor slot — a width below the
-                    # CPU count caps the fused stage's parallelism (seen
-                    # as a 1.8x round-5 speedup on 4x CPUs) and coarse
-                    # blocks let one expensive fetch part straggle the
-                    # whole round (measured: a 10 s straggler task in a
-                    # 7 s-of-work round). Capped at the distinct part
-                    # count (a group cannot split across tasks): buckets
-                    # plus the extra sub-parts the hot-root salts add.
-                    ncpu = int(ray.cluster_resources().get("CPU", 8))
-                    n_parts = cfg.num_buckets + sum(
-                        k - 1 for k in (hot_roots or {}).values()
-                    )
-                    n_blocks = max(
-                        1,
-                        min(
-                            n_parts,
-                            max(4 * ncpu, math.ceil(n_d / cfg.batch_size)),
-                        ),
-                    )
-                    pipe = (
-                        frontier.read_dataset(d, override_num_blocks=n_blocks)
-                        .map_batches(
-                            make_assign_fetch_part(cfg, hot_roots),
-                            batch_format="pyarrow",
-                        )
-                        .groupby("fetch_part")
-                        .map_groups(
-                            make_fused_fetch_fn(
-                                index_dir, cfg, results_dir, metrics_parts, hot_roots
-                            ),
-                            batch_format="pyarrow",
-                        )
-                    )
-                    if d < cfg.max_depth:
-                        pipe = pipe.groupby("seen_shard").map_groups(
-                            make_dedup_fn(seen.shards, d, stats_dir=metrics_parts),
-                            batch_format="pyarrow",
-                        )
-                    # else: final round — the depth gate makes every
-                    # candidate list empty, so the dedup shuffle would
-                    # move zero rows; skip its sort barrier entirely
-                    deduped = pipe.materialize()
-                    n_next = deduped.count()
-                    stage_sec["fetch_dedup"] = round(_time.perf_counter() - _t, 3)
-                    if os.environ.get("WBOT_RAY_STATS"):
-                        # Ray Data per-operator wall/cpu/memory breakdown —
-                        # the tuning feedback loop for the round pipeline
-                        stats_path = os.path.join(wd, "metrics", f"round={d}.stats.txt")
-                        os.makedirs(os.path.dirname(stats_path), exist_ok=True)
-                        with open(stats_path, "w") as sf:
-                            sf.write(deduped.stats())
-
-                    _t = _time.perf_counter()
-                    if n_next == 0:
-                        frontier.write_table(d + 1, FRONTIER_SCHEMA.empty_table())
-                    elif n_next <= cfg.driver_order_threshold:
-                        # small frontier: a distributed sort would be pure
-                        # shuffle overhead — merge the slim candidate blocks
-                        # driver-side (few MB), rank, write one file
-                        blocks = [
-                            b for b in ray.get(deduped.to_arrow_refs()) if b.num_rows > 0
-                        ]
-                        tbl = pa.concat_tables(blocks).combine_chunks()
-                        tbl = self._order_table(tbl)
-                        tbl = tbl.append_column(
-                            "crawl_ord",
-                            pa.array(
-                                range(ord_base + n_d, ord_base + n_d + tbl.num_rows),
-                                pa.int64(),
-                            ),
-                        )
-                        frontier.write_table(d + 1, tbl.select(cols))
-                    else:
-                        if cfg.priority_fn is None:
-                            sorted_ds = deduped.sort("ord64")
+                            _t = _time.perf_counter()
+                            if n_next == 0:
+                                frontier.write_table(d + 1, FRONTIER_SCHEMA.empty_table())
+                            else:
+                                ordered_tbl = ordered_tbl.append_column(
+                                    "crawl_ord",
+                                    pa.array(
+                                        range(ord_base + n_d, ord_base + n_d + n_next),
+                                        pa.int64(),
+                                    ),
+                                )
+                                frontier.write_table(d + 1, ordered_tbl.select(cols))
+                            stage_sec["order_write"] = round(_time.perf_counter() - _t, 3)
                         else:
-                            pf = cfg.priority_fn
-                            sorted_ds = deduped.map_batches(
-                                lambda t: t.append_column("_prio", pf(t)),
-                                batch_format="pyarrow",
-                            ).sort(["_prio", "ord64"])
-                        ordered, _ = assign_crawl_ord(sorted_ds, ord_base + n_d)
-                        ordered.map_batches(
-                            lambda t: t.select(cols), batch_format="pyarrow"
-                        ).write_parquet(frontier.prepare_round_dir(d + 1))
-                    stage_sec["order_write"] = round(_time.perf_counter() - _t, 3)
+                            # block count = shuffle/task width of the round. Two
+                            # floors: enough rows per block (batch_size) AND at
+                            # least 4 tasks per executor slot — a width below the
+                            # CPU count caps the fused stage's parallelism (seen
+                            # as a 1.8x round-5 speedup on 4x CPUs) and coarse
+                            # blocks let one expensive fetch part straggle the
+                            # whole round (measured: a 10 s straggler task in a
+                            # 7 s-of-work round). Capped at the distinct part
+                            # count (a group cannot split across tasks): buckets
+                            # plus the extra sub-parts the hot-root salts add.
+                            ncpu = int(ray.cluster_resources().get("CPU", 8))
+                            n_parts = cfg.num_buckets + sum(
+                                k - 1 for k in (hot_roots or {}).values()
+                            )
+                            n_blocks = max(
+                                1,
+                                min(
+                                    n_parts,
+                                    max(4 * ncpu, math.ceil(n_d / cfg.batch_size)),
+                                ),
+                            )
+                            pipe = (
+                                frontier.read_dataset(d, override_num_blocks=n_blocks)
+                                .map_batches(
+                                    make_assign_fetch_part(cfg, hot_roots),
+                                    batch_format="pyarrow",
+                                )
+                                .groupby("fetch_part")
+                                .map_groups(
+                                    make_fused_fetch_fn(
+                                        index_dir, cfg, results_dir, metrics_parts, hot_roots
+                                    ),
+                                    batch_format="pyarrow",
+                                )
+                            )
+                            if d < cfg.max_depth:
+                                pipe = pipe.groupby("seen_shard").map_groups(
+                                    make_dedup_fn(seen.shards, d, stats_dir=metrics_parts),
+                                    batch_format="pyarrow",
+                                )
+                            # else: final round — the depth gate makes every
+                            # candidate list empty, so the dedup shuffle would
+                            # move zero rows; skip its sort barrier entirely
+                            deduped = pipe.materialize()
+                            n_next = deduped.count()
+                            stage_sec["fetch_dedup"] = round(_time.perf_counter() - _t, 3)
+                            if os.environ.get("WBOT_RAY_STATS"):
+                                # Ray Data per-operator wall/cpu/memory breakdown —
+                                # the tuning feedback loop for the round pipeline
+                                stats_path = os.path.join(wd, "metrics", f"round={d}.stats.txt")
+                                os.makedirs(os.path.dirname(stats_path), exist_ok=True)
+                                with open(stats_path, "w") as sf:
+                                    sf.write(deduped.stats())
 
-                # THIS round's hot-root budget before the counts roll over
-                round_hot_vsec = self._hot_vsec(hot_counts)
-                # next round's hot roots: piggybacked survivor root counts
-                hot_roots, hot_counts = self._hot_from_rootstats(metrics_parts)
+                            _t = _time.perf_counter()
+                            if n_next == 0:
+                                frontier.write_table(d + 1, FRONTIER_SCHEMA.empty_table())
+                            elif n_next <= cfg.driver_order_threshold:
+                                # small frontier: a distributed sort would be pure
+                                # shuffle overhead — merge the slim candidate blocks
+                                # driver-side (few MB), rank, write one file
+                                blocks = [
+                                    b for b in ray.get(deduped.to_arrow_refs()) if b.num_rows > 0
+                                ]
+                                tbl = pa.concat_tables(blocks).combine_chunks()
+                                tbl = self._order_table(tbl)
+                                tbl = tbl.append_column(
+                                    "crawl_ord",
+                                    pa.array(
+                                        range(ord_base + n_d, ord_base + n_d + tbl.num_rows),
+                                        pa.int64(),
+                                    ),
+                                )
+                                frontier.write_table(d + 1, tbl.select(cols))
+                            else:
+                                if cfg.priority_fn is None:
+                                    sorted_ds = deduped.sort("ord64")
+                                else:
+                                    pf = cfg.priority_fn
+                                    sorted_ds = deduped.map_batches(
+                                        lambda t: t.append_column("_prio", pf(t)),
+                                        batch_format="pyarrow",
+                                    ).sort(["_prio", "ord64"])
+                                ordered, _ = assign_crawl_ord(sorted_ds, ord_base + n_d)
+                                ordered.map_batches(
+                                    lambda t: t.select(cols), batch_format="pyarrow"
+                                ).write_parquet(frontier.prepare_round_dir(d + 1))
+                            stage_sec["order_write"] = round(_time.perf_counter() - _t, 3)
 
-                _t = _time.perf_counter()
-                metrics, vsec = self._round_metrics(metrics_parts, n_d)
-                vsec = max(vsec, round_hot_vsec)
-                stage_sec["metrics_sidecar"] = round(_time.perf_counter() - _t, 3)
+                        # THIS round's hot-root budget before the counts roll over
+                        round_hot_vsec = self._hot_vsec(hot_counts)
+                        # next round's hot roots: piggybacked survivor root counts
+                        hot_roots, hot_counts = self._hot_from_rootstats(metrics_parts)
 
-                n_dup = metrics.pop("_accepted_candidates") - n_next
-                metrics["crawled_link"] = int(n_next)
-                metrics["duplicated_link"] = int(n_dup)
-                metrics["virtual_politeness_sec"] = vsec
-                metrics["hot_roots"] = len(hot_roots)
-                metrics["stage_sec"] = stage_sec
+                        _t = _time.perf_counter()
+                        metrics, vsec = self._round_metrics(metrics_parts, n_d)
+                        vsec = max(vsec, round_hot_vsec)
+                        stage_sec["metrics_sidecar"] = round(_time.perf_counter() - _t, 3)
 
-                if self.monitor is not None:
-                    self.monitor.on_round(
-                        d, {k: int(metrics[k]) for k in METRIC_KEYS}
+                        n_dup = metrics.pop("_accepted_candidates") - n_next
+                        metrics["crawled_link"] = int(n_next)
+                        metrics["duplicated_link"] = int(n_dup)
+                        metrics["virtual_politeness_sec"] = vsec
+                        metrics["hot_roots"] = len(hot_roots)
+                        metrics["stage_sec"] = stage_sec
+
+                        if self.monitor is not None:
+                            self.monitor.on_round(
+                                d, {k: int(metrics[k]) for k in METRIC_KEYS}
+                            )
+
+                        # overlap the seen-set checkpoint with the NEXT round's
+                        # pipeline: submit the flush futures now, commit round d
+                        # to the manifest only once they land — which happens at
+                        # the end of round d+1 (or at loop exit). Deltas are
+                        # round-keyed inside the actors, so a flush can never
+                        # swallow a later round's insertions. Crash mid-round
+                        # d+1 ⇒ resume replays round d (deterministic re-run,
+                        # identical output).
+                        flush_futs = seen.flush_deltas_async(
+                            d, os.path.join(wd, "seen", f"round={d}")
+                        )
+
+                        os.makedirs(os.path.join(wd, "metrics"), exist_ok=True)
+                        with open(os.path.join(wd, "metrics", f"round={d}.json"), "w") as f:
+                            json.dump(metrics, f, indent=1)
+
+                        _commit_pending()
+                        pending_commit = (
+                            flush_futs,
+                            {
+                                "round": d,
+                                "n_frontier": n_d,
+                                "n_next": n_next,
+                                "seen_size": None,
+                                "metrics": metrics,
+                            },
+                        )
+
+                        ord_base += n_d
+                        if stop_after_round is not None and d >= stop_after_round:
+                            _commit_pending()
+                            break
+                        d += 1
+                    break  # frontier drained or stop_after_round hit
+                except Exception as exc:
+                    dead = (
+                        seen.dead_shards() if hasattr(seen, "dead_shards") else []
                     )
-
-                # overlap the seen-set checkpoint with the NEXT round's
-                # pipeline: submit the flush futures now, commit round d
-                # to the manifest only once they land — which happens at
-                # the end of round d+1 (or at loop exit). Deltas are
-                # round-keyed inside the actors, so a flush can never
-                # swallow a later round's insertions. Crash mid-round
-                # d+1 ⇒ resume replays round d (deterministic re-run,
-                # identical output).
-                flush_futs = seen.flush_deltas_async(
-                    d, os.path.join(wd, "seen", f"round={d}")
-                )
-
-                os.makedirs(os.path.join(wd, "metrics"), exist_ok=True)
-                with open(os.path.join(wd, "metrics", f"round={d}.json"), "w") as f:
-                    json.dump(metrics, f, indent=1)
-
-                _commit_pending()
-                pending_commit = (
-                    flush_futs,
-                    {
-                        "round": d,
-                        "n_frontier": n_d,
-                        "n_next": n_next,
-                        "seen_size": None,
-                        "metrics": metrics,
-                    },
-                )
-
-                ord_base += n_d
-                if stop_after_round is not None and d >= stop_after_round:
-                    _commit_pending()
-                    break
-                d += 1
+                    if not dead or _heal_attempt >= cfg.seen_shards:
+                        raise
+                    try:
+                        _commit_pending()  # make the previous round durable
+                    except Exception:
+                        raise RuntimeError(
+                            f"seen shard(s) {dead} died with unflushed deltas "
+                            "in flight; restart with crawl(resume=True) to "
+                            "replay deterministically from the last committed "
+                            "round"
+                        ) from exc
+                    committed_dirs = [
+                        os.path.join(wd, "seen", f"round={e['round']}")
+                        for e in manifest["rounds"]
+                    ]
+                    healed = seen.heal(committed_dirs)
+                    logger.warning(
+                        "seen shard(s) %s died mid-round %d: restored from "
+                        "checkpoint deltas, retrying the round",
+                        healed,
+                        d,
+                    )
+            else:
+                raise RuntimeError("seen-shard heal limit exceeded")
         finally:
             seen.shutdown()
 

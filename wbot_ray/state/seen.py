@@ -272,10 +272,41 @@ class SeenSet:
         filter_kind: str = "cuckoo",
     ) -> None:
         self.num_shards = num_shards
+        self.capacity_hint = capacity_hint
+        self.filter_kind = filter_kind
         self.shards = [
             _SeenShard.remote(s, capacity_hint, filter_kind)
             for s in range(num_shards)
         ]
+
+    def dead_shards(self) -> list[int]:
+        """Probe every shard; ids whose actor no longer answers."""
+        dead = []
+        for s, sh in enumerate(self.shards):
+            try:
+                ray.get(sh.size.remote())
+            except ray.exceptions.RayActorError:
+                dead.append(s)
+        return dead
+
+    def heal(self, round_dirs: list[str]) -> list[int]:
+        """Recreate dead shard actors and replay their committed-round
+        deltas (per-partition lineage: each shard's state is exactly the
+        union of its own ``shard=<s>.parquet`` delta files, so recovery
+        touches only the dead shard — survivors keep their in-memory
+        state AND their current-round replay cache). Returns healed ids."""
+        healed = []
+        for s in self.dead_shards():
+            fresh = _SeenShard.remote(s, self.capacity_hint, self.filter_kind)
+            paths = [
+                os.path.join(d, f"shard={s}.parquet")
+                for d in round_dirs
+                if os.path.exists(os.path.join(d, f"shard={s}.parquet"))
+            ]
+            ray.get(fresh.load_hashes.remote(paths))
+            self.shards[s] = fresh
+            healed.append(s)
+        return healed
 
     def flush_deltas_async(self, round_id: int, round_dir: str) -> list:
         """Submit every shard's round-``round_id`` delta flush; returns
