@@ -491,13 +491,30 @@ def _minhash_parts(
                 "pairs": _small_verify(sigs, cands, thr_pm),
             }
 
+    # every union input is MATERIALIZED before the union: any plan
+    # containing a Sort (groupby is sort-based) runs with
+    # preserve_order=True (ray plan.require_preserve_order), and an
+    # order-preserving union BUFFERS its later inputs while waiting for
+    # the earlier ones — under a tight object store the buffered side
+    # starves the earlier side's tasks of store budget and the whole
+    # pipeline LIVELOCKS (measured: 4 GB corpus vs 4 GB store — the
+    # executor launched zero tasks for 20 min, zero spill requests,
+    # union holding 858 MB in its input queue; with a 12 GB store the
+    # identical chain finished in 205 s). With both union inputs
+    # already in the store the union has no producer tasks to starve,
+    # and each sort runs as a standalone bulk op. The tagged signature
+    # table is built ONCE and reused by both joins (it was previously
+    # computed twice).
+    tagged = sigs.map_batches(tag_sigs, batch_format="pyarrow").materialize()
+    cands_mat = cands if small_verify_threshold > 0 else cands.materialize()
     with_a = (
-        cands.union(sigs.map_batches(tag_sigs, batch_format="pyarrow"))
+        cands_mat.union(tagged)
         .groupby("bucket")
         .map_groups(join_a, batch_format="pyarrow")
+        .materialize()
     )
     pairs = (
-        with_a.union(sigs.map_batches(tag_sigs, batch_format="pyarrow"))
+        with_a.union(tagged)
         .groupby("bucket")
         .map_groups(join_b_verify, batch_format="pyarrow")
     )
@@ -1139,9 +1156,13 @@ def dedup_keep(
             member = np.zeros(len(ids), dtype=bool)
         return c.filter(pa.array(~member)).select(["doc_id", "lang", "n_chars"])
 
+    # drops (already materialized) goes FIRST in the union: with a Sort
+    # downstream the union preserves input order, and a materialized
+    # first input drains instantly so the streaming corpus side is
+    # never buffered behind it (the union-under-sort livelock rule —
+    # see _minhash_parts)
     return (
-        corpus.map_batches(tag_corpus, batch_format="pyarrow")
-        .union(drops)
+        drops.union(corpus.map_batches(tag_corpus, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(anti, batch_format="pyarrow")
     )
@@ -1304,9 +1325,11 @@ def dedup_segments(sf_dir: str, seg_words: int = SEG_WORDS, num_buckets: int = 6
         )
 
     corpus = read_table(sf_dir, "documents", ["doc_id", "text"])
+    # slim drop rows materialized + first (union-under-sort livelock
+    # rule — see _minhash_parts): the corpus side streams unbuffered
+    tagged_drops = drops.map_batches(tag_drops, batch_format="pyarrow").materialize()
     return (
-        corpus.map_batches(tag_corpus, batch_format="pyarrow")
-        .union(drops.map_batches(tag_drops, batch_format="pyarrow"))
+        tagged_drops.union(corpus.map_batches(tag_corpus, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(rebuild, batch_format="pyarrow")
     )
@@ -1612,9 +1635,11 @@ def dedup_span_apply(sf_dir: str, win_words: int = WIN_WORDS, num_buckets: int =
         )
 
     corpus = read_table(sf_dir, "documents", ["doc_id", "text"])
+    # slim loser rows materialized + first (union-under-sort livelock
+    # rule — see _minhash_parts): the corpus side streams unbuffered
+    tagged_losers = losers.map_batches(tag_losers, batch_format="pyarrow").materialize()
     return (
-        corpus.map_batches(tag_corpus, batch_format="pyarrow")
-        .union(losers.map_batches(tag_losers, batch_format="pyarrow"))
+        tagged_losers.union(corpus.map_batches(tag_corpus, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(rebuild, batch_format="pyarrow")
     )

@@ -357,8 +357,13 @@ def link_pagerank(
         contribs = contribs.groupby("bucket").map_groups(
             fused_step, batch_format="pyarrow"
         )
+    # contribs materialized + first (union-under-sort livelock rule —
+    # see pipelines/dedup.py:_minhash_parts): both union sides produce
+    # tasks, and an order-preserving union under a tight object store
+    # can starve input 0's tasks behind input 1's buffered output
     return (
-        contribs.union(nodemap)
+        contribs.materialize()
+        .union(nodemap)
         .groupby("bucket")
         .map_groups(final_ranks, batch_format="pyarrow")
     )
@@ -1068,7 +1073,8 @@ def link_components(
         [("url", pa.string()), ("comp", pa.string()), ("comp_size", pa.int64())]
     )
     resolved = (
-        cand.union(nodemap)
+        cand.materialize()  # union-under-sort livelock rule (dedup.py)
+        .union(nodemap)
         .groupby("bucket")
         .map_groups(attach_url, batch_format="pyarrow")
         .groupby("bucket")
@@ -2427,7 +2433,8 @@ def host_sssp(
 
     nodemap = pairs.map_batches(to_nodemap, batch_format="pyarrow")
     resolved = (
-        state.union(nodemap)
+        state.materialize()  # union-under-sort livelock rule (dedup.py)
+        .union(nodemap)
         .groupby("bucket")
         .map_groups(resolve, batch_format="pyarrow")
     )
@@ -2761,7 +2768,10 @@ def link_kcore(
 
     nodemap = pairs.map_batches(to_nodemap, batch_format="pyarrow")
     resolved = (
-        state.union(nodemap).groupby("bucket").map_groups(resolve, batch_format="pyarrow")
+        state.materialize()  # union-under-sort livelock rule (dedup.py)
+        .union(nodemap)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
     )
     return rd.from_arrow(out_schema.empty_table()).union(resolved)
 

@@ -246,9 +246,20 @@ def hash_join(
         j = lt.join(rt, keys=keys, join_type=join_type)
         return j.select(out_names)
 
+    # the left side is materialized before the union: a plan containing
+    # a Sort (groupby) runs with preserve_order=True, and an order-
+    # preserving union BUFFERS later inputs while earlier ones still
+    # produce — with BOTH sides producing tasks under a tight object
+    # store, the right side's output starves the left side's tasks of
+    # store budget and the pipeline livelocks (measured on the
+    # dedup_minhash sig-join: 20 min of zero task launches at 4 GB
+    # corpus / 4 GB store; the same rule fixed it — see
+    # pipelines/dedup.py). With input 0 already in the store the union
+    # drains it instantly and input 1 streams; materialized blocks
+    # spill normally under pressure.
+    left_tagged = left.map_batches(tag(True), batch_format="pyarrow").materialize()
     return (
-        left.map_batches(tag(True), batch_format="pyarrow")
-        .union(right.map_batches(tag(False), batch_format="pyarrow"))
+        left_tagged.union(right.map_batches(tag(False), batch_format="pyarrow"))
         .groupby("jb")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
