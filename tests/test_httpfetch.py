@@ -282,6 +282,43 @@ class TestHttpCrawlE2E:
         assert m["successful_requests"] >= len(PAGES)  # all pages reached
         assert m["failed_requests"] == 0
 
+    def test_cli_robots_from_http_uses_seed_scheme(
+        self, server, corpus_path, tmp_path
+    ):
+        """``--robots-from-http`` with http:// seeds must fetch
+        robots.txt over http (each seed's own scheme), not a failing
+        https attempt that silently degrades strict mode to allow-all
+        (ADVICE r3: the CLI wiring was untested)."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        p = subprocess.run(
+            [
+                sys.executable, "-m", "wbot_ray",
+                "--pages", corpus_path,
+                "--seeds", *SEEDS,
+                "--workdir", str(tmp_path / "cli_robots"),
+                "--max-depth", "3", "--num-buckets", "2", "--seen-shards", "2",
+                "--mode", "strict", "--robots-from-http",
+                "--http-fetch", "--proxy", server,
+            ],
+            capture_output=True, text=True, timeout=280,
+            env=dict(os.environ, PYTHONPATH=repo), cwd=repo,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        out = json.loads(p.stdout.strip().splitlines()[-1])
+        m = out["metrics"]
+        # alpha's robots (Disallow: /p/1) was fetched over http and
+        # ENFORCED: /p/1 never expands, so /p/3 (only reachable via
+        # /p/1) is never requested — with allow-all every page is hit
+        assert 0 < m["successful_requests"] < len(PAGES)
+        # the unfetchable host (beta has no robots.txt) fell back to
+        # allow-all and was crawled
+        assert m["successful_requests"] >= 4
+
     def test_404_is_published_and_expanded(self, server, tmp_path, ray_session):
         """client.Do semantics end to end: a 404 in the frontier counts
         as a successful request (a response, not a transport error),
