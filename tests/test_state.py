@@ -136,6 +136,28 @@ class TestShardGrowth:
         assert ray.get(shard.size.remote()) == 100
         ray.kill(shard)
 
+    def test_round_replay_with_different_input_raises(self):
+        """The replay cache is only valid for the SAME candidate batch:
+        a repeat of the last round_id with a different input (possible
+        only when upstream fetch is non-deterministic, e.g. live HTTP)
+        must fail loudly instead of silently applying the stale mask to
+        a re-generated group with different/reordered URLs."""
+        import ray
+
+        from wbot_ray.state.seen import _SeenShard
+
+        shard = _SeenShard.remote(0)
+        hashes = [hashlib.sha256(f"g{i}".encode()).hexdigest() for i in range(50)]
+        ray.get(shard.check_and_set.remote(0, hashes))
+        # same length, reordered — the dangerous silent-corruption case
+        reordered = list(reversed(hashes))
+        with pytest.raises(Exception, match="different candidate batch"):
+            ray.get(shard.check_and_set.remote(0, reordered))
+        # the shard itself is still healthy for the NEXT round
+        nxt = ray.get(shard.check_and_set.remote(1, hashes))
+        assert not nxt.any()
+        ray.kill(shard)
+
     def test_check_and_set_within_call_first_wins(self):
         """Duplicates inside one ordered call: only the first occurrence
         wins (the reference's check-and-set order over the FIFO list)."""

@@ -534,8 +534,13 @@ class Crawler:
             # per-partition checkpoint lineage and re-run the current
             # round (survivors answer the repeated round from their
             # replay cache, so the visited set is byte-identical).
-            # Bounded at one heal per shard; any other failure, or a
-            # death with unflushed deltas, surfaces for crawl(resume=True).
+            # Bounded at one heal per shard — tracked by shard id, so a
+            # shard that dies deterministically on retry (e.g. OOM on the
+            # same oversized batch) surfaces on its SECOND death instead
+            # of burning the whole budget re-running the round; any other
+            # failure, or a death with unflushed deltas, surfaces for
+            # crawl(resume=True).
+            healed_shards: set[int] = set()
             for _heal_attempt in range(cfg.seen_shards + 1):
                 try:
                     while True:
@@ -747,6 +752,14 @@ class Crawler:
                     )
                     if not dead or _heal_attempt >= cfg.seen_shards:
                         raise
+                    repeat = sorted(set(dead) & healed_shards)
+                    if repeat:
+                        raise RuntimeError(
+                            f"seen shard(s) {repeat} died again after a heal "
+                            "— failure is deterministic, not transient; "
+                            "fix the cause and restart with "
+                            "crawl(resume=True)"
+                        ) from exc
                     try:
                         _commit_pending()  # make the previous round durable
                     except Exception:
@@ -761,6 +774,7 @@ class Crawler:
                         for e in manifest["rounds"]
                     ]
                     healed = seen.heal(committed_dirs)
+                    healed_shards.update(healed)
                     logger.warning(
                         "seen shard(s) %s died mid-round %d: restored from "
                         "checkpoint deltas, retrying the round",

@@ -76,21 +76,45 @@ class DigestStore:
         self._chunks: list[np.ndarray] = []
         self._pend = np.empty(0, _NATIVE_DT)  # sorted, disjoint from chunks
         self._n = 0
+        # routing index: last key of each chunk (chunks are ordered and
+        # range-disjoint, so ONE searchsorted against this array sends
+        # every probe key to its single owning chunk). Rebuilt lazily
+        # after merges.
+        self._maxes: np.ndarray | None = None
 
     def __len__(self) -> int:
         return self._n
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
-        """Vectorized membership mask for ``keys`` (DIGEST_DT array)."""
+        """Vectorized membership mask for ``keys`` (DIGEST_DT array).
+
+        Chunks form one globally sorted, range-disjoint run, so each key
+        has exactly one owning chunk: one searchsorted over the chunk
+        max-keys routes every key, then only the chunks that actually
+        own probe keys are binary-searched — O(log n) per probe overall
+        instead of O(num_chunks · log chunk) (~20k chunks/shard at the
+        10^10-URL design point)."""
         out = np.zeros(len(keys), dtype=bool)
         if len(keys) == 0:
             return out
         keys = keys.astype(_NATIVE_DT, copy=False)
-        for run in (*self._chunks, self._pend):
-            if len(run):
-                pos = np.searchsorted(run, keys)
+        chunks = self._chunks
+        if chunks:
+            if self._maxes is None:
+                self._maxes = np.array([c[-1] for c in chunks], _NATIVE_DT)
+            owner = np.searchsorted(self._maxes, keys, side="left")
+            routable = np.nonzero(owner < len(chunks))[0]
+            for ci in np.unique(owner[routable]):
+                sel = routable[owner[routable] == ci]
+                run = chunks[ci]
+                pos = np.searchsorted(run, keys[sel])
                 pos = np.clip(pos, 0, len(run) - 1)
-                out |= run[pos] == keys
+                out[sel] |= run[pos] == keys[sel]
+        pend = self._pend
+        if len(pend):
+            pos = np.searchsorted(pend, keys)
+            pos = np.clip(pos, 0, len(pend) - 1)
+            out |= pend[pos] == keys
         return out
 
     def add(self, keys: np.ndarray) -> None:
@@ -141,6 +165,7 @@ class DigestStore:
                 for s in range(0, len(pend), _CHUNK_ENTRIES):
                     out.append(pend[s : s + _CHUNK_ENTRIES].copy())
         self._chunks = out
+        self._maxes = None  # chunk boundaries moved — rebuild on next probe
 
     def prefixes(self) -> np.ndarray:
         """All stored 8-byte big-endian prefix VALUES (uint64) — the

@@ -26,6 +26,7 @@ into the shards.
 from __future__ import annotations
 
 import binascii
+import hashlib
 import os
 
 import numpy as np
@@ -82,10 +83,17 @@ class _SeenShard:
         # round d+1's pipeline). Values are packed digest arrays —
         # hex strings exist only inside the Parquet file.
         self._delta: dict[int, list[np.ndarray]] = {}
-        # replay cache: (last round served, its decision mask) — see
-        # check_and_set's idempotency contract
+        # replay cache: (last round served, its decision mask, a digest
+        # of the packed input it answered) — see check_and_set's
+        # idempotency contract. The input digest guards the replay path:
+        # serving the cached mask is only correct for the SAME candidate
+        # batch, which holds when fetch/extract is deterministic; a
+        # non-deterministic upstream (live HTTP re-fetch yielding
+        # different candidates) must fail loudly, not silently apply a
+        # stale mask to a different group.
         self._last_round: int | None = None
         self._last_mask: np.ndarray | None = None
+        self._last_digest: bytes | None = None
 
     def check_and_set(self, round_id: int, hashes) -> np.ndarray:
         """First-wins check-and-set over an *ordered* candidate batch (the
@@ -103,17 +111,31 @@ class _SeenShard:
         (e.g. a Ray task retry after a worker died AFTER the actor call
         succeeded) — the recorded decision mask is returned without
         re-mutating state, preserving the identical-visited-set invariant
-        under task retries."""
-        if round_id == self._last_round:
-            return self._last_mask
+        under task retries. A replay whose input differs from the
+        recorded call (possible only with a non-deterministic fetch
+        stage, e.g. live HTTP in strict mode) raises instead of serving
+        the stale mask — the caller should restart with
+        ``crawl(resume=True)`` to replay deterministically."""
         if isinstance(hashes, (bytes, bytearray, memoryview)):
-            keys = keys_from_bytes(bytes(hashes))
+            raw = bytes(hashes)
         else:
-            keys = keys_from_bytes(binascii.unhexlify("".join(hashes)))
+            raw = binascii.unhexlify("".join(hashes))
+        digest = hashlib.md5(raw).digest()
+        if round_id == self._last_round:
+            if digest != self._last_digest:
+                raise RuntimeError(
+                    f"seen shard replay of round {round_id} with a "
+                    "different candidate batch than the recorded call — "
+                    "upstream fetch/extract is not deterministic; restart "
+                    "with crawl(resume=True)"
+                )
+            return self._last_mask
+        keys = keys_from_bytes(raw)
         n = len(keys)
         if n == 0:
             mask = np.empty(0, dtype=bool)
             self._last_round, self._last_mask = round_id, mask
+            self._last_digest = digest
             return mask
         prefixes = keys["a"].astype(np.uint64)
         # vectorized probe: cuckoo negative fast path, then ONE
@@ -136,6 +158,7 @@ class _SeenShard:
         self._delta.setdefault(round_id, []).append(new_keys)
         self._maybe_grow()
         self._last_round, self._last_mask = round_id, mask
+        self._last_digest = digest
         return mask
 
     def _maybe_grow(self) -> None:
