@@ -601,6 +601,52 @@ class TestSearch:
         assert got == want
 
 
+class TestShingleKernel:
+    """The vectorized batch shingle hasher must be element-wise identical
+    to the scalar set-of-strings path it replaced — every dedup-family
+    signature derives from it."""
+
+    def test_batch_matches_scalar(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from wbot_ray.pipelines.common import batch_shingle_hashes, shingle_hashes
+
+        texts = [
+            "",  # empty doc: one empty token, one whole-text shingle
+            "one",
+            "one two",  # < k tokens: whole text is the shingle
+            "one two three",  # exactly k
+            "a b c d e f g",
+            "dup dup dup dup",  # repeated shingles collapse
+            "x " * 50,  # trailing empty token from split
+            "tok1 tok2 tok3 tok1 tok2 tok3",
+        ] + [f"w{i % 17} q{i % 31} r{i} s{i * 3 % 7} t{i % 5}" for i in range(200)]
+        got = batch_shingle_hashes(pa.array(texts))
+        assert len(got) == len(texts)
+        for g, t in zip(got, texts):
+            assert np.array_equal(g, shingle_hashes(t)), repr(t[:40])
+
+    def test_md5_batch_matches_duckdb_definition(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from wbot_ray.pipelines.common import md5_lower64, md5_lower64_batch
+
+        strs = ["", "a", "hello world", "日本語", "x" * 500]
+        got = md5_lower64_batch(pa.array(strs))
+        assert np.array_equal(
+            got, np.array([md5_lower64(s) for s in strs], np.uint64)
+        )
+
+    def test_empty_batch(self):
+        import pyarrow as pa
+
+        from wbot_ray.pipelines.common import batch_shingle_hashes
+
+        assert batch_shingle_hashes(pa.array([], pa.string())) == []
+
+
 class TestTextops:
     def test_fingerprint_rolling(self, ray_session):
         rows = textops.doc_fingerprint(SF0001).take_all()

@@ -41,7 +41,12 @@ import numpy as np
 import pyarrow as pa
 from ray.data.aggregate import Count, Min
 
-from wbot_ray.pipelines.common import hash64, md5_lower64, read_table, shingle_hashes
+from wbot_ray.pipelines.common import (
+    batch_shingle_hashes,
+    hash64,
+    md5_lower64,
+    read_table,
+)
 
 __all__ = [
     "dup_clusters",
@@ -321,9 +326,12 @@ def _minhash_parts(
     rows_per_band = N_PERM // N_BANDS
 
     def sign(batch: pa.Table) -> pa.Table:
-        """One row per doc: the expensive shingle+minhash pass, run ONCE."""
+        """One row per doc: the expensive shingle+minhash pass, run ONCE.
+        Shingle hashing is the batched polars+DuckDB kernel (no
+        per-shingle Python); only the slim per-doc perm-min remains a
+        loop."""
         ids = batch.column("doc_id").to_pylist()
-        sigs = [_minhash_sig(shingle_hashes(t)).tolist() for t in batch.column("text").to_pylist()]
+        sigs = [_minhash_sig(h).tolist() for h in batch_shingle_hashes(batch.column("text"))]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -714,8 +722,8 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3, max_bucket_docs: int | None
     def sig_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         out_id, out_band, out_key, out_sig = [], [], [], []
-        for d, t in zip(ids, batch.column("text").to_pylist()):
-            sig = _simhash64(shingle_hashes(t))
+        for d, hs in zip(ids, batch_shingle_hashes(batch.column("text"))):
+            sig = _simhash64(hs)
             for b in range(4):
                 out_id.append(d)
                 out_band.append(b)

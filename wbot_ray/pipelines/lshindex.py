@@ -51,7 +51,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from wbot_ray.pipelines.common import hash64, read_table, shingle_hashes
+from wbot_ray.pipelines.common import batch_shingle_hashes, hash64, read_table, shingle_hashes
 from wbot_ray.pipelines.dedup import N_BANDS, N_PERM, _minhash_sig
 
 __all__ = ["build_lsh_index", "neardup_lookup"]
@@ -175,8 +175,8 @@ def _explode_sig_rows(batch: pa.Table) -> pa.Table:
     the duplication never reaches disk."""
     ids = batch.column("doc_id").to_pylist()
     out_id, out_sig, out_band, out_bh = [], [], [], []
-    for d, t in zip(ids, batch.column("text").to_pylist()):
-        sig = _minhash_sig(shingle_hashes(t))
+    for d, hs in zip(ids, batch_shingle_hashes(batch.column("text"))):
+        sig = _minhash_sig(hs)
         sl = sig.tolist()
         for b, bh in enumerate(_band_hashes(sig)):
             out_id.append(d)

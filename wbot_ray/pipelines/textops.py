@@ -20,7 +20,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from wbot_ray.pipelines.common import STOPWORDS, read_table, shingle_hashes
+from wbot_ray.pipelines.common import (
+    STOPWORDS,
+    batch_shingle_hashes,
+    read_table,
+)
 
 
 def _explode_tokens(pl, batch: pa.Table):
@@ -883,8 +887,10 @@ def decontaminate(sf_dir: str, bench_mod: int = BENCH_MOD):
 
     def bench_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        sets = [shingle_hashes(t) for i, t in zip(ids, texts) if i % bench_mod == 0]
+        bench_rows = np.nonzero(ids % bench_mod == 0)[0]
+        sets = batch_shingle_hashes(
+            pc.take(batch.column("text"), pa.array(bench_rows))
+        )
         hs = (
             np.unique(np.concatenate(sets))
             if sets
@@ -907,11 +913,12 @@ def decontaminate(sf_dir: str, bench_mod: int = BENCH_MOD):
     def probe(batch: pa.Table) -> pa.Table:
         bench = ray.get(bench_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        keep = ids % bench_mod != 0
+        keep_rows = np.nonzero(ids % bench_mod != 0)[0]
+        shs = batch_shingle_hashes(
+            pc.take(batch.column("text"), pa.array(keep_rows))
+        )
         out_ids, hits = [], []
-        for i, t in zip(ids[keep], np.asarray(texts, dtype=object)[keep]):
-            sh = shingle_hashes(t)
+        for i, sh in zip(ids[keep_rows], shs):
             pos = np.searchsorted(bench, sh)
             pos[pos == len(bench)] = 0
             n = int((bench[pos] == sh).sum()) if len(bench) else 0
