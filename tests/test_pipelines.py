@@ -648,6 +648,18 @@ class TestShingleKernel:
 
 
 class TestTextops:
+    def test_tfidf_broadcast_and_join_paths_agree(self, ray_session):
+        """tfidf_topterms' two shapes — small-vocab broadcast and the
+        token-keyed bucketed hash_join (the 100-TB path, forced with
+        broadcast_vocab_max=0) — must produce identical rows."""
+        a = textops.tfidf_topterms(SF0001).to_pandas()
+        b = textops.tfidf_topterms(SF0001, broadcast_vocab_max=0).to_pandas()
+        key = ["doc_id", "term_rank"]
+        a = a.sort_values(key).reset_index(drop=True)[sorted(a.columns)]
+        b = b.sort_values(key).reset_index(drop=True)[sorted(b.columns)]
+        assert len(a) > 0
+        assert a.equals(b)
+
     def test_fingerprint_rolling(self, ray_session):
         rows = textops.doc_fingerprint(SF0001).take_all()
         t = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["doc_id", "text"])

@@ -782,82 +782,170 @@ def ngram_counts(sf_dir: str, n: int = 2, min_count: int = 5):
     )
 
 
-def tfidf_topterms(sf_dir: str, k: int = 5):
+def tfidf_topterms(
+    sf_dir: str,
+    k: int = 5,
+    num_buckets: int = 64,
+    broadcast_vocab_max: int = 1 << 21,
+):
     """Per-document top-k salient terms, ranked (tf DESC, df ASC, token
     ASC) — a tf-idf ordering expressed entirely in integers (no float
     scores, so the ranking is platform-exact).
 
-    Two passes over the pruned text column:
+    Web-scale shape — NOTHING is proportional to |vocab| on the driver:
 
-    1. exact document frequency: per-batch DISTINCT (doc, token) rows →
-       ``groupby(token).count`` — the one unavoidable exchange, carrying
-       distinct pairs; the resulting vocabulary table is collected and
-       broadcast once (``ray.put``). At web scale the vocabulary above
-       any df floor is millions of rows — still a broadcastable dim
-       (same pattern as ``cust_order_stats``); past that, swap the
-       broadcast for a bucketed join on hash(token).
-    2. per-batch tf + one vectorized Arrow join against the broadcast
-       df table + a batch-local top-k (every token of a doc lives in
-       the doc's own batch, so the ranking needs NO second shuffle).
-    """
-    from collections import Counter
+    1. exact document frequency: per-batch partials (token, #docs in
+       batch containing it — polars unique+count, no per-token Python)
+       → ``groupby(token).sum`` — an exchange bounded by batch-count ×
+       batch-distinct tokens;
+    2. per-batch tf rows (doc_id, token, tf) joined with the df table
+       through a token-keyed bucketed ``hash_join`` — both sides
+       co-partition on hash(token), the vocabulary never leaves the
+       cluster;
+    3. per-doc ranking after a doc-keyed bucket regroup (each bucket
+       holds whole docs, the rank is one vectorized lexsort per
+       bucket).
 
+    Small-vocab fast path (``broadcast_vocab_max``, the dedup_minhash
+    ``small_verify_threshold`` analogue): when the materialized df table
+    is small it is broadcast once (``ray.put``) and the rank runs
+    doc-locally with ZERO extra exchanges — the right call whenever the
+    vocabulary genuinely fits a worker heap. The threshold bounds the
+    driver/broadcast transit; past it the join path above runs with no
+    driver materialization proportional to |vocab|. Both paths are
+    parity-pinned in tests."""
     import ray
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        toks, n_rows = [], 0
-        for t in batch.column("text").to_pylist():
-            s = set(t.split(" "))
-            toks.append(list(s))
-            n_rows += len(s)
-        flat = [tok for s in toks for tok in s]
-        return pa.table({"token": pa.array(flat, pa.string())})
+    from wbot_ray.pipelines.join import hash_join
+
+    def _doc_token_codes(batch: pa.Table):
+        """(row-index-per-token, dictionary) of the batch's token stream
+        — Arrow split + dictionary-encode, one packed-key np.unique for
+        per-doc distinctness (the HashEncoder bincount pattern; no
+        per-token Python)."""
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        if isinstance(tok_lists, pa.ChunkedArray):
+            tok_lists = tok_lists.combine_chunks()
+        lens = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        denc = pc.dictionary_encode(tok_lists.flatten())
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return row, codes, denc.dictionary
+
+    def df_part(batch: pa.Table) -> pa.Table:
+        row, codes, vocab = _doc_token_codes(batch)
+        D = len(vocab)
+        uk = np.unique(row * D + codes)  # distinct (doc, token) pairs
+        dfp = np.bincount((uk % D).astype(np.int64), minlength=D)
+        return pa.table(
+            {
+                "token": vocab,
+                "df_part": pa.array(dfp.astype(np.int64), pa.int64()),
+            }
+        )
 
     df_ds = (
         read_table(sf_dir, "documents", ["text"])
-        .map_batches(pairs, batch_format="pyarrow")
+        .map_batches(df_part, batch_format="pyarrow")
         .groupby("token")
-        .aggregate(Count(alias_name="df"))
+        .aggregate(Sum("df_part", alias_name="df"))
+        .map_batches(
+            lambda t: pa.table(
+                {"token": t.column("token"), "df": pc.cast(t.column("df"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
     )
-    df_tbl = pa.Table.from_pylist(df_ds.take_all())
-    if df_tbl.num_rows == 0:
-        df_tbl = pa.table({"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
-    df_tbl = pa.table(
-        {"token": df_tbl.column("token"), "df": pc.cast(df_tbl.column("df"), pa.int64())}
-    )
-    df_ref = ray.put(df_tbl)
 
-    def topterms(batch: pa.Table) -> pa.Table:
-        dim = ray.get(df_ref)
-        ids, tokens, tfs = [], [], []
-        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            for tok, cnt in Counter(t.split(" ")).items():
-                ids.append(d)
-                tokens.append(tok)
-                tfs.append(cnt)
-        t = pa.table(
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        row, codes, vocab = _doc_token_codes(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        D = len(vocab)
+        uk, counts = np.unique(row * D + codes, return_counts=True)
+        return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "token": pa.array(tokens, pa.string()),
-                "tf": pa.array(tfs, pa.int64()),
+                "doc_id": pa.array(ids[uk // D], pa.int64()),
+                "token": pc.take(vocab, pa.array(uk % D)),
+                "tf": pa.array(counts.astype(np.int64), pa.int64()),
             }
-        ).join(dim, keys="token", join_type="left outer")
-        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-        tf = t.column("tf").to_numpy(zero_copy_only=False)
-        df = t.column("df").to_numpy(zero_copy_only=False)
+        )
+
+    def rank_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("token", pa.string()),
+                    ("tf", pa.int64()),
+                    ("df", pa.int64()),
+                    ("term_rank", pa.int64()),
+                ]
+            ).empty_table()
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False)
+        df = g.column("df").to_numpy(zero_copy_only=False)
         # token order code: np.unique codes preserve lexicographic order
-        _, code = np.unique(np.asarray(t.column("token").to_pylist(), dtype=object), return_inverse=True)
+        _, code = np.unique(
+            np.asarray(g.column("token").to_pylist(), dtype=object),
+            return_inverse=True,
+        )
         order = np.lexsort((code, df, -tf, doc))
         d_sorted = doc[order]
         is_start = np.r_[True, d_sorted[1:] != d_sorted[:-1]]
-        run_start = np.maximum.accumulate(np.where(is_start, np.arange(len(order)), 0))
+        run_start = np.maximum.accumulate(
+            np.where(is_start, np.arange(len(order)), 0)
+        )
         rank = np.arange(len(order)) - run_start
         keep = rank < k
-        out = t.take(pa.array(order[keep]))
+        out = g.take(pa.array(order[keep])).select(["doc_id", "token", "tf", "df"])
         return out.append_column("term_rank", pa.array(rank[keep] + 1, pa.int64()))
 
-    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        topterms, batch_format="pyarrow"
+    # vocab parks in the OBJECT STORE (cluster-wide, spillable), never
+    # on the driver; the row count decides the path for free
+    df_mat = df_ds.materialize()
+    if df_mat.count() <= broadcast_vocab_max:
+        blocks = [b for b in ray.get(df_mat.to_arrow_refs()) if b.num_rows]
+        df_tbl = (
+            pa.concat_tables(blocks).combine_chunks()
+            if blocks
+            else pa.table(
+                {"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        )
+        df_ref = ray.put(df_tbl)
+
+        def topterms_local(batch: pa.Table) -> pa.Table:
+            t = tf_rows(batch).join(
+                ray.get(df_ref), keys="token", join_type="left outer"
+            )
+            return rank_topk(t)
+
+        return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            topterms_local, batch_format="pyarrow"
+        )
+
+    tf_ds = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tf_rows, batch_format="pyarrow"
+    )
+    joined = hash_join(
+        tf_ds,
+        df_mat,
+        key="token",
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
+    )
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        db = t.column("doc_id").to_numpy(zero_copy_only=False) % num_buckets
+        return t.append_column("db", pa.array(db.astype(np.int64), pa.int64()))
+
+    return (
+        joined.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(rank_topk, batch_format="pyarrow")
     )
 
 
