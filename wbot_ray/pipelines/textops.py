@@ -453,31 +453,47 @@ def heavy_hitters(sf_dir: str, k: int = 50):
                         del counters[c]
         return pa.table({"token": pa.array(sorted(counters), pa.string())})
 
-    candidates = frozenset(
-        r["token"]
-        for r in read_table(sf_dir, "documents", ["text"])
-        .map_batches(mg_batch, batch_format="pyarrow")
-        .take_all()
+    candidates = sorted(
+        {
+            r["token"]
+            for r in read_table(sf_dir, "documents", ["text"])
+            .map_batches(mg_batch, batch_format="pyarrow")
+            .take_all()
+        }
     )
-    cand_ref = _ray.put(candidates)
+    cand_ref = _ray.put(pa.array(candidates, pa.string()))
 
     def exact_counts(batch: pa.Table) -> pa.Table:
+        """Vectorized exact pass: Arrow split + dictionary-encode, one
+        bincount for per-distinct-token counts, one ``pc.is_in`` against
+        the broadcast candidate array — no per-token Python."""
         cand = _ray.get(cand_ref)
-        from collections import Counter
-
-        counts: Counter = Counter()
-        total = 0
-        for t in batch.column("text").to_pylist():
-            toks = t.split(" ")
-            total += len(toks)
-            counts.update(tok for tok in toks if tok in cand)
-        kinds = ["t"] * len(counts) + ["N"]
-        toks = sorted(counts)
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        if isinstance(tok_lists, pa.ChunkedArray):
+            tok_lists = tok_lists.combine_chunks()
+        flat = tok_lists.flatten()
+        total = len(flat)
+        denc = pc.dictionary_encode(flat)
+        cnt = np.bincount(
+            denc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(denc.dictionary),
+        )
+        sel = np.nonzero(
+            pc.is_in(denc.dictionary, value_set=cand).to_numpy(
+                zero_copy_only=False
+            )
+        )[0]
+        toks = pc.take(denc.dictionary, pa.array(sel))
         return pa.table(
             {
-                "kind": pa.array(kinds, pa.string()),
-                "token": pa.array(toks + [""], pa.string()),
-                "cnt": pa.array([counts[t] for t in toks] + [total], pa.int64()),
+                "kind": pa.array(["t"] * len(sel) + ["N"], pa.string()),
+                "token": pa.concat_arrays(
+                    [toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks,
+                     pa.array([""], pa.string())]
+                ),
+                "cnt": pa.array(
+                    np.concatenate((cnt[sel], [total])).astype(np.int64), pa.int64()
+                ),
             }
         )
 
