@@ -174,12 +174,7 @@ def run_crawl_bench(num_cpus: int, scale: str = BENCH_SCALE, n_seeds: int = N_SE
     }
 
 
-def run_query_bench(sf_dir: str) -> dict[str, float]:
-    """Wall-time the flagship data pipelines at sf0.1."""
-    import __ray_entry__ as entrymod
-
-    qs = entrymod.queries()
-    names = [
+QUERY_NAMES = [
         "text_stats",
         "lang_dist",
         "dedup_exact",
@@ -304,9 +299,31 @@ def run_query_bench(sf_dir: str) -> dict[str, float]:
         "cms_sketch",
         "jsonl_stats",
         "late_events",
-    ]
+]
+
+
+def run_query_bench(
+    sf_dir: str, isolated: bool = False, num_cpus: int = 32
+) -> dict[str, float]:
+    """Wall-time the flagship data pipelines at sf0.1.
+
+    ``isolated=True`` tears Ray down and brings a fresh session up
+    BEFORE each query (``bench.py --isolated``): per-query numbers then
+    measure the pipeline alone, free of actor-pool spin-up contention
+    from whatever ran before it in the shared-session sweep (embed_docs
+    measured 2.40 in-bench vs 1.79 isolated in round 4). Session
+    bring-up happens outside the timed region."""
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
     out: dict[str, float] = {}
-    for name in names:
+    for name in QUERY_NAMES:
+        if isolated:
+            import ray
+
+            if ray.is_initialized():
+                ray.shutdown()
+            _init_ray(num_cpus)
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (streaming execution is lazy)
@@ -562,6 +579,7 @@ def scaling(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--isolated", action="store_true")
     ap.add_argument("--one", action="store_true")
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
@@ -576,7 +594,24 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-    if args.scaling:
+    if args.isolated:
+        # per-query numbers in a FRESH Ray session each — the
+        # contention-free column regressions get diagnosed against
+        _init_ray(num_cpus)
+        queries = run_query_bench(sf_dir, isolated=True, num_cpus=num_cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "isolated_query_sec",
+                    "value": round(sum(queries.values()), 3),
+                    "unit": "sec",
+                    "queries_isolated": queries,
+                    "sf": sf_dir,
+                    "num_cpus": num_cpus,
+                }
+            )
+        )
+    elif args.scaling:
         print(
             json.dumps(
                 scaling(
