@@ -57,6 +57,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from wbot_ray import fsio
 from wbot_ray.config import CrawlConfig
 from wbot_ray.urlnorm import display_url
 
@@ -83,7 +84,7 @@ METRIC_KEYS = [
 
 
 def _clean(path: str) -> None:
-    shutil.rmtree(path, ignore_errors=True)
+    fsio.rmtree(path)
 
 
 class CrawlRun:
@@ -95,10 +96,13 @@ class CrawlRun:
 
     # -- results ----------------------------------------------------------
     def results_dataset(self, columns: list[str] | None = None) -> "ray.data.Dataset":
-        files = sorted(
-            glob.glob(os.path.join(self.workdir, "results", "round=*", "*.parquet"))
+        files = fsio.glob(
+            fsio.join(self.workdir, "results", "round=*", "*.parquet")
         )
-        return ray.data.read_parquet(files, columns=columns)
+        pafs, _ = fsio.pa_filesystem(self.workdir)
+        if pafs is not None:
+            files = [f.split("://", 1)[1] for f in files]
+        return ray.data.read_parquet(files, filesystem=pafs, columns=columns)
 
     def results_dataset_ordered(
         self, columns: list[str] | None = None
@@ -128,8 +132,11 @@ class CrawlRun:
         """Every popped request (== frontier rows across rounds) in pop
         order, as a sorted Dataset."""
         files = ParquetFrontier(self.workdir).files()
+        pafs, _ = fsio.pa_filesystem(self.workdir)
+        if pafs is not None:
+            files = [f.split("://", 1)[1] for f in files]
         return ray.data.read_parquet(
-            files, columns=["crawl_ord", "url", "url_hash", "depth"]
+            files, filesystem=pafs, columns=["crawl_ord", "url", "url_hash", "depth"]
         ).sort("crawl_ord")
 
     def results_table(self) -> pa.Table:
@@ -184,13 +191,10 @@ class Crawler:
 
     # -- manifest ---------------------------------------------------------
     def _manifest_path(self) -> str:
-        return os.path.join(self.workdir, "MANIFEST.json")
+        return fsio.join(self.workdir, "MANIFEST.json")
 
     def _save_manifest(self, m: dict) -> None:
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self._manifest_path())
+        fsio.write_json_atomic(m, self._manifest_path())
 
     # -- per-round helpers ------------------------------------------------
     def _hot_roots(
@@ -259,8 +263,8 @@ class Crawler:
         Returns ``(salts, counts)`` like ``_hot_roots``."""
         threshold = self.cfg.hot_host_threshold
         counts: dict[str, int] = {}
-        for p in glob.glob(os.path.join(metrics_parts_dir, "rootstats-*.json")):
-            with open(p) as f:
+        for p in fsio.glob(fsio.join(metrics_parts_dir, "rootstats-*.json")):
+            with fsio.open_file(p) as f:
                 for root, n in json.load(f).items():
                     counts[root] = counts.get(root, 0) + n
         hot = {r: n for r, n in counts.items() if n > threshold}
@@ -418,8 +422,8 @@ class Crawler:
         (one tiny JSON per fetch partition) — no Ray pipeline needed."""
         ok = n = total_link = skipped = 0
         vsec = 0.0
-        for p in glob.glob(os.path.join(metrics_parts_dir, "part-*.json")):
-            with open(p) as f:
+        for p in fsio.glob(fsio.join(metrics_parts_dir, "part-*.json")):
+            with fsio.open_file(p) as f:
                 m = json.load(f)
             ok += m["ok"]
             n += m["n"]
@@ -448,8 +452,22 @@ class Crawler:
     ) -> CrawlRun:
         cfg = self.cfg
         wd = self.workdir
-        os.makedirs(wd, exist_ok=True)
-        index_dir = self.shared_index_dir or os.path.join(wd, "index")
+        fsio.makedirs(wd)
+        index_dir = self.shared_index_dir or fsio.join(wd, "index")
+        # the bucketed web index is the INPUT corpus layout (a pure
+        # function of the pages corpus), not crawl checkpoint state —
+        # the fsspec workdir contract covers frontier/results/seen/
+        # metrics only. file:// degrades to the bare path; any other
+        # remote workdir must bring a reachable index of its own.
+        if fsio.is_url(index_dir):
+            if index_dir.startswith("file://"):
+                index_dir = index_dir.split("://", 1)[1]
+            else:
+                raise ValueError(
+                    "a remote fsspec workdir requires shared_index_dir "
+                    "(the bucketed web index is input-corpus layout, "
+                    "not checkpoint state)"
+                )
 
         # extension seams (reference WithQueue / WithStore,
         # option.go:49-58): the frontier layout and the seen store are
@@ -460,14 +478,13 @@ class Crawler:
         )
 
         if resume:
-            with open(self._manifest_path()) as f:
-                manifest = json.load(f)
+            manifest = fsio.read_json(self._manifest_path())
         else:
             if seeds is None or pages_path is None:
                 raise ValueError("fresh crawl needs seeds and pages_path")
             frontier.clear_all()
             for sub in ("results", "seen", "metrics"):
-                _clean(os.path.join(wd, sub))
+                _clean(fsio.join(wd, sub))
             build_web_index(pages_path, index_dir, cfg.num_buckets)
             # M6 display truncation: URLs in logs go through the same
             # 64-byte form as the reference's ParsedURL.String()
@@ -494,19 +511,19 @@ class Crawler:
             completed = [r["round"] for r in manifest["rounds"]]
             start = (max(completed) + 1) if completed else 0
             # wipe any un-committed partial round state
-            for stale in glob.glob(os.path.join(wd, "results", "round=*")):
+            for stale in fsio.glob(fsio.join(wd, "results", "round=*")):
                 if int(stale.rsplit("=", 1)[1]) >= start:
                     _clean(stale)
             frontier.clear_rounds_after(start)
-            for stale in glob.glob(os.path.join(wd, "seen", "round=*")):
+            for stale in fsio.glob(fsio.join(wd, "seen", "round=*")):
                 if int(stale.rsplit("=", 1)[1]) >= start:
                     _clean(stale)
-            for stale in glob.glob(os.path.join(wd, "metrics_parts", "round=*")):
+            for stale in fsio.glob(fsio.join(wd, "metrics_parts", "round=*")):
                 if int(stale.rsplit("=", 1)[1]) >= start:
                     _clean(stale)
             if resume and completed:
                 seen.restore(
-                    [os.path.join(wd, "seen", f"round={r}") for r in completed]
+                    [fsio.join(wd, "seen", f"round={r}") for r in completed]
                 )
             ord_base = sum(r["n_frontier"] for r in manifest["rounds"])
 
@@ -567,12 +584,12 @@ class Crawler:
                         # dedup shuffle and the ordering sort — no intermediate
                         # parquet round-trips, no separate metrics pass.
                         _t = _time.perf_counter()
-                        results_dir = os.path.join(wd, "results", f"round={d}")
-                        metrics_parts = os.path.join(wd, "metrics_parts", f"round={d}")
+                        results_dir = fsio.join(wd, "results", f"round={d}")
+                        metrics_parts = fsio.join(wd, "metrics_parts", f"round={d}")
                         _clean(results_dir)
                         _clean(metrics_parts)
-                        os.makedirs(results_dir, exist_ok=True)
-                        os.makedirs(metrics_parts, exist_ok=True)
+                        fsio.makedirs(results_dir)
+                        fsio.makedirs(metrics_parts)
                         cols = FRONTIER_SCHEMA.names
 
                         if n_d <= cfg.local_round_threshold:
@@ -650,9 +667,9 @@ class Crawler:
                             if os.environ.get("WBOT_RAY_STATS"):
                                 # Ray Data per-operator wall/cpu/memory breakdown —
                                 # the tuning feedback loop for the round pipeline
-                                stats_path = os.path.join(wd, "metrics", f"round={d}.stats.txt")
-                                os.makedirs(os.path.dirname(stats_path), exist_ok=True)
-                                with open(stats_path, "w") as sf:
+                                stats_path = fsio.join(wd, "metrics", f"round={d}.stats.txt")
+                                fsio.makedirs(fsio.dirname(stats_path))
+                                with fsio.open_file(stats_path, "w") as sf:
                                     sf.write(deduped.stats())
 
                             _t = _time.perf_counter()
@@ -685,9 +702,12 @@ class Crawler:
                                         batch_format="pyarrow",
                                     ).sort(["_prio", "ord64"])
                                 ordered, _ = assign_crawl_ord(sorted_ds, ord_base + n_d)
+                                _out_fs, _out_path = fsio.pa_filesystem(
+                                    frontier.prepare_round_dir(d + 1)
+                                )
                                 ordered.map_batches(
                                     lambda t: t.select(cols), batch_format="pyarrow"
-                                ).write_parquet(frontier.prepare_round_dir(d + 1))
+                                ).write_parquet(_out_path, filesystem=_out_fs)
                             stage_sec["order_write"] = round(_time.perf_counter() - _t, 3)
 
                         # THIS round's hot-root budget before the counts roll over
@@ -721,12 +741,13 @@ class Crawler:
                         # d+1 ⇒ resume replays round d (deterministic re-run,
                         # identical output).
                         flush_futs = seen.flush_deltas_async(
-                            d, os.path.join(wd, "seen", f"round={d}")
+                            d, fsio.join(wd, "seen", f"round={d}")
                         )
 
-                        os.makedirs(os.path.join(wd, "metrics"), exist_ok=True)
-                        with open(os.path.join(wd, "metrics", f"round={d}.json"), "w") as f:
-                            json.dump(metrics, f, indent=1)
+                        fsio.makedirs(fsio.join(wd, "metrics"))
+                        fsio.write_json_atomic(
+                            metrics, fsio.join(wd, "metrics", f"round={d}.json")
+                        )
 
                         _commit_pending()
                         pending_commit = (
@@ -770,7 +791,7 @@ class Crawler:
                             "round"
                         ) from exc
                     committed_dirs = [
-                        os.path.join(wd, "seen", f"round={e['round']}")
+                        fsio.join(wd, "seen", f"round={e['round']}")
                         for e in manifest["rounds"]
                     ]
                     healed = seen.heal(committed_dirs)

@@ -59,18 +59,16 @@ def make_dedup_fn(shard_handles: list, round_id: int, stats_dir: str | None = No
         if not mask.all():
             tbl = tbl.filter(pa.array(mask))
         if stats_dir is not None:
-            import json
-            import os
+            from wbot_ray import fsio
 
             vc = pc.value_counts(tbl.column("root"))
             counts = {
                 str(v): int(c)
                 for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
             }
-            tmp = os.path.join(stats_dir, f".rootstats-{shard:03d}.tmp")
-            with open(tmp, "w") as f:
-                json.dump(counts, f)
-            os.replace(tmp, os.path.join(stats_dir, f"rootstats-{shard:03d}.json"))
+            fsio.write_json_atomic(
+                counts, fsio.join(stats_dir, f"rootstats-{shard:03d}.json")
+            )
         return tbl.drop_columns(["seen_shard"])
 
     return dedup

@@ -40,6 +40,7 @@ import pyarrow as pa
 
 from functools import lru_cache
 
+from wbot_ray import fsio
 from wbot_ray.config import CrawlConfig
 from wbot_ray.filters import RuleFilter, in_scope
 from wbot_ray.html import parse_page
@@ -384,7 +385,7 @@ def make_fused_fetch_fn(
         t_fetch = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        tmp = os.path.join(results_dir, f".part-{part:05d}.tmp")
+        out_path = fsio.join(results_dir, f"part-{part:05d}.parquet")
         # combine_chunks: canonical single-chunk layout so the parquet
         # BYTES are a pure function of the logical content — identical
         # logical tables with different upstream chunking (cache-warm
@@ -395,8 +396,9 @@ def make_fused_fetch_fn(
         # them back (measured 44 s of a 184 cpu-s round spent
         # serializing them at bench scale); the counters
         # (n_links/n_links_total/n_skipped) keep the lineage audit.
-        pq.write_table(results.drop_columns(["next"]).combine_chunks(), tmp)
-        os.replace(tmp, os.path.join(results_dir, f"part-{part:05d}.parquet"))
+        fsio.write_parquet_atomic(
+            results.drop_columns(["next"]).combine_chunks(), out_path
+        )
         t_write = time.perf_counter() - t0
 
         # success = any HTTP response (the reference publishes non-2xx
@@ -415,10 +417,7 @@ def make_fused_fetch_fn(
             "sec_fetch": round(t_fetch, 4),
             "sec_write": round(t_write, 4),
         }
-        mtmp = os.path.join(metrics_dir, f".part-{part:05d}.tmp")
-        with open(mtmp, "w") as f:
-            json.dump(sidecar, f)
-        os.replace(mtmp, os.path.join(metrics_dir, f"part-{part:05d}.json"))
+        fsio.write_json_atomic(sidecar, fsio.join(metrics_dir, f"part-{part:05d}.json"))
 
         # candidates: explode the in-memory results (never re-read from disk).
         # Depth gate already applied inside fetch (empty `next` rows vanish

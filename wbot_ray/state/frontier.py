@@ -10,70 +10,68 @@ reading round ``d``. This class owns that layout; swap it via
 to mirror pushes into an external system). A replacement must keep the
 contract: ``read_*`` of a round returns exactly the rows ``write_*``
 persisted for it, with the written schema and no duplication.
+
+All IO routes through ``wbot_ray.fsio``, so the workdir may be an
+fsspec URL (shared storage) as well as a local path.
 """
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
-
 import pyarrow as pa
-import pyarrow.parquet as pq
+
+from wbot_ray import fsio
 
 __all__ = ["ParquetFrontier"]
 
 
 class ParquetFrontier:
     def __init__(self, workdir: str) -> None:
-        self.root = os.path.join(workdir, "frontier")
+        self.root = fsio.join(workdir, "frontier")
 
     # -- layout --------------------------------------------------------
     def round_dir(self, d: int) -> str:
-        return os.path.join(self.root, f"round={d}")
+        return fsio.join(self.root, f"round={d}")
 
     def files(self) -> list[str]:
         """Every round's files, sorted (the visited-surface read)."""
-        return sorted(glob.glob(os.path.join(self.root, "round=*", "*.parquet")))
+        return fsio.glob(fsio.join(self.root, "round=*", "*.parquet"))
 
     def rows(self, d: int) -> int:
         return sum(
-            pq.read_metadata(f).num_rows
-            for f in glob.glob(os.path.join(self.round_dir(d), "*.parquet"))
+            fsio.parquet_num_rows(f)
+            for f in fsio.glob(fsio.join(self.round_dir(d), "*.parquet"))
         )
 
     # -- lifecycle -----------------------------------------------------
     def clear_all(self) -> None:
-        shutil.rmtree(self.root, ignore_errors=True)
+        fsio.rmtree(self.root)
 
     def clear_rounds_after(self, start: int) -> None:
         """Wipe rounds strictly beyond ``start`` (un-committed state)."""
-        for stale in glob.glob(os.path.join(self.root, "round=*")):
+        for stale in fsio.glob(fsio.join(self.root, "round=*")):
             if int(stale.rsplit("=", 1)[1]) > start:
-                shutil.rmtree(stale, ignore_errors=True)
+                fsio.rmtree(stale)
 
     # -- write (push) --------------------------------------------------
     def write_table(self, d: int, tbl: pa.Table) -> None:
         """Atomically (re)write round ``d`` as one file."""
         dir_ = self.round_dir(d)
-        shutil.rmtree(dir_, ignore_errors=True)
-        os.makedirs(dir_, exist_ok=True)
-        tmp = os.path.join(dir_, ".part-0.tmp")
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(dir_, "part-0.parquet"))
+        fsio.rmtree(dir_)
+        fsio.makedirs(dir_)
+        fsio.write_parquet_atomic(tbl, fsio.join(dir_, "part-0.parquet"))
 
     def prepare_round_dir(self, d: int) -> str:
         """Clean slate for a distributed (multi-file) round write."""
         dir_ = self.round_dir(d)
-        shutil.rmtree(dir_, ignore_errors=True)
-        os.makedirs(dir_, exist_ok=True)
+        fsio.rmtree(dir_)
+        fsio.makedirs(dir_)
         return dir_
 
     # -- read (pop) ----------------------------------------------------
     def read_table(self, d: int) -> pa.Table:
         return pa.concat_tables(
-            pq.read_table(f)
-            for f in sorted(glob.glob(os.path.join(self.round_dir(d), "*.parquet")))
+            fsio.read_parquet_table(f)
+            for f in fsio.glob(fsio.join(self.round_dir(d), "*.parquet"))
         )
 
     def read_dataset(
@@ -84,8 +82,10 @@ class ParquetFrontier:
     ):
         import ray.data
 
+        fs, path = fsio.pa_filesystem(self.round_dir(d))
         return ray.data.read_parquet(
-            self.round_dir(d),
+            path,
+            filesystem=fs,
             columns=columns,
             override_num_blocks=override_num_blocks,
         )

@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
+from wbot_ray import fsio
 from wbot_ray.state.cuckoo import CuckooFilter
 from wbot_ray.state.digestset import DIGEST_DT, DigestStore, keys_from_bytes
 
@@ -182,11 +183,11 @@ class _SeenShard:
         them from the delta map. The actor writes its own file — deltas
         never transit the driver."""
         arrs = self._delta.pop(round_id, [])
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fsio.makedirs(fsio.dirname(path))
         n_total = sum(len(a) for a in arrs)
         schema = pa.schema([("url_hash", pa.string())])
         chunk = 1 << 18  # bound the hexlify/arrow transient per row group
-        writer = pq.ParquetWriter(path, schema)
+        writer = fsio.parquet_writer(path, schema)
         try:
             if n_total == 0:
                 writer.write_table(schema.empty_table())
@@ -214,7 +215,7 @@ class _SeenShard:
     def load_hashes(self, paths: list[str]) -> int:
         """Replay checkpoint deltas (resume path) — no delta recording."""
         for p in paths:
-            pf = pq.ParquetFile(p)
+            pf = fsio.parquet_file(p)
             # stream record batches: a restore of millions of hashes must
             # not hold the whole hex column as Python strings at once
             for rb in pf.iter_batches(columns=["url_hash"], batch_size=1 << 18):
@@ -322,9 +323,9 @@ class SeenSet:
         for s in self.dead_shards():
             fresh = _SeenShard.remote(s, self.capacity_hint, self.filter_kind)
             paths = [
-                os.path.join(d, f"shard={s}.parquet")
+                fsio.join(d, f"shard={s}.parquet")
                 for d in round_dirs
-                if os.path.exists(os.path.join(d, f"shard={s}.parquet"))
+                if fsio.exists(fsio.join(d, f"shard={s}.parquet"))
             ]
             ray.get(fresh.load_hashes.remote(paths))
             self.shards[s] = fresh
@@ -338,7 +339,7 @@ class SeenSet:
         round to the manifest."""
         return [
             sh.flush_delta.remote(
-                round_id, os.path.join(round_dir, f"shard={s}.parquet")
+                round_id, fsio.join(round_dir, f"shard={s}.parquet")
             )
             for s, sh in enumerate(self.shards)
         ]
@@ -353,9 +354,9 @@ class SeenSet:
         futs = []
         for s, sh in enumerate(self.shards):
             paths = [
-                os.path.join(d, f"shard={s}.parquet")
+                fsio.join(d, f"shard={s}.parquet")
                 for d in round_dirs
-                if os.path.exists(os.path.join(d, f"shard={s}.parquet"))
+                if fsio.exists(fsio.join(d, f"shard={s}.parquet"))
             ]
             futs.append(sh.load_hashes.remote(paths))
         return int(sum(ray.get(futs)))
