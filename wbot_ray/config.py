@@ -107,6 +107,13 @@ class CrawlConfig:
     # the filter, so the visited set is identical bit-for-bit.
     seen_filter: str = "cuckoo"
     batch_size: int = 1024  # rows per fetch/extract batch
+    # memory guard on the distributed round's exchange width: one block
+    # carries at most this many frontier rows (its candidate explode is
+    # ~10x that, still tens of MB of slim rows). Width otherwise stays
+    # at 4 tasks/CPU — the bench10x run showed exchange fixed cost grows
+    # superlinearly with partition count (852 partitions = 123 s of a
+    # 126 s round), so width must track the executor, not the row count.
+    max_block_rows: int = 65_536
     hot_host_threshold: int = 100_000  # frontier rows per root before salting
     # next-frontier ordering: below this row count the driver k-way merges
     # the (per-shard pre-sorted) candidates itself — a distributed sort of

@@ -87,6 +87,39 @@ def _clean(path: str) -> None:
     fsio.rmtree(path)
 
 
+def _per_group(fn, key: str, sort_col: str | None = None):
+    """Adapt a one-group-per-call stage fn to hash-repartitioned whole-
+    block batches: ``repartition(keys=[key])`` co-locates every key's
+    rows in exactly one block (so the one-call-per-key invariant — e.g.
+    one ordered ``check_and_set`` per seen shard per round — still
+    holds), this adapter splits the block into its key groups and calls
+    ``fn`` once per group. ``sort_col``: total-order each group first,
+    so side-effecting stages (the results sink's byte-identical-retry
+    contract) are deterministic regardless of block arrival order."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def run(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return fn(block)
+        codes = pc.dictionary_encode(block.column(key)).combine_chunks()
+        idx = codes.indices.to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        sorted_blk = block.take(pa.array(order))
+        sidx = idx[order]
+        bounds = np.nonzero(np.r_[True, sidx[1:] != sidx[:-1]])[0]
+        ends = np.r_[bounds[1:], len(sidx)]
+        outs = []
+        for s, e in zip(bounds, ends):
+            g = sorted_blk.slice(s, e - s)
+            if sort_col is not None:
+                g = g.sort_by(sort_col)
+            outs.append(fn(g))
+        return pa.concat_tables(outs)
+
+    return run
+
+
 class CrawlRun:
     """Handle over a finished (or resumed) crawl's on-disk state."""
 
@@ -618,16 +651,21 @@ class Crawler:
                                 frontier.write_table(d + 1, ordered_tbl.select(cols))
                             stage_sec["order_write"] = round(_time.perf_counter() - _t, 3)
                         else:
-                            # block count = shuffle/task width of the round. Two
-                            # floors: enough rows per block (batch_size) AND at
-                            # least 4 tasks per executor slot — a width below the
-                            # CPU count caps the fused stage's parallelism (seen
-                            # as a 1.8x round-5 speedup on 4x CPUs) and coarse
-                            # blocks let one expensive fetch part straggle the
-                            # whole round (measured: a 10 s straggler task in a
-                            # 7 s-of-work round). Capped at the distinct part
-                            # count (a group cannot split across tasks): buckets
-                            # plus the extra sub-parts the hot-root salts add.
+                            # block count = EXCHANGE WIDTH of the round. Floor:
+                            # 4 tasks per executor slot (a width below the CPU
+                            # count caps the fused stage's parallelism — 1.8x
+                            # round-5 speedup on 4x CPUs when lifted; multiple
+                            # waves smooth per-part cost variance). Growth: only
+                            # as ceil(n_d / max_block_rows) — width scales with
+                            # DATA VOLUME per block, never with part count. The
+                            # old ceil(n_d / batch_size) term produced an
+                            # 852-partition exchange at the 1.96M-page corpus
+                            # whose fixed per-partition cost was 123 s of a
+                            # 126 s round (the bench10x finding): exchange cost
+                            # grows superlinearly with width, so width is
+                            # clamped to what the executor can actually run.
+                            # Capped at the distinct part count (a group cannot
+                            # split across blocks).
                             ncpu = int(ray.cluster_resources().get("CPU", 8))
                             n_parts = cfg.num_buckets + sum(
                                 k - 1 for k in (hot_roots or {}).values()
@@ -636,32 +674,75 @@ class Crawler:
                                 1,
                                 min(
                                     n_parts,
-                                    max(4 * ncpu, math.ceil(n_d / cfg.batch_size)),
+                                    max(
+                                        4 * ncpu,
+                                        math.ceil(n_d / cfg.max_block_rows),
+                                    ),
                                 ),
                             )
+                            # exchanges are HASH repartitions by key, not
+                            # sort-based groupbys: Ray Data's groupby sorts
+                            # globally, and the sort barrier's fixed cost is
+                            # the scale bottleneck the bench10x run exposed
+                            # (21 s wall for a 296k-row round with ~2 s of
+                            # work; 10^6-row rounds were sort-bound, not
+                            # fetch-bound). repartition(keys=...) co-locates
+                            # every key's rows in exactly one block, and the
+                            # per-group adapter restores map_groups
+                            # semantics — groups sorted by crawl_ord so the
+                            # results sink stays byte-deterministic whatever
+                            # the block arrival order. Ray only plans keyed
+                            # repartition under the hash-shuffle strategy —
+                            # scoped to THIS pipeline's build+materialize
+                            # (index build / ordering sorts keep the default
+                            # sort-shuffle they were tuned on).
+                            from ray.data.context import ShuffleStrategy as _SS
+
+                            _ctx = ray.data.DataContext.get_current()
+                            _prev_shuffle = _ctx.shuffle_strategy
+                            _ctx.shuffle_strategy = _SS.HASH_SHUFFLE
                             pipe = (
                                 frontier.read_dataset(d, override_num_blocks=n_blocks)
                                 .map_batches(
                                     make_assign_fetch_part(cfg, hot_roots),
                                     batch_format="pyarrow",
                                 )
-                                .groupby("fetch_part")
-                                .map_groups(
-                                    make_fused_fetch_fn(
-                                        index_dir, cfg, results_dir, metrics_parts, hot_roots
+                                .repartition(
+                                    num_blocks=n_blocks, keys=["fetch_part"]
+                                )
+                                .map_batches(
+                                    _per_group(
+                                        make_fused_fetch_fn(
+                                            index_dir, cfg, results_dir,
+                                            metrics_parts, hot_roots,
+                                        ),
+                                        "fetch_part",
+                                        sort_col="crawl_ord",
                                     ),
+                                    batch_size=None,
                                     batch_format="pyarrow",
                                 )
                             )
                             if d < cfg.max_depth:
-                                pipe = pipe.groupby("seen_shard").map_groups(
-                                    make_dedup_fn(seen.shards, d, stats_dir=metrics_parts),
+                                pipe = pipe.repartition(
+                                    num_blocks=cfg.seen_shards, keys=["seen_shard"]
+                                ).map_batches(
+                                    _per_group(
+                                        make_dedup_fn(
+                                            seen.shards, d, stats_dir=metrics_parts
+                                        ),
+                                        "seen_shard",
+                                    ),
+                                    batch_size=None,
                                     batch_format="pyarrow",
                                 )
                             # else: final round — the depth gate makes every
                             # candidate list empty, so the dedup shuffle would
-                            # move zero rows; skip its sort barrier entirely
-                            deduped = pipe.materialize()
+                            # move zero rows; skip its exchange entirely
+                            try:
+                                deduped = pipe.materialize()
+                            finally:
+                                _ctx.shuffle_strategy = _prev_shuffle
                             n_next = deduped.count()
                             stage_sec["fetch_dedup"] = round(_time.perf_counter() - _t, 3)
                             if os.environ.get("WBOT_RAY_STATS"):

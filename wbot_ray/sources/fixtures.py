@@ -49,6 +49,14 @@ SCALES = {
     # at bench fidelity. Same page/link generator, only more hosts x
     # pages.
     "bench4x": {"hosts": 600, "pages_per_host": 1200, "hot_factor": 5, "words": (4000, 8000)},
+    # ~10x the bench crawl's PAGE COUNT (1500 hosts x 1200 pages =
+    # 1.8M pages) with trimmed bodies (~8 KB) so corpus + index fit
+    # the sandbox disk. The point is constants tuned at 177k pages —
+    # block floors, hot-root salt thresholds, bucket counts, the
+    # local/distributed plan crossover (rounds here clear
+    # local_round_threshold, so the Dataset shuffle plan engages) —
+    # not byte fidelity, which "bench"/"bench4x" keep.
+    "bench10x": {"hosts": 1500, "pages_per_host": 1200, "hot_factor": 5, "words": (800, 1600)},
 }
 
 _BASE_TS = int(datetime(2024, 5, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
