@@ -70,6 +70,9 @@ def _init_ray(num_cpus: int) -> None:
     # first timed pipeline measures the engine, not cluster bring-up —
     # on a real cluster this is `ray job submit` startup, not crawl time
     def _warm(batch):
+        import duckdb  # noqa: F401  (md5 kernel connects on first use)
+        import polars  # noqa: F401  (textops/dedup batch kernels)
+
         import wbot_ray.stages.fetch  # noqa: F401  (pre-import in workers)
 
         return batch
