@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Sum
 
-from wbot_ray.pipelines.common import md5_lower64, read_table
+from wbot_ray.pipelines.common import read_table
 
 __all__ = [
     "sample_hash",
@@ -66,6 +66,20 @@ def prepare_corpus(sf_dir: str, threshold: float = 0.7):
         right_schema=pa.schema([("doc_id", pa.int64()), ("n_words", pa.int64())]),
     )
 
+
+def _salted_id_hash(doc_ids, salt: str) -> np.ndarray:
+    """Vectorized ``md5_lower64(salt + str(doc_id))`` over a column —
+    one Arrow cast+join and one DuckDB md5 call, no per-row Python."""
+    import pyarrow.compute as pc
+
+    from wbot_ray.pipelines.common import md5_lower64_batch
+
+    salted = pc.binary_join_element_wise(
+        salt, pc.cast(doc_ids, pa.string()), ""
+    )
+    return md5_lower64_batch(salted)
+
+
 # p = num/2^64: the keep predicate is an integer compare, no float rate
 SAMPLE_SALT = "sample:"
 
@@ -82,12 +96,7 @@ def sample_hash(sf_dir: str, num: int = 1 << 62):
     """
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        h = np.fromiter(
-            (md5_lower64(f"{SAMPLE_SALT}{i}") for i in ids),
-            dtype=np.uint64,
-            count=len(ids),
-        )
+        h = _salted_id_hash(batch.column("doc_id"), SAMPLE_SALT)
         return batch.filter(pa.array(h < np.uint64(num)))
 
     return read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
@@ -122,10 +131,7 @@ def stratified_sample(sf_dir: str, k: int = 50):
     are ≤ k·#blocks rows regardless of corpus size."""
 
     def hashes(batch: pa.Table) -> np.ndarray:
-        ids = batch.column("doc_id").to_pylist()
-        return np.fromiter(
-            (md5_lower64(f"{STRAT_SALT}{i}") for i in ids), dtype=np.uint64, count=len(ids)
-        )
+        return _salted_id_hash(batch.column("doc_id"), STRAT_SALT)
 
     def prep(batch: pa.Table) -> pa.Table:
         h = hashes(batch)
@@ -174,22 +180,18 @@ def weighted_sample(sf_dir: str, k: int = 200):
     """
 
     def prep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        h = np.fromiter(
-            (md5_lower64(f"{WSAMP_SALT}{i}") for i in ids),
-            dtype=np.uint64,
-            count=len(ids),
-        )
+        h = _salted_id_hash(batch.column("doc_id"), WSAMP_SALT)
         w = np.maximum(
             batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.uint64),
             np.uint64(1),
         )
         key = h // w
-        ids_np = np.asarray(ids, dtype=object)
-        keep = np.sort(np.lexsort((ids_np, key))[: min(k, len(ids))])
+        ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids_np)
+        keep = np.sort(np.lexsort((ids_np, key))[: min(k, n)])
         return (
             batch.append_column("wkey", pa.array(key, pa.uint64()))
-            .append_column("g", pa.array(np.zeros(len(ids), dtype=np.int32), pa.int32()))
+            .append_column("g", pa.array(np.zeros(n, dtype=np.int32), pa.int32()))
             .take(pa.array(keep))
         )
 
@@ -263,12 +265,7 @@ def token_budget_mix(sf_dir: str, budget: int = 800, part_bits: int = 58):
 
     def prep(batch: pa.Table) -> pa.Table:
         n_tok = pc.list_value_length(pc.split_pattern(batch.column("text"), " "))
-        ids = batch.column("doc_id").to_pylist()
-        key = np.fromiter(
-            (md5_lower64(f"{BUDGET_SALT}{i}") for i in ids),
-            dtype=np.uint64,
-            count=len(ids),
-        )
+        key = _salted_id_hash(batch.column("doc_id"), BUDGET_SALT)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -419,12 +416,11 @@ def global_shuffle(sf_dir: str, num_shards: int = 8):
     from wbot_ray.stages.order import assign_crawl_ord
 
     def key(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "shuf_key": pa.array(
-                    [md5_lower64(f"shuf:{i}") for i in ids], pa.uint64()
+                    _salted_id_hash(batch.column("doc_id"), "shuf:"), pa.uint64()
                 ),
             }
         )
@@ -571,11 +567,8 @@ def source_mix(sf_dir: str, weights: dict[str, int] | None = None, out_frac: int
         dict_vals = codes.dictionary.to_pylist()
         rate_by_code = np.array([rates.get(v, 0) for v in dict_vals], dtype=np.int64)
         row_rates = rate_by_code[codes.indices.to_numpy()]
-        ids = batch.column("doc_id").to_pylist()
-        h = np.fromiter(
-            (md5_lower64(f"{MIX_SALT}{i}") % PPM for i in ids),
-            dtype=np.int64,
-            count=len(ids),
+        h = (_salted_id_hash(batch.column("doc_id"), MIX_SALT) % np.uint64(PPM)).astype(
+            np.int64
         )
         keep = h < row_rates
         return pa.table(
