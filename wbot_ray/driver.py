@@ -7,11 +7,11 @@ Parquet-checkpointed Dataset (owned by the pluggable
 seam), and one BFS round is ONE fused streaming pipeline (SURVEY §3.4)::
 
     frontier_d ──map_batches(assign fetch_part)──
-      groupby(fetch_part).map_groups(FUSED:                # one task per
-          fetch index-lookup + truncate + extract + gates  # fetch partition
-          + results sink + metric sidecar + explode)       # (politeness-local)
-      groupby(seen_shard).map_groups(dedup+check_and_set
-          + survivor root-count sidecar)                   # skew stats ride along
+      repartition(keys=[fetch_part])──per-group(FUSED:     # hash exchange at
+          fetch index-lookup + truncate + extract + gates  # CPU-clamped width;
+          + results sink + metric sidecar + explode)       # politeness-local
+      repartition(keys=[seen_shard])──per-group(dedup +    # one check_and_set
+          check_and_set + survivor root-count sidecar)     # per shard per round
       → order (driver merge if small, Dataset.sort if big)
       → assign crawl_ord → write frontier/round=d+1
 
@@ -46,15 +46,12 @@ round, and re-runs are deterministic.
 
 from __future__ import annotations
 
-import glob
 import json
 import logging
 import math
 import os
-import shutil
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray.data
 
 from wbot_ray import fsio
