@@ -252,6 +252,24 @@ PERM_A = _rng31.randint(1, MINHASH_P, size=N_PERM).astype(np.int64)
 PERM_B = _rng31.randint(0, MINHASH_P, size=N_PERM).astype(np.int64)
 
 
+
+def band_hashes_batch(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, N_PERM) signature matrix -> (n_docs, N_BANDS) uint64
+    band bucket keys, fully vectorized (an FNV-style fold over each
+    band's components). The key is BUCKET IDENTITY only: the oracle
+    buckets on the exact component string (``string_agg(m, ',')``), so
+    any deterministic, collision-negligible key yields the same groups
+    — the per-band blake2b-of-joined-string this replaces was a per-doc
+    Python loop, the last O(docs) Python in the minhash explode."""
+    b = sigs.reshape(sigs.shape[0], N_BANDS, N_PERM // N_BANDS).astype(np.uint64)
+    h = np.full(b.shape[:2], np.uint64(0xCBF29CE484222325), np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(b.shape[2]):
+            h = (h ^ b[:, :, j]) * np.uint64(0x100000001B3)
+            h ^= h >> np.uint64(29)
+    return h
+
+
 def _minhash_sig(tok: np.ndarray) -> np.ndarray:
     """64-perm MinHash over the shingle-hash set. The permutation family
     is the classic affine family mod the Mersenne prime 2^31-1:
@@ -348,20 +366,24 @@ def _minhash_parts(
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        """Slim LSH explode: (doc_id, band, band_hash) only."""
-        ids = batch.column("doc_id").to_pylist()
-        out_id, out_band, out_bhash = [], [], []
-        for d, sl in zip(ids, batch.column("sig").to_pylist()):
-            for b in range(N_BANDS):
-                band = sl[b * rows_per_band : (b + 1) * rows_per_band]
-                out_id.append(d)
-                out_band.append(b)
-                out_bhash.append(hash64(",".join(map(str, band))))
+        """Slim LSH explode: (doc_id, band, band_hash) only — one
+        vectorized band-hash fold over the whole batch."""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sig_col = batch.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sigs = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(ids), N_PERM
+        )
+        bh = band_hashes_batch(sigs)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_bhash, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(N_BANDS, dtype=np.int32), len(ids)),
+                    pa.int32(),
+                ),
+                "band_hash": pa.array(bh.ravel(), pa.uint64()),
             }
         )
 

@@ -51,12 +51,15 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from wbot_ray.pipelines.common import batch_shingle_hashes, hash64, read_table, shingle_hashes
+from wbot_ray.pipelines.common import batch_shingle_hashes, read_table
 from wbot_ray.pipelines.dedup import N_BANDS, N_PERM, _minhash_sig
 
 __all__ = ["build_lsh_index", "neardup_lookup"]
 
-LSH_CACHE_VERSION = 1
+# v2: band_hash identity switched to the vectorized band_hashes_batch
+# fold (round 5) — persisted band buckets keyed on the old blake2b
+# identity must rebuild
+LSH_CACHE_VERSION = 2
 _ROWS_PER_BAND = N_PERM // N_BANDS
 
 OUT_SCHEMA = pa.schema(
@@ -69,15 +72,12 @@ LAST_PRUNE_STATS: dict = {}
 
 def _band_hashes(sig: np.ndarray) -> list[int]:
     """The 8 band bucket keys of one 64-component signature — the same
-    ``hash64(",".join(components))`` identity ``dedup_minhash`` shuffles
-    on, derived (never stored) because bands are a pure function of the
+    ``band_hashes_batch`` identity ``dedup_minhash`` shuffles on,
+    derived (never stored) because bands are a pure function of the
     signature."""
-    return [
-        hash64(
-            ",".join(map(str, sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]))
-        )
-        for b in range(N_BANDS)
-    ]
+    from wbot_ray.pipelines.dedup import band_hashes_batch
+
+    return [int(x) for x in band_hashes_batch(np.asarray(sig).reshape(1, -1))[0]]
 
 
 def build_lsh_index(sf_dir: str, index_dir: str, num_buckets: int = 32) -> str:
