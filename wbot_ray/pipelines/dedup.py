@@ -742,21 +742,25 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3, max_bucket_docs: int | None
     witness; identical-signature clusters stay fully connected."""
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        out_id, out_band, out_key, out_sig = [], [], [], []
-        for d, hs in zip(ids, batch_shingle_hashes(batch.column("text"))):
-            sig = _simhash64(hs)
-            for b in range(4):
-                out_id.append(d)
-                out_band.append(b)
-                out_key.append((sig >> (16 * b)) & 0xFFFF)
-                out_sig.append(sig)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = np.fromiter(
+            (_simhash64(hs) for hs in batch_shingle_hashes(batch.column("text"))),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        n = len(ids)
+        keys = (
+            (sigs[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64)))
+            & np.uint64(0xFFFF)
+        ).astype(np.int32)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.int32()),
-                "sig": pa.array(out_sig, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(4, dtype=np.int32), n), pa.int32()
+                ),
+                "band_key": pa.array(keys.ravel(), pa.int32()),
+                "sig": pa.array(np.repeat(sigs, 4), pa.uint64()),
             }
         )
 
